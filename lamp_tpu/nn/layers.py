@@ -1,0 +1,368 @@
+"""Core layers: Linear, Embedding, Dropout, LayerNorm, BatchNorm, WeightNorm, MLP.
+
+Capability parity with the reference layer set
+(reference: lamp-core/src/main/scala/lamp/nn/{Linear,Embedding,Dropout,LayerNorm,
+BatchNorm,WeightNormLinear,MLP,SeqLinear}.scala), designed TPU-first: all math is
+jnp (XLA fuses the elementwise chains into surrounding matmuls), matmuls carry
+``preferred_element_type`` so bf16 params accumulate in f32 on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import init as initializers
+from .module import Module, buffer_field, static_field
+
+__all__ = [
+    "Linear",
+    "Embedding",
+    "Dropout",
+    "LayerNorm",
+    "BatchNorm",
+    "BatchNorm2D",
+    "WeightNormLinear",
+    "MLP",
+    "Sequential",
+    "Fun",
+    "Residual",
+]
+
+
+def _accum_dtype(x):
+    return jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else x.dtype
+
+
+def _stat_dtype(x):
+    """Statistics dtype: at least f32 (TPU numerics), but never narrower than x."""
+    return jnp.promote_types(x.dtype, jnp.float32)
+
+
+class Linear(Module):
+    """y = x @ W (+ b). Weights stored (in_features, out_features).
+
+    Reference: lamp-core/src/main/scala/lamp/nn/Linear.scala:7-60.
+    """
+
+    weight: jax.Array
+    bias: Optional[jax.Array]
+    __tags__ = {"weight": "Linear.weight", "bias": "Linear.bias"}
+
+    @staticmethod
+    def init(in_features: int, out_features: int, *, key, bias: bool = True,
+             dtype=jnp.float32) -> "Linear":
+        wkey, _ = jax.random.split(key)
+        w = initializers.kaiming_normal(wkey, (in_features, out_features), dtype)
+        b = jnp.zeros((out_features,), dtype) if bias else None
+        return Linear(weight=w, bias=b)
+
+    def forward(self, x, *, key=None, train=False):
+        y = jnp.dot(x, self.weight, preferred_element_type=_accum_dtype(x))
+        if self.bias is not None:
+            y = y + self.bias
+        return y.astype(x.dtype), self
+
+
+class Embedding(Module):
+    """Lookup table. Reference: lamp-core/src/main/scala/lamp/nn/Embedding.scala:17."""
+
+    weight: jax.Array
+    __tags__ = {"weight": "Embedding.weight"}
+
+    @staticmethod
+    def init(num_embeddings: int, dim: int, *, key, dtype=jnp.float32) -> "Embedding":
+        w = initializers.normal(1.0)(key, (num_embeddings, dim), dtype)
+        return Embedding(weight=w)
+
+    def forward(self, x, *, key=None, train=False):
+        return jnp.take(self.weight, x.astype(jnp.int32), axis=0), self
+
+
+class Dropout(Module):
+    """Inverted dropout; identity in eval mode.
+
+    Reference: lamp-core/src/main/scala/lamp/nn/Dropout.scala and autograd op
+    ops.scala:1079.
+    """
+
+    prob: float = static_field()
+
+    @staticmethod
+    def init(prob: float = 0.5) -> "Dropout":
+        return Dropout(prob=prob)
+
+    def forward(self, x, *, key=None, train=False):
+        if not train or self.prob <= 0.0:
+            return x, self
+        if key is None:
+            raise ValueError("Dropout in train mode requires a PRNG key")
+        keep = 1.0 - self.prob
+        mask = jax.random.bernoulli(key, keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype), self
+
+
+class LayerNorm(Module):
+    """Normalize over the trailing ``len(shape)`` dims, learned scale/bias.
+
+    Reference: lamp-core/src/main/scala/lamp/nn/LayerNorm.scala:8 and
+    autograd op LayerNormOp ops.scala:1956. Stats computed in f32 for bf16
+    activations (TPU numerics).
+    """
+
+    weight: Optional[jax.Array]
+    bias: Optional[jax.Array]
+    eps: float = static_field()
+    __tags__ = {"weight": "LayerNorm.weight", "bias": "LayerNorm.bias"}
+
+    @staticmethod
+    def init(shape, *, eps: float = 1e-5, elementwise: bool = True,
+             bias: bool = True, dtype=jnp.float32) -> "LayerNorm":
+        if isinstance(shape, int):
+            shape = (shape,)
+        w = jnp.ones(shape, dtype) if elementwise else None
+        b = jnp.zeros(shape, dtype) if (elementwise and bias) else None
+        return LayerNorm(weight=w, bias=b, eps=eps)
+
+    def forward(self, x, *, key=None, train=False):
+        ndims = self.weight.ndim if self.weight is not None else 1
+        axes = tuple(range(x.ndim - ndims, x.ndim))
+        sd = _stat_dtype(x)
+        xf = x.astype(sd)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.weight is not None:
+            y = y * self.weight.astype(sd)
+        if self.bias is not None:
+            y = y + self.bias.astype(sd)
+        return y.astype(x.dtype), self
+
+
+class BatchNorm(Module):
+    """1D/feature batch norm with running statistics.
+
+    Stateful: in train mode returns an updated module carrying new running
+    stats. Reference: lamp-core/src/main/scala/lamp/nn/BatchNorm.scala:9 and
+    autograd op ops.scala:1846.
+    """
+
+    weight: Optional[jax.Array]
+    bias: Optional[jax.Array]
+    running_mean: jax.Array = buffer_field()
+    running_var: jax.Array = buffer_field()
+    momentum: float = static_field()
+    eps: float = static_field()
+    __tags__ = {"weight": "BatchNorm.weight", "bias": "BatchNorm.bias"}
+
+    @staticmethod
+    def init(features: int, *, eps: float = 1e-5, momentum: float = 0.1,
+             affine: bool = True, dtype=jnp.float32) -> "BatchNorm":
+        w = jnp.ones((features,), dtype) if affine else None
+        b = jnp.zeros((features,), dtype) if affine else None
+        return BatchNorm(
+            weight=w,
+            bias=b,
+            running_mean=jnp.zeros((features,), jnp.float32),
+            running_var=jnp.ones((features,), jnp.float32),
+            momentum=momentum,
+            eps=eps,
+        )
+
+    def _norm(self, x, mean, var):
+        shape = (1,) * (x.ndim - 1) + (-1,)
+        sd = _stat_dtype(x)
+        y = (x.astype(sd) - mean.reshape(shape).astype(sd)) * jax.lax.rsqrt(
+            var.reshape(shape).astype(sd) + self.eps
+        )
+        if self.weight is not None:
+            y = y * self.weight.astype(sd).reshape(shape)
+        if self.bias is not None:
+            y = y + self.bias.astype(sd).reshape(shape)
+        return y.astype(x.dtype)
+
+    def forward(self, x, *, key=None, train=False):
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(_stat_dtype(x))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)
+            n = x.size // x.shape[-1]
+            unbiased = var * (n / max(n - 1, 1))
+            new_mean = ((1 - self.momentum) * self.running_mean
+                        + self.momentum * mean).astype(self.running_mean.dtype)
+            new_var = ((1 - self.momentum) * self.running_var
+                       + self.momentum * unbiased).astype(self.running_var.dtype)
+            y = self._norm(x, mean, var)
+            return y, self.replace(running_mean=new_mean, running_var=new_var)
+        return self._norm(x, self.running_mean, self.running_var), self
+
+
+class BatchNorm2D(Module):
+    """NCHW batch norm over (N, H, W) per channel.
+
+    Reference: lamp-core/src/main/scala/lamp/nn/BatchNorm2D.scala and op
+    ops.scala:2037.
+    """
+
+    weight: Optional[jax.Array]
+    bias: Optional[jax.Array]
+    running_mean: jax.Array = buffer_field()
+    running_var: jax.Array = buffer_field()
+    momentum: float = static_field()
+    eps: float = static_field()
+    __tags__ = {"weight": "BatchNorm2D.weight", "bias": "BatchNorm2D.bias"}
+
+    @staticmethod
+    def init(channels: int, *, eps: float = 1e-5, momentum: float = 0.1,
+             affine: bool = True, dtype=jnp.float32) -> "BatchNorm2D":
+        w = jnp.ones((channels,), dtype) if affine else None
+        b = jnp.zeros((channels,), dtype) if affine else None
+        return BatchNorm2D(
+            weight=w,
+            bias=b,
+            running_mean=jnp.zeros((channels,), jnp.float32),
+            running_var=jnp.ones((channels,), jnp.float32),
+            momentum=momentum,
+            eps=eps,
+        )
+
+    def _norm(self, x, mean, var):
+        shape = (1, -1, 1, 1)
+        sd = _stat_dtype(x)
+        y = (x.astype(sd) - mean.reshape(shape).astype(sd)) * jax.lax.rsqrt(
+            var.reshape(shape).astype(sd) + self.eps
+        )
+        if self.weight is not None:
+            y = y * self.weight.astype(sd).reshape(shape)
+        if self.bias is not None:
+            y = y + self.bias.astype(sd).reshape(shape)
+        return y.astype(x.dtype)
+
+    def forward(self, x, *, key=None, train=False):
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 2, 3))
+            var = jnp.var(xf, axis=(0, 2, 3))
+            n = x.shape[0] * x.shape[2] * x.shape[3]
+            unbiased = var * (n / max(n - 1, 1))
+            new_mean = ((1 - self.momentum) * self.running_mean
+                        + self.momentum * mean).astype(self.running_mean.dtype)
+            new_var = ((1 - self.momentum) * self.running_var
+                       + self.momentum * unbiased).astype(self.running_var.dtype)
+            y = self._norm(x, mean, var)
+            return y, self.replace(running_mean=new_mean, running_var=new_var)
+        return self._norm(x, self.running_mean, self.running_var), self
+
+
+class WeightNormLinear(Module):
+    """Linear with weight normalization w = g * v / ||v||.
+
+    Reference: lamp-core/src/main/scala/lamp/nn/WeightNormLinear.scala and
+    autograd op WeightNorm ops.scala:1103.
+    """
+
+    v: jax.Array
+    g: jax.Array
+    bias: Optional[jax.Array]
+    __tags__ = {"v": "WeightNormLinear.weights1", "g": "WeightNormLinear.weights2",
+                "bias": "WeightNormLinear.bias"}
+
+    @staticmethod
+    def init(in_features: int, out_features: int, *, key, bias: bool = True,
+             dtype=jnp.float32) -> "WeightNormLinear":
+        v = initializers.kaiming_normal(key, (in_features, out_features), dtype)
+        g = jnp.linalg.norm(v.astype(jnp.float32), axis=0).astype(dtype)
+        b = jnp.zeros((out_features,), dtype) if bias else None
+        return WeightNormLinear(v=v, g=g, bias=b)
+
+    def forward(self, x, *, key=None, train=False):
+        sd = _stat_dtype(x)
+        vf = self.v.astype(sd)
+        norm = jnp.linalg.norm(vf, axis=0, keepdims=True)
+        w = (self.g.astype(sd) * vf / norm).astype(x.dtype)
+        y = jnp.dot(x, w, preferred_element_type=_accum_dtype(x))
+        if self.bias is not None:
+            y = y + self.bias
+        return y.astype(x.dtype), self
+
+
+class Fun(Module):
+    """Wrap a pure function as a module (reference Module.scala:120-170)."""
+
+    fn: Callable = static_field()
+
+    @staticmethod
+    def init(fn: Callable) -> "Fun":
+        return Fun(fn=fn)
+
+    def forward(self, x, *, key=None, train=False):
+        return self.fn(x), self
+
+
+class Sequential(Module):
+    """Chain of modules, threading state updates and splitting keys.
+
+    Reference: lamp-core/src/main/scala/lamp/nn/Module.scala:79 (Sequential)
+    and SeqModule.scala.
+    """
+
+    layers: Tuple[Module, ...]
+
+    @staticmethod
+    def init(*layers: Module) -> "Sequential":
+        return Sequential(layers=tuple(layers))
+
+    def forward(self, x, *, key=None, train=False):
+        keys = (
+            jax.random.split(key, len(self.layers))
+            if key is not None
+            else [None] * len(self.layers)
+        )
+        new_layers = []
+        for layer, k in zip(self.layers, keys):
+            x, new_layer = layer.forward(x, key=k, train=train)
+            new_layers.append(new_layer)
+        return x, self.replace(layers=tuple(new_layers))
+
+    def __getitem__(self, i):
+        return self.layers[i]
+
+    def __len__(self):
+        return len(self.layers)
+
+
+class Residual(Module):
+    """y = x + f(x). Reference: lamp-core/src/main/scala/lamp/nn/ResidualModule.scala."""
+
+    inner: Module
+
+    @staticmethod
+    def init(inner: Module) -> "Residual":
+        return Residual(inner=inner)
+
+    def forward(self, x, *, key=None, train=False):
+        y, new_inner = self.inner.forward(x, key=key, train=train)
+        return x + y, self.replace(inner=new_inner)
+
+
+def MLP(in_dim: int, hidden: int, out_dim: int, *, key, num_hidden_layers: int = 2,
+        dropout: float = 0.0, activation: Callable = jax.nn.gelu,
+        norm: bool = True, dtype=jnp.float32) -> Sequential:
+    """MLP factory mirroring the reference's lamp.nn.MLP (MLP.scala:25-80):
+    [Linear -> (BatchNorm) -> activation -> Dropout] * n -> Linear."""
+    keys = jax.random.split(key, num_hidden_layers + 1)
+    layers = []
+    d = in_dim
+    for i in range(num_hidden_layers):
+        layers.append(Linear.init(d, hidden, key=keys[i], dtype=dtype))
+        if norm:
+            layers.append(BatchNorm.init(hidden, dtype=dtype))
+        layers.append(Fun.init(activation))
+        if dropout > 0:
+            layers.append(Dropout.init(dropout))
+        d = hidden
+    layers.append(Linear.init(d, out_dim, key=keys[-1], dtype=dtype))
+    return Sequential.init(*layers)

@@ -1,0 +1,418 @@
+"""Fused scaled-dot-product attention (flash attention) for TPU.
+
+TPU-native replacement for the reference's cuDNN flash-attention binding
+(reference: lamp-sten/src/main/scala/lamp/STen.scala:501-585
+``scaledDotProductAttention(Backward)`` and the autograd op
+lamp-core/src/main/scala/lamp/autograd/ops.scala:2342 with its routing gate
+Transformer.scala:949-961).
+
+Design: a Pallas forward kernel with online softmax (never materializes the
+(Sq, Skv) score matrix), saving per-row logsumexp residuals; two Pallas
+backward kernels (dq, and dk/dv) that recompute attention weights from the
+residuals — the standard flash-attention-2 structure. All softmax statistics
+are f32; QK^T and PV matmuls accumulate in f32 on the MXU.
+
+The public entry :func:`dot_product_attention` routes to the Pallas kernel on
+TPU (with the same eligibility conditions as the reference gate: no dropout —
+dropout is applied outside) and to a pure-XLA reference implementation
+elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["dot_product_attention", "flash_attention", "mha_reference"]
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+def mha_reference(q, k, v, *, causal=False, sm_scale=None, mask=None):
+    """Pure-XLA attention, used on CPU and as the numerics oracle in tests.
+
+    q: [B, H, Sq, D], k/v: [B, H, Skv, D]. ``mask`` is an optional boolean
+    array broadcastable to [B, H, Sq, Skv]; True = attend.
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * sm_scale
+    if causal:
+        sq, skv = q.shape[2], k.shape[2]
+        # align diagonals to the *end* of the kv sequence (standard convention
+        # when Sq != Skv, e.g. decoding)
+        qpos = jnp.arange(sq)[:, None] + (skv - sq)
+        kpos = jnp.arange(skv)[None, :]
+        s = jnp.where(kpos <= qpos, s, NEG_INF)
+    if mask is not None:
+        s = jnp.where(mask, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr,
+                *, sm_scale, causal, block_q, block_k, kv_len, q_offset):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # causal: skip kv tiles entirely above the diagonal
+    run = True
+    if causal:
+        run = (qi + 1) * block_q + q_offset > ki * block_k
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0]  # [block_q, d]
+        k = k_ref[0]  # [block_k, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # [block_q, block_k]
+
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+                + qi * block_q + q_offset
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+            s = jnp.where(cols <= rows, s, NEG_INF)
+        else:
+            # mask kv padding (kv_len may be < padded length)
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+            s = jnp.where(cols < kv_len, s, NEG_INF)
+
+        m_prev = m_scr[...]           # [block_q, LANES]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # broadcast to LANES
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])        # [block_q, block_k]
+        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = v_ref[0]
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ki == n_k - 1)
+    def _store():
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scr[...] * l_inv[:, :1]).astype(o_ref.dtype)
+        m = m_scr[...]
+        lse = m[:, :1] + jnp.log(jnp.maximum(l[:, :1], 1e-37))
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(jnp.float32)
+
+
+def _fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret):
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    grid = (bh, sq // block_q, skv // block_k)
+    q_offset = skv - sq if causal else 0
+
+    kernel = functools.partial(
+        _fwd_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
+        block_k=block_k, kv_len=kv_len, q_offset=q_offset,
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((bh, sq, d), q.dtype),        # o
+        jax.ShapeDtypeStruct((bh, sq, LANES), jnp.float32),  # lse (lane-replicated)
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return o, lse[:, :, 0]
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
+                   dq_scr, *, sm_scale, causal, block_q, block_k, kv_len,
+                   q_offset):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    run = True
+    if causal:
+        run = (qi + 1) * block_q + q_offset > ki * block_k
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]  # [block_q, LANES] replicated
+        di = di_ref[0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+            + qi * block_q + q_offset
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        if causal:
+            s = jnp.where(cols <= rows, s, NEG_INF)
+        else:
+            s = jnp.where(cols < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse[:, :1])  # [block_q, block_k]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - di[:, :1]) * sm_scale
+        dq_scr[...] += jax.lax.dot(
+            ds.astype(q.dtype), k, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ki == n_k - 1)
+    def _store():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr,
+                    *, sm_scale, causal, block_q, block_k, kv_len, q_offset):
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    n_q = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    run = True
+    if causal:
+        run = (qi + 1) * block_q + q_offset > ki * block_k
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]
+        di = di_ref[0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+            + qi * block_q + q_offset
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        if causal:
+            s = jnp.where(cols <= rows, s, NEG_INF)
+        else:
+            s = jnp.where(cols < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse[:, :1])           # [block_q, block_k]
+        # dv += P^T @ do
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - di[:, :1]) * sm_scale  # [block_q, block_k]
+        # dk += dS^T @ q
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(qi == n_q - 1)
+    def _store():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd(sm_scale, causal, block_q, block_k, kv_len, interpret, res, g):
+    q, k, v, o, lse = res
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    do = g
+    q_offset = skv - sq if causal else 0
+
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    lse_rep = jnp.broadcast_to(lse[:, :, None], (bh, sq, LANES))
+    di_rep = jnp.broadcast_to(di[:, :, None], (bh, sq, LANES))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
+            block_k=block_k, kv_len=kv_len, q_offset=q_offset,
+        ),
+        grid=(bh, sq // block_q, skv // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse_rep, di_rep)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
+            block_q=block_q, block_k=block_k, kv_len=kv_len, q_offset=q_offset,
+        ),
+        grid=(bh, skv // block_k, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse_rep, di_rep)
+
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret):
+    o, _ = _fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret)
+    return o
+
+
+def _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret):
+    o, lse = _fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret)
+    return o, (q, k, v, o, lse)
+
+
+_flash.defvjp(_flash_fwd, _bwd)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def flash_attention(q, k, v, *, causal: bool = False,
+                    sm_scale: Optional[float] = None,
+                    block_q: int = 128, block_k: int = 128,
+                    interpret: Optional[bool] = None):
+    """Flash attention on [B, H, S, D] tensors via Pallas TPU kernels.
+
+    Handles non-multiple sequence lengths by padding (padded kv positions are
+    masked inside the kernel; padded q rows are sliced off). The backward pass
+    recomputes attention weights from the saved logsumexp.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+
+    block_q_eff = min(block_q, _round_up(sq, 8))
+    block_k_eff = min(block_k, _round_up(skv, 8))
+    sq_p = _round_up(sq, block_q_eff)
+    skv_p = _round_up(skv, block_k_eff)
+
+    qr = q.reshape(b * h, sq, d)
+    kr = k.reshape(b * h, skv, d)
+    vr = v.reshape(b * h, skv, d)
+    if sq_p != sq:
+        qr = jnp.pad(qr, ((0, 0), (0, sq_p - sq), (0, 0)))
+    if skv_p != skv:
+        kr = jnp.pad(kr, ((0, 0), (0, skv_p - skv), (0, 0)))
+        vr = jnp.pad(vr, ((0, 0), (0, skv_p - skv), (0, 0)))
+
+    o = _flash(qr, kr, vr, sm_scale, causal, block_q_eff, block_k_eff,
+               skv, interpret)
+    return o[:, :sq, :].reshape(b, h, sq, d)
+
+
+def dot_product_attention(q, k, v, *, causal: bool = False, mask=None,
+                          sm_scale: Optional[float] = None,
+                          implementation: Optional[str] = None):
+    """Route attention to the fused Pallas kernel when eligible, matching the
+    reference's dispatch gate (Transformer.scala:949-961): on accelerator,
+    causal-or-unmasked, no arbitrary mask. Otherwise use the XLA path.
+    """
+    if implementation is None:
+        on_tpu = jax.default_backend() == "tpu"
+        implementation = "flash" if (on_tpu and mask is None) else "xla"
+    if implementation == "flash":
+        if mask is not None:
+            raise ValueError("flash path does not support arbitrary masks yet")
+        return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale)
+    return mha_reference(q, k, v, causal=causal, sm_scale=sm_scale, mask=mask)

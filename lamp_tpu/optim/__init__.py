@@ -1,0 +1,23 @@
+"""Optimizers, gradient clipping, LR schedules."""
+
+from .base import Optimizer, resolve_hyper, apply_updates
+from .clip import clip_by_global_norm, clip_by_value, global_norm
+from .optimizers import SGDW, AdamW, Lamb, RAdam, Yogi
+from .shampoo import Shampoo
+from . import schedules
+
+__all__ = [
+    "Optimizer",
+    "resolve_hyper",
+    "apply_updates",
+    "clip_by_global_norm",
+    "clip_by_value",
+    "global_norm",
+    "SGDW",
+    "AdamW",
+    "Lamb",
+    "RAdam",
+    "Yogi",
+    "Shampoo",
+    "schedules",
+]

@@ -1,0 +1,92 @@
+"""Flash-attention kernel tests (interpret mode on CPU).
+
+Validates the Pallas forward against the XLA reference and the custom-VJP
+backward against jax.grad of the reference — the kernel-level analogue of the
+reference's fused-SDPA op test (ops.scala:2342, autograd.test.scala).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lamp_tpu.ops.attention import dot_product_attention, flash_attention, mha_reference
+
+
+def _rand(key, shape):
+    return jax.random.normal(key, shape, jnp.float32)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("shape", [(1, 2, 128, 64), (2, 3, 256, 32)])
+def test_flash_matches_reference_forward(causal, shape):
+    b, h, s, d = shape
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (_rand(kk, shape) for kk in keys)
+    out = flash_attention(q, k, v, causal=causal, interpret=True)
+    ref = mha_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_non_multiple_seq_len():
+    b, h, s, d = 1, 2, 100, 32  # 100 not a multiple of any block
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys)
+    out = flash_attention(q, k, v, causal=True, interpret=True, block_q=64, block_k=64)
+    ref = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_backward_matches_reference(causal):
+    shape = (1, 2, 128, 32)
+    keys = jax.random.split(jax.random.PRNGKey(2), 3)
+    q, k, v = (_rand(kk, shape) for kk in keys)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            jnp.square(flash_attention(q, k, v, causal=causal, interpret=True))
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(mha_reference(q, k, v, causal=causal)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_flash_backward_smaller_blocks():
+    shape = (1, 1, 256, 32)
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (_rand(kk, shape) for kk in keys)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, causal=True, interpret=True,
+                            block_q=64, block_k=128)
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-4)
+
+
+def test_dot_product_attention_mask_path():
+    shape = (1, 1, 16, 8)
+    keys = jax.random.split(jax.random.PRNGKey(4), 3)
+    q, k, v = (_rand(kk, shape) for kk in keys)
+    mask = jnp.tril(jnp.ones((16, 16), bool))[None, None]
+    out_masked = dot_product_attention(q, k, v, mask=mask, implementation="xla")
+    out_causal = dot_product_attention(q, k, v, causal=True, implementation="xla")
+    np.testing.assert_allclose(
+        np.asarray(out_masked), np.asarray(out_causal), atol=1e-6
+    )

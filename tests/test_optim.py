@@ -1,0 +1,166 @@
+"""Optimizer unit tests.
+
+Mirrors the reference's optimizer trajectory tests
+(lamp-core/src/test/scala/lamp/nn/{adamw,sgd,shampoo}.test.scala): steps are
+compared against hand-computed expectations, plus convergence checks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lamp_tpu import nn, optim
+
+
+def _quadratic_convergence(opt, steps=300, tol=1e-2):
+    """All optimizers must minimize a simple convex quadratic."""
+    params = {"w": jnp.array([3.0, -2.0, 1.5])}
+
+    def loss_fn(p):
+        return jnp.sum(jnp.square(p["w"]))
+
+    state = opt.init(params)
+    for _ in range(steps):
+        g = jax.grad(loss_fn)(params)
+        params, state = opt.step(params, g, state)
+    assert float(loss_fn(params)) < tol, float(loss_fn(params))
+
+
+def test_sgdw_converges():
+    _quadratic_convergence(optim.SGDW(learning_rate=0.1))
+
+
+def test_sgdw_momentum_converges():
+    _quadratic_convergence(optim.SGDW(learning_rate=0.05, momentum=0.9))
+
+
+def test_adamw_converges():
+    _quadratic_convergence(optim.AdamW(learning_rate=0.1))
+
+
+def test_radam_converges():
+    _quadratic_convergence(optim.RAdam(learning_rate=0.1))
+
+
+def test_yogi_converges():
+    _quadratic_convergence(optim.Yogi(learning_rate=0.1))
+
+
+def test_lamb_converges():
+    _quadratic_convergence(optim.Lamb(learning_rate=0.05))
+
+
+def test_shampoo_converges():
+    _quadratic_convergence(optim.Shampoo(learning_rate=0.1), steps=400)
+
+
+def test_adamw_first_step_matches_hand_computed():
+    """First AdamW step: update = lr * m_hat / (sqrt(v_hat) + eps) + lr*wd*p."""
+    lr, wd, b1, b2, eps = 0.1, 0.01, 0.9, 0.999, 1e-8
+    p = {"w": jnp.array([1.0, 2.0])}
+    g = {"w": jnp.array([0.5, -0.5])}
+    opt = optim.AdamW(lr, beta1=b1, beta2=b2, eps=eps, weight_decay=wd)
+    state = opt.init(p)
+    newp, _ = opt.step(p, g, state)
+    m = (1 - b1) * np.array([0.5, -0.5])
+    v = (1 - b2) * np.array([0.25, 0.25])
+    m_hat = m / (1 - b1)
+    v_hat = v / (1 - b2)
+    expected = (
+        np.array([1.0, 2.0])
+        - lr * m_hat / (np.sqrt(v_hat) + eps)
+        - lr * wd * np.array([1.0, 2.0])
+    )
+    np.testing.assert_allclose(np.asarray(newp["w"]), expected, rtol=1e-6)
+
+
+def test_sgdw_first_step_matches_hand_computed():
+    lr, wd = 0.1, 0.01
+    p = {"w": jnp.array([1.0, -2.0])}
+    g = {"w": jnp.array([0.3, 0.7])}
+    opt = optim.SGDW(lr, weight_decay=wd)
+    state = opt.init(p)
+    newp, _ = opt.step(p, g, state)
+    expected = np.array([1.0, -2.0]) - lr * (
+        np.array([0.3, 0.7]) + wd * np.array([1.0, -2.0])
+    )
+    np.testing.assert_allclose(np.asarray(newp["w"]), expected, rtol=1e-6)
+
+
+def test_adamw_mixed_precision_master_weights():
+    """bf16 params keep f32 masters: many tiny updates must accumulate
+    (they would be lost to bf16 rounding without the master copy).
+    Reference behavior: AdamW.scala:47-63."""
+    p = {"w": jnp.ones((4,), jnp.bfloat16)}
+    opt = optim.AdamW(learning_rate=1e-4, mixed_precision=True)
+    state = opt.init(p)
+    g = {"w": jnp.full((4,), 1e-3, jnp.bfloat16)}
+    for _ in range(50):
+        p, state = opt.step(p, g, state)
+    master = np.asarray(state["master"]["w"], dtype=np.float64)
+    assert state["master"]["w"].dtype == jnp.float32
+    assert np.all(master < 1.0)
+    assert p["w"].dtype == jnp.bfloat16
+
+
+def test_per_tag_weight_decay():
+    """Weight decay applies to tagged leaves only (reference
+    DependentHyperparameter, train.scala:55-62)."""
+    key = jax.random.PRNGKey(0)
+    m = nn.Linear.init(3, 3, key=key)
+    params, rest = nn.partition_params(m)
+    tags = nn.param_tags(params)
+    opt = optim.SGDW(
+        learning_rate=0.1,
+        weight_decay={"Linear.weight": 0.5, "default": 0.0},
+        tags=tags,
+    )
+    state = opt.init(params)
+    zero_g = jax.tree_util.tree_map(
+        lambda x: None if x is None else jnp.zeros_like(x),
+        params, is_leaf=lambda x: x is None,
+    )
+    newp, _ = opt.step(params, zero_g, state)
+    # weight decayed, bias untouched
+    assert np.all(np.abs(np.asarray(newp.weight)) < np.abs(np.asarray(m.weight)))
+    np.testing.assert_array_equal(np.asarray(newp.bias), np.asarray(m.bias))
+
+
+def test_clip_by_global_norm():
+    g = {"a": jnp.array([3.0, 4.0]), "b": jnp.zeros(2)}
+    clipped, norm = optim.clip_by_global_norm(g, 1.0)
+    assert abs(float(norm) - 5.0) < 1e-6
+    cn = float(optim.global_norm(clipped))
+    assert abs(cn - 1.0) < 1e-5
+
+
+def test_schedules():
+    s = optim.schedules.step_after(5, 0.1)
+    assert s(None, 0, None)[1] == 1.0
+    assert s(None, 7, None)[1] == 0.1
+
+    lin = optim.schedules.linear(1.0, 0.0, 10)
+    assert abs(lin(None, 5, None)[1] - 0.5) < 1e-9
+
+    cos = optim.schedules.cosine_with_warmup(10, 100)
+    assert cos(None, 0, None)[1] == pytest.approx(0.1)
+    assert cos(None, 9, None)[1] == pytest.approx(1.0)
+    assert cos(None, 100, None)[1] == pytest.approx(0.1)
+
+
+def test_reduce_lr_on_plateau():
+    s = optim.schedules.reduce_lr_on_plateau(factor=0.5, patience=2)
+    state = dict(s.init_state)
+    # improving: factor stays 1
+    for v in [1.0, 0.9, 0.8]:
+        state, f = s(state, 0, v)
+        assert f == 1.0
+    # plateau: after patience+1 bad epochs factor halves
+    for v in [0.8, 0.8, 0.8]:
+        state, f = s(state, 0, v)
+    assert f == 0.5
+    # state round-trips through plain dict (JSON-serializable)
+    import json
+
+    json.dumps(state)

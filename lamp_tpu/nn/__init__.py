@@ -24,6 +24,46 @@ from .layers import (
     Sequential,
     WeightNormLinear,
 )
+from .conv import (
+    AvgPool2D,
+    Conv1D,
+    Conv2D,
+    Conv2DTransposed,
+    MaxPool1D,
+    MaxPool2D,
+    avg_pool_2d,
+    max_pool_2d,
+)
+from .recurrent import GRU, LSTM, RNN, FreeRunningRNN, Seq2Seq, WithInit
+from .transformer import (
+    MultiheadAttention,
+    Transformer,
+    TransformerDecoder,
+    TransformerDecoderBlock,
+    TransformerEmbedding,
+    TransformerEncoder,
+    TransformerEncoderBlock,
+    lengths_to_mask,
+    linearized_attention,
+    positional_embedding_vaswani,
+)
+from .lm import LanguageModelInput, LanguageModelLoss, LanguageModelModule, lm_loss
+from .bert import (
+    BertEncoder,
+    BertPretrainInput,
+    BertPretrainModule,
+    MaskedLanguageModelModule,
+    bert_loss,
+)
+from .graph import (
+    GCN,
+    MPNN,
+    Graph,
+    GraphAttention,
+    VertexPooling,
+    gcn_aggregation,
+    vertex_pooling,
+)
 from . import init, losses
 
 __all__ = [

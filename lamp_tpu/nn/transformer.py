@@ -1,0 +1,478 @@
+"""Transformer stack: multihead attention, encoder/decoder blocks, embeddings.
+
+Capability parity with the reference's transformer toolkit
+(lamp-core/src/main/scala/lamp/nn/Transformer.scala): ``TransformerEncoder``
+(:29), pre-norm "gptOrder" / post-norm encoder blocks with learned residual
+scales (:212-262), decoder (:105,263), full enc-dec ``Transformer`` (:310),
+``MultiheadAttention`` (:572) with sequence masking (:667-750), fused-kernel
+routing (:889-1009), O(n) linearized attention (:826), and positional
+embeddings (:1012-1100).
+
+TPU-first: attention routes to the Pallas flash kernel
+(lamp_tpu.ops.attention) when on TPU with no arbitrary mask and no attention
+dropout — the same eligibility gate as the reference's cuDNN dispatch
+(Transformer.scala:949-951); otherwise the XLA path with explicit masking.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention, flash_attention, mha_reference
+from . import init as initializers
+from .layers import Dropout, LayerNorm, Linear
+from .module import Module, buffer_field, static_field
+
+__all__ = [
+    "MultiheadAttention",
+    "TransformerEncoderBlock",
+    "TransformerEncoder",
+    "TransformerDecoderBlock",
+    "TransformerDecoder",
+    "Transformer",
+    "TransformerEmbedding",
+    "positional_embedding_vaswani",
+    "simple_sequence_positions",
+    "lengths_to_mask",
+    "linearized_attention",
+]
+
+
+def lengths_to_mask(lengths, max_len: int):
+    """[B] valid lengths -> [B, 1, 1, max_len] boolean attend-mask.
+
+    The reference's 1D maxLength protocol (Transformer.scala:663-705): tokens
+    at positions >= length are masked out as attention *keys*.
+    """
+    pos = jnp.arange(max_len)[None, :]
+    return (pos < lengths[:, None])[:, None, None, :]
+
+
+def positional_embedding_vaswani(max_len: int, dim: int, dtype=jnp.float32):
+    """Sinusoidal positional encoding (reference PositionalEmbedding.vaswani,
+    Transformer.scala:1012)."""
+    pos = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    i = jnp.arange(dim // 2, dtype=jnp.float32)[None, :]
+    angle = pos / jnp.power(10000.0, 2 * i / dim)
+    emb = jnp.zeros((max_len, dim), jnp.float32)
+    emb = emb.at[:, 0::2].set(jnp.sin(angle))
+    emb = emb.at[:, 1::2].set(jnp.cos(angle))
+    return emb.astype(dtype)
+
+
+def simple_sequence_positions(batch: int, seq_len: int):
+    """[B, T] integer positions (reference PositionalEmbedding.simpleSequence)."""
+    return jnp.broadcast_to(jnp.arange(seq_len)[None, :], (batch, seq_len))
+
+
+def linearized_attention(q, k, v, *, phi: Callable = None):
+    """O(n) linearized attention (Katharopoulos et al.) — reference
+    Transformer.scala:826-886 ``linearizedAttention``.
+
+    q,k,v: [B, H, S, D]. attention = phi(q) @ (phi(k)^T @ v) / normalizer.
+    """
+    if phi is None:
+        phi = lambda x: jax.nn.elu(x) + 1.0  # noqa: E731
+    qp = phi(q.astype(jnp.float32))
+    kp = phi(k.astype(jnp.float32))
+    kv = jnp.einsum("bhsd,bhse->bhde", kp, v.astype(jnp.float32))
+    z = 1.0 / (jnp.einsum("bhsd,bhd->bhs", qp, jnp.sum(kp, axis=2)) + 1e-6)
+    out = jnp.einsum("bhsd,bhde,bhs->bhse", qp, kv, z)
+    return out.astype(q.dtype)
+
+
+class MultiheadAttention(Module):
+    """Multi-head attention with separate q/k/v/out projections.
+
+    Reference: lamp-core/src/main/scala/lamp/nn/Transformer.scala:572-660 and
+    the dispatcher at :889-1009. Supports causal masking, a length-based key
+    mask, attention dropout (XLA path only, same gate as the reference), and
+    linearized attention.
+    """
+
+    w_q: Linear
+    w_k: Linear
+    w_v: Linear
+    w_o: Linear
+    num_heads: int = static_field()
+    dropout: float = static_field()
+    causal: bool = static_field()
+    linearized: bool = static_field()
+
+    @staticmethod
+    def init(dim_in: int, dim_qk: int, dim_v: int, num_heads: int, *, key,
+             out_dim: Optional[int] = None, dropout: float = 0.0,
+             causal: bool = False, bias: bool = False, linearized: bool = False,
+             dtype=jnp.float32) -> "MultiheadAttention":
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        out_dim = out_dim if out_dim is not None else dim_in
+        return MultiheadAttention(
+            w_q=Linear.init(dim_in, dim_qk, key=k1, bias=bias, dtype=dtype),
+            w_k=Linear.init(dim_in, dim_qk, key=k2, bias=bias, dtype=dtype),
+            w_v=Linear.init(dim_in, dim_v, key=k3, bias=bias, dtype=dtype),
+            w_o=Linear.init(dim_v, out_dim, key=k4, bias=bias, dtype=dtype),
+            num_heads=num_heads,
+            dropout=dropout,
+            causal=causal,
+            linearized=linearized,
+        )
+
+    def _split_heads(self, x):
+        b, t, d = x.shape
+        return x.reshape(b, t, self.num_heads, d // self.num_heads).transpose(
+            0, 2, 1, 3
+        )
+
+    def _merge_heads(self, x):
+        b, h, t, d = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+    def forward(self, x, *, key=None, train=False):
+        """x: either a single [B,T,D] array (self-attention) or a tuple
+        (query_input, kv_input, lengths_or_None)."""
+        if isinstance(x, tuple):
+            xq, xkv, lengths = x
+        else:
+            xq, xkv, lengths = x, x, None
+
+        q = self._split_heads(self.w_q(xq))
+        k = self._split_heads(self.w_k(xkv))
+        v = self._split_heads(self.w_v(xkv))
+
+        if self.linearized:
+            o = linearized_attention(q, k, v)
+        else:
+            mask = None
+            if lengths is not None:
+                mask = lengths_to_mask(lengths, k.shape[2])
+            use_dropout = train and self.dropout > 0.0
+            on_tpu = jax.default_backend() == "tpu"
+            if on_tpu and mask is None and not use_dropout:
+                o = flash_attention(q, k, v, causal=self.causal)
+            else:
+                acc = jnp.promote_types(q.dtype, jnp.float32)
+                sm_scale = 1.0 / math.sqrt(q.shape[-1])
+                s = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q, k, preferred_element_type=acc
+                ) * sm_scale
+                neg = jnp.finfo(jnp.float32).min * 0.7
+                if self.causal:
+                    sq, skv = q.shape[2], k.shape[2]
+                    qpos = jnp.arange(sq)[:, None] + (skv - sq)
+                    kpos = jnp.arange(skv)[None, :]
+                    s = jnp.where(kpos <= qpos, s, neg)
+                if mask is not None:
+                    s = jnp.where(mask, s, neg)
+                p = jax.nn.softmax(s, axis=-1)
+                if use_dropout:
+                    if key is None:
+                        raise ValueError("attention dropout requires a key")
+                    keep = 1.0 - self.dropout
+                    p = p * jax.random.bernoulli(key, keep, p.shape) / keep
+                o = jnp.einsum(
+                    "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                    preferred_element_type=acc,
+                ).astype(v.dtype)
+
+        return self.w_o(self._merge_heads(o)).astype(xq.dtype), self
+
+
+class TransformerEncoderBlock(Module):
+    """Attention + MLP block with pre-norm ("gptOrder") or post-norm order and
+    learned residual scales.
+
+    Reference: Transformer.scala:212-262 — ``scale1``/``scale2`` are learned
+    per-channel residual multipliers; gptOrder selects pre-norm.
+    """
+
+    attention: MultiheadAttention
+    norm1: LayerNorm
+    norm2: LayerNorm
+    w1: Linear
+    w2: Linear
+    scale1: jax.Array
+    scale2: jax.Array
+    dropout: float = static_field()
+    gpt_order: bool = static_field()
+    activation: Callable = static_field()
+    __tags__ = {"scale1": "TransformerEncoderBlock.scale",
+                "scale2": "TransformerEncoderBlock.scale"}
+
+    @staticmethod
+    def init(in_dim: int, attention_hidden: int, attention_heads: int,
+             mlp_hidden: int, *, key, dropout: float = 0.0,
+             causal: bool = False, gpt_order: bool = True, bias: bool = True,
+             activation: Callable = jax.nn.gelu, linearized: bool = False,
+             dtype=jnp.float32) -> "TransformerEncoderBlock":
+        k1, k2, k3 = jax.random.split(key, 3)
+        return TransformerEncoderBlock(
+            attention=MultiheadAttention.init(
+                in_dim, attention_hidden, attention_hidden, attention_heads,
+                key=k1, out_dim=in_dim, dropout=dropout, causal=causal,
+                bias=bias, linearized=linearized, dtype=dtype,
+            ),
+            norm1=LayerNorm.init(in_dim, dtype=dtype),
+            norm2=LayerNorm.init(in_dim, dtype=dtype),
+            w1=Linear.init(in_dim, mlp_hidden, key=k2, bias=bias, dtype=dtype),
+            w2=Linear.init(mlp_hidden, in_dim, key=k3, bias=bias, dtype=dtype),
+            scale1=jnp.ones((in_dim,), dtype),
+            scale2=jnp.ones((in_dim,), dtype),
+            dropout=dropout,
+            gpt_order=gpt_order,
+            activation=activation,
+        )
+
+    def _mlp(self, x, key, train):
+        h = self.activation(self.w1(x))
+        h = self.w2(h)
+        if train and self.dropout > 0:
+            if key is None:
+                raise ValueError("dropout requires key")
+            keep = 1.0 - self.dropout
+            h = h * jax.random.bernoulli(key, keep, h.shape) / keep
+        return h
+
+    def forward(self, x_and_lengths, *, key=None, train=False):
+        if isinstance(x_and_lengths, tuple):
+            x, lengths = x_and_lengths
+        else:
+            x, lengths = x_and_lengths, None
+        k1, k2 = jax.random.split(key) if key is not None else (None, None)
+        if self.gpt_order:
+            a = self.norm1(x)
+            a, _ = self.attention.forward((a, a, lengths), key=k1, train=train)
+            x = x + a * self.scale1
+            m = self._mlp(self.norm2(x), k2, train)
+            x = x + m * self.scale2
+        else:
+            a, _ = self.attention.forward((x, x, lengths), key=k1, train=train)
+            x = self.norm1(x + a * self.scale1)
+            m = self._mlp(x, k2, train)
+            x = self.norm2(x + m * self.scale2)
+        return (x, lengths), self
+
+
+class TransformerEncoder(Module):
+    """Stack of encoder blocks. Reference: Transformer.scala:29-104."""
+
+    blocks: Tuple[TransformerEncoderBlock, ...]
+
+    @staticmethod
+    def init(num_blocks: int, in_dim: int, attention_hidden: int,
+             attention_heads: int, mlp_hidden: Optional[int] = None, *, key,
+             dropout: float = 0.0, causal: bool = False, gpt_order: bool = True,
+             bias: bool = True, activation: Callable = jax.nn.gelu,
+             linearized: bool = False, dtype=jnp.float32) -> "TransformerEncoder":
+        mlp_hidden = mlp_hidden if mlp_hidden is not None else in_dim * 4
+        keys = jax.random.split(key, num_blocks)
+        blocks = tuple(
+            TransformerEncoderBlock.init(
+                in_dim, attention_hidden, attention_heads, mlp_hidden,
+                key=keys[i], dropout=dropout, causal=causal,
+                gpt_order=gpt_order, bias=bias, activation=activation,
+                linearized=linearized, dtype=dtype,
+            )
+            for i in range(num_blocks)
+        )
+        return TransformerEncoder(blocks=blocks)
+
+    def forward(self, x_and_lengths, *, key=None, train=False):
+        if isinstance(x_and_lengths, tuple):
+            x, lengths = x_and_lengths
+        else:
+            x, lengths = x_and_lengths, None
+        keys = (
+            jax.random.split(key, len(self.blocks))
+            if key is not None else [None] * len(self.blocks)
+        )
+        for block, k in zip(self.blocks, keys):
+            (x, lengths), _ = block.forward((x, lengths), key=k, train=train)
+        return (x, lengths), self
+
+
+class TransformerDecoderBlock(Module):
+    """Decoder block: causal self-attention + cross-attention + MLP.
+
+    Reference: Transformer.scala:263-309.
+    """
+
+    self_attention: MultiheadAttention
+    cross_attention: MultiheadAttention
+    norm1: LayerNorm
+    norm2: LayerNorm
+    norm3: LayerNorm
+    w1: Linear
+    w2: Linear
+    dropout: float = static_field()
+    activation: Callable = static_field()
+
+    @staticmethod
+    def init(in_dim: int, attention_hidden: int, attention_heads: int,
+             mlp_hidden: int, *, key, dropout: float = 0.0, bias: bool = True,
+             activation: Callable = jax.nn.gelu,
+             dtype=jnp.float32) -> "TransformerDecoderBlock":
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        return TransformerDecoderBlock(
+            self_attention=MultiheadAttention.init(
+                in_dim, attention_hidden, attention_hidden, attention_heads,
+                key=k1, out_dim=in_dim, dropout=dropout, causal=True,
+                bias=bias, dtype=dtype,
+            ),
+            cross_attention=MultiheadAttention.init(
+                in_dim, attention_hidden, attention_hidden, attention_heads,
+                key=k2, out_dim=in_dim, dropout=dropout, causal=False,
+                bias=bias, dtype=dtype,
+            ),
+            norm1=LayerNorm.init(in_dim, dtype=dtype),
+            norm2=LayerNorm.init(in_dim, dtype=dtype),
+            norm3=LayerNorm.init(in_dim, dtype=dtype),
+            w1=Linear.init(in_dim, mlp_hidden, key=k3, bias=bias, dtype=dtype),
+            w2=Linear.init(mlp_hidden, in_dim, key=k4, bias=bias, dtype=dtype),
+            dropout=dropout,
+            activation=activation,
+        )
+
+    def forward(self, inputs, *, key=None, train=False):
+        (x, memory, mem_lengths) = inputs
+        k1, k2, k3 = jax.random.split(key, 3) if key is not None else (None,) * 3
+        a, _ = self.self_attention.forward(
+            (self.norm1(x), self.norm1(x), None), key=k1, train=train
+        )
+        x = x + a
+        c, _ = self.cross_attention.forward(
+            (self.norm2(x), memory, mem_lengths), key=k2, train=train
+        )
+        x = x + c
+        h = self.activation(self.w1(self.norm3(x)))
+        h = self.w2(h)
+        if train and self.dropout > 0 and k3 is not None:
+            keep = 1.0 - self.dropout
+            h = h * jax.random.bernoulli(k3, keep, h.shape) / keep
+        x = x + h
+        return (x, memory, mem_lengths), self
+
+
+class TransformerDecoder(Module):
+    """Stack of decoder blocks. Reference: Transformer.scala:105-211."""
+
+    blocks: Tuple[TransformerDecoderBlock, ...]
+
+    @staticmethod
+    def init(num_blocks: int, in_dim: int, attention_hidden: int,
+             attention_heads: int, mlp_hidden: Optional[int] = None, *, key,
+             dropout: float = 0.0, bias: bool = True,
+             activation: Callable = jax.nn.gelu,
+             dtype=jnp.float32) -> "TransformerDecoder":
+        mlp_hidden = mlp_hidden if mlp_hidden is not None else in_dim * 4
+        keys = jax.random.split(key, num_blocks)
+        return TransformerDecoder(blocks=tuple(
+            TransformerDecoderBlock.init(
+                in_dim, attention_hidden, attention_heads, mlp_hidden,
+                key=keys[i], dropout=dropout, bias=bias, activation=activation,
+                dtype=dtype,
+            )
+            for i in range(num_blocks)
+        ))
+
+    def forward(self, inputs, *, key=None, train=False):
+        x, memory, mem_lengths = inputs
+        keys = (
+            jax.random.split(key, len(self.blocks))
+            if key is not None else [None] * len(self.blocks)
+        )
+        for block, k in zip(self.blocks, keys):
+            (x, memory, mem_lengths), _ = block.forward(
+                (x, memory, mem_lengths), key=k, train=train
+            )
+        return (x, memory, mem_lengths), self
+
+
+class Transformer(Module):
+    """Full encoder-decoder transformer. Reference: Transformer.scala:310-570."""
+
+    encoder: TransformerEncoder
+    decoder: TransformerDecoder
+
+    @staticmethod
+    def init(num_blocks: int, in_dim: int, attention_hidden: int,
+             attention_heads: int, mlp_hidden: Optional[int] = None, *, key,
+             dropout: float = 0.0, bias: bool = True,
+             activation: Callable = jax.nn.gelu, dtype=jnp.float32) -> "Transformer":
+        k1, k2 = jax.random.split(key)
+        return Transformer(
+            encoder=TransformerEncoder.init(
+                num_blocks, in_dim, attention_hidden, attention_heads,
+                mlp_hidden, key=k1, dropout=dropout, gpt_order=True, bias=bias,
+                activation=activation, dtype=dtype,
+            ),
+            decoder=TransformerDecoder.init(
+                num_blocks, in_dim, attention_hidden, attention_heads,
+                mlp_hidden, key=k2, dropout=dropout, bias=bias,
+                activation=activation, dtype=dtype,
+            ),
+        )
+
+    def forward(self, inputs, *, key=None, train=False):
+        (src, src_lengths, tgt) = inputs
+        k1, k2 = jax.random.split(key) if key is not None else (None, None)
+        (memory, _), _ = self.encoder.forward((src, src_lengths), key=k1,
+                                              train=train)
+        (y, _, _), _ = self.decoder.forward((tgt, memory, src_lengths), key=k2,
+                                            train=train)
+        return y, self
+
+
+class TransformerEmbedding(Module):
+    """Token embedding + positional encoding (+ optional norm/dropout).
+
+    Reference: Transformer.scala:1105-1141.
+    """
+
+    embedding: Module
+    pos_embedding: Optional[Module]          # learned positions (trainable)
+    pos_table: Optional[jax.Array] = buffer_field()  # sinusoidal (fixed)
+    dropout: float = static_field()
+
+    @staticmethod
+    def init(embedding: Module, max_len: int, dim: int, *,
+             learned_positions: bool = False, key=None, dropout: float = 0.0,
+             dtype=jnp.float32) -> "TransformerEmbedding":
+        if learned_positions:
+            assert key is not None
+            from .layers import Embedding
+
+            pos_emb = Embedding(
+                weight=initializers.normal(0.02)(key, (max_len, dim), dtype)
+            )
+            table = None
+        else:
+            pos_emb = None
+            table = positional_embedding_vaswani(max_len, dim, dtype)
+        return TransformerEmbedding(
+            embedding=embedding, pos_embedding=pos_emb, pos_table=table,
+            dropout=dropout,
+        )
+
+    def forward(self, tokens, *, key=None, train=False):
+        if isinstance(tokens, tuple):
+            tokens, positions = tokens
+        else:
+            positions = None
+        emb = self.embedding(tokens)
+        if positions is None:
+            positions = jnp.arange(tokens.shape[1])[None, :]
+        if self.pos_embedding is not None:
+            pos = self.pos_embedding(positions)
+        else:
+            pos = jnp.take(self.pos_table, positions, axis=0)
+        x = emb + pos.astype(emb.dtype)
+        if train and self.dropout > 0:
+            if key is None:
+                raise ValueError("dropout requires key")
+            keep = 1.0 - self.dropout
+            x = x * jax.random.bernoulli(key, keep, x.shape) / keep
+        return x, self

@@ -43,8 +43,9 @@ def mha_reference(q, k, v, *, causal=False, sm_scale=None, mask=None):
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    acc = jnp.promote_types(q.dtype, jnp.float32)
     s = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=acc
     ) * sm_scale
     if causal:
         sq, skv = q.shape[2], k.shape[2]
@@ -58,7 +59,7 @@ def mha_reference(q, k, v, *, causal=False, sm_scale=None, mask=None):
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum(
         "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
     ).astype(q.dtype)
 
 

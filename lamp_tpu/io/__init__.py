@@ -1,0 +1,23 @@
+"""Serialization: checkpoint format, safetensors interop."""
+
+from .checkpoint import (
+    load_loop_state,
+    load_pytree,
+    read_safetensors,
+    read_tensor_blob,
+    save_loop_state,
+    save_pytree,
+    write_safetensors,
+    write_tensor_blob,
+)
+
+__all__ = [
+    "write_tensor_blob",
+    "read_tensor_blob",
+    "save_pytree",
+    "load_pytree",
+    "save_loop_state",
+    "load_loop_state",
+    "read_safetensors",
+    "write_safetensors",
+]

@@ -1,0 +1,297 @@
+"""Tensor and training-state serialization.
+
+TPU-native replacement for the reference's checkpoint stack
+(lamp-data/src/main/scala/lamp/data/{Writer,Reader,StateIO}.scala and
+schemas/schemas.scala): tensors are written as one raw little-endian blob with
+8-byte alignment padding plus a JSON descriptor (Writer.scala:15-35 format
+spec), written atomically via tmp-file + rename (StateIO.scala:296-300), and
+read back zero-copy with ``np.memmap`` (the analogue of
+``Tensor.tensors_from_file``, Reader.scala:36-60).
+
+Loop state (model + optimizer + min-validation model + learning curve +
+epoch) mirrors the reference's ``SimpleLoopState`` /
+``SimpleThenSWALoopState`` schemas (schemas.scala:60-104).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "write_tensor_blob",
+    "read_tensor_blob",
+    "save_pytree",
+    "load_pytree",
+    "save_loop_state",
+    "load_loop_state",
+    "read_safetensors",
+    "write_safetensors",
+]
+
+_ALIGN = 8
+
+_DTYPE_TO_NAME = {
+    np.dtype("float64"): "f64",
+    np.dtype("float32"): "f32",
+    np.dtype("float16"): "f16",
+    np.dtype("int64"): "i64",
+    np.dtype("int32"): "i32",
+    np.dtype("int16"): "i16",
+    np.dtype("int8"): "i8",
+    np.dtype("uint8"): "u8",
+    np.dtype("bool"): "bool",
+}
+_NAME_TO_DTYPE = {v: k for k, v in _DTYPE_TO_NAME.items()}
+# bf16 has no numpy dtype name by default; serialize as raw uint16 payloads
+_BF16 = "bf16"
+
+
+def _np_of(x) -> Tuple[np.ndarray, str]:
+    if hasattr(x, "dtype") and x.dtype == jnp.bfloat16:
+        return np.asarray(x).view(np.uint16), _BF16
+    arr = np.asarray(x)
+    return arr, _DTYPE_TO_NAME[arr.dtype]
+
+
+def write_tensor_blob(path: str, tensors: List[Any]) -> List[Dict]:
+    """Write tensors to ``path`` (raw LE blob, 8-byte padded records) and
+    return the descriptor list (reference Writer.writeTensorsIntoFile)."""
+    descriptors = []
+    dirn = os.path.dirname(os.path.abspath(path))
+    os.makedirs(dirn, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=dirn)
+    try:
+        with os.fdopen(fd, "wb") as f:
+            offset = 0
+            for t in tensors:
+                arr, dname = _np_of(t)
+                data = np.ascontiguousarray(arr).tobytes()
+                pad = (-len(data)) % _ALIGN
+                f.write(data)
+                f.write(b"\x00" * pad)
+                descriptors.append({
+                    "offset": offset,
+                    "nbytes": len(data),
+                    "dtype": dname,
+                    "shape": list(arr.shape),
+                })
+                offset += len(data) + pad
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return descriptors
+
+
+def read_tensor_blob(path: str, descriptors: List[Dict]) -> List[np.ndarray]:
+    """Read tensors back via mmap (zero host copy until device_put)."""
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    out = []
+    for d in descriptors:
+        raw = mm[d["offset"]:d["offset"] + d["nbytes"]]
+        if d["dtype"] == _BF16:
+            arr = raw.view(np.uint16).reshape(d["shape"])
+        else:
+            arr = raw.view(_NAME_TO_DTYPE[d["dtype"]]).reshape(d["shape"])
+        out.append(arr)
+    return out
+
+
+def _leaf_meta(x):
+    if x is None:
+        return {"kind": "none"}
+    if hasattr(x, "shape") and hasattr(x, "dtype"):
+        return {"kind": "array"}
+    return {"kind": "py", "value": x}
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    """Save any pytree of arrays (+ JSON-able scalars) as descriptor+blob.
+
+    Layout: ``path`` is the JSON descriptor; ``path + ".data"`` is the blob.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(
+        tree, is_leaf=lambda x: x is None
+    )
+    arrays, metas = [], []
+    for leaf in leaves:
+        meta = _leaf_meta(leaf)
+        if meta["kind"] == "array":
+            meta["index"] = len(arrays)
+            arrays.append(leaf)
+        metas.append(meta)
+    descriptors = write_tensor_blob(path + ".data", arrays)
+    doc = {
+        "version": 1,
+        "treedef": str(treedef),
+        "leaves": metas,
+        "tensors": descriptors,
+    }
+    dirn = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=dirn)
+    with os.fdopen(fd, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, path)
+
+
+def load_pytree(path: str, template: Any) -> Any:
+    """Load a pytree saved by :func:`save_pytree`, using ``template`` for the
+    tree structure and array dtypes/placement (the reference's Load typeclass
+    role — loading is structure-directed, Module.scala:352)."""
+    with open(path) as f:
+        doc = json.load(f)
+    blobs = read_tensor_blob(path + ".data", doc["tensors"])
+    t_leaves, treedef = jax.tree_util.tree_flatten(
+        template, is_leaf=lambda x: x is None
+    )
+    if len(t_leaves) != len(doc["leaves"]):
+        raise ValueError(
+            f"checkpoint has {len(doc['leaves'])} leaves, template has "
+            f"{len(t_leaves)}"
+        )
+    out = []
+    for tmpl, meta in zip(t_leaves, doc["leaves"]):
+        if meta["kind"] == "none":
+            out.append(None)
+        elif meta["kind"] == "py":
+            out.append(meta["value"])
+        else:
+            raw = blobs[meta["index"]]
+            desc = doc["tensors"][meta["index"]]
+            if desc["dtype"] == _BF16:
+                arr = jnp.asarray(raw).view(jnp.bfloat16)
+            else:
+                arr = jnp.asarray(raw)
+            if tmpl is not None and hasattr(tmpl, "dtype"):
+                arr = arr.astype(tmpl.dtype)
+            out.append(arr)
+    return treedef.unflatten(out)
+
+
+def save_loop_state(path: str, *, model, optimizer_state, epoch: int,
+                    last_validation_loss=None, min_validation_loss=None,
+                    min_validation_model=None, learning_curve=None,
+                    lr_state=None, extra=None) -> None:
+    """Persist full training-loop state (reference SimpleLoopState,
+    data/LoopState.scala:4-29 + StateIO.stateToFile)."""
+    state = {
+        "model": model,
+        "optimizer_state": optimizer_state,
+        "min_validation_model": min_validation_model,
+    }
+    save_pytree(path, state)
+    meta = {
+        "epoch": epoch,
+        "last_validation_loss": last_validation_loss,
+        "min_validation_loss": min_validation_loss,
+        "learning_curve": learning_curve or [],
+        "lr_state": lr_state,
+        "extra": extra,
+    }
+    dirn = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=dirn)
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path + ".meta")
+
+
+def load_loop_state(path: str, *, model_template, optimizer_state_template,
+                    min_validation_model_template=None):
+    """Resume training-loop state; returns (state_dict, meta_dict)."""
+    template = {
+        "model": model_template,
+        "optimizer_state": optimizer_state_template,
+        "min_validation_model": min_validation_model_template,
+    }
+    state = load_pytree(path, template)
+    with open(path + ".meta") as f:
+        meta = json.load(f)
+    return state, meta
+
+
+# ---------------------------------------------------------------------------
+# safetensors interop (HuggingFace weight import/export)
+# ---------------------------------------------------------------------------
+
+_ST_DTYPES = {
+    "F64": np.float64, "F32": np.float32, "F16": np.float16,
+    "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+    "U8": np.uint8, "BOOL": np.bool_,
+}
+
+
+def read_safetensors(path: str) -> Dict[str, jnp.ndarray]:
+    """Parse a HuggingFace safetensors file into named arrays, mmap-backed.
+
+    Reference: lamp-safetensors/src/main/scala/lamp/safetensors/
+    SafeTensorReader.scala:15-139 (incl. bf16/f16 dtype handling).
+    """
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    header_len = int(np.frombuffer(mm[:8].tobytes(), dtype="<u8")[0])
+    header = json.loads(mm[8:8 + header_len].tobytes().decode("utf-8"))
+    base = 8 + header_len
+    out = {}
+    for name, info in header.items():
+        if name == "__metadata__":
+            continue
+        start, end = info["data_offsets"]
+        raw = mm[base + start:base + end]
+        dt = info["dtype"]
+        if dt == "BF16":
+            arr = jnp.asarray(
+                np.frombuffer(raw.tobytes(), dtype=np.uint16).reshape(info["shape"])
+            ).view(jnp.bfloat16)
+        else:
+            arr = jnp.asarray(
+                np.frombuffer(raw.tobytes(), dtype=_ST_DTYPES[dt]).reshape(
+                    info["shape"]
+                )
+            )
+        out[name] = arr
+    return out
+
+
+def write_safetensors(path: str, tensors: Dict[str, Any],
+                      metadata: Optional[Dict[str, str]] = None) -> None:
+    """Write a safetensors file (round-trip + HF export)."""
+    header: Dict[str, Any] = {}
+    if metadata:
+        header["__metadata__"] = metadata
+    payloads = []
+    offset = 0
+    rev = {v: k for k, v in _ST_DTYPES.items()}
+    for name, t in tensors.items():
+        if hasattr(t, "dtype") and t.dtype == jnp.bfloat16:
+            arr = np.asarray(t).view(np.uint16)
+            dt = "BF16"
+        else:
+            arr = np.asarray(t)
+            dt = rev[arr.dtype.type]
+        data = np.ascontiguousarray(arr).tobytes()
+        header[name] = {
+            "dtype": dt,
+            "shape": list(arr.shape),
+            "data_offsets": [offset, offset + len(data)],
+        }
+        payloads.append(data)
+        offset += len(data)
+    hj = json.dumps(header).encode("utf-8")
+    pad = (-len(hj)) % 8
+    hj += b" " * pad
+    dirn = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(dirn, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=dirn)
+    with os.fdopen(fd, "wb") as f:
+        f.write(np.uint64(len(hj)).tobytes())
+        f.write(hj)
+        for pdata in payloads:
+            f.write(pdata)
+    os.replace(tmp, path)

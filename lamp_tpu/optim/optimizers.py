@@ -108,14 +108,24 @@ class AdamW(Optimizer):
         self.mixed_precision = mixed_precision
         self.tags = tags
 
+    @staticmethod
+    def _needs_master(p) -> bool:
+        return p.dtype in (jnp.bfloat16, jnp.float16)
+
     def init(self, params):
-        zeros = _map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        # f32 master copies exist ONLY for low-precision params (AdamW.scala
+        # upCast path); f32 params are their own master — storing them again
+        # would alias the same buffer in two pytree leaves and break donation.
         master = (
-            _map(lambda p: _f32(p), params) if self.mixed_precision else None
+            _map(
+                lambda p: p.astype(jnp.float32) if self._needs_master(p) else None,
+                params,
+            )
+            if self.mixed_precision else None
         )
         return {
             "step": jnp.zeros((), jnp.int32),
-            "mt": zeros,
+            "mt": _map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
             "vt": _map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
             "master": master,
         }
@@ -141,22 +151,33 @@ class AdamW(Optimizer):
         else:
             bc1 = bc2 = jnp.float32(1.0)
 
-        masters = state["master"] if self.mixed_precision else params
+        masters = (
+            state["master"] if self.mixed_precision
+            else _map(lambda p: None, params)
+        )
 
-        def upd(p_master, p, m, v, l, w):
-            pm = _f32(p_master)
+        def upd(p, p_master, m, v, l, w):
+            pm = p.astype(jnp.float32) if p_master is None else p_master
             step_size = lr_factor * l / bc1
             denom = jnp.sqrt(v / bc2) + eps
-            new_master = pm - step_size * (m / denom) - lr_factor * l * w * pm
-            return new_master
+            return pm - step_size * (m / denom) - lr_factor * l * w * pm
 
-        new_master = _map(upd, masters, params, new_mt, new_vt, lr, wd)
-        new_params = _map(lambda nm, p: nm.astype(p.dtype), new_master, params)
+        new_master_full = _map(upd, params, masters, new_mt, new_vt, lr, wd)
+        new_params = _map(
+            lambda p, nm: nm.astype(p.dtype), params, new_master_full
+        )
+        stored_master = (
+            _map(
+                lambda p, nm: nm if self._needs_master(p) else None,
+                params, new_master_full,
+            )
+            if self.mixed_precision else None
+        )
         return new_params, {
             "step": t,
             "mt": new_mt,
             "vt": new_vt,
-            "master": new_master if self.mixed_precision else None,
+            "master": stored_master,
         }
 
 

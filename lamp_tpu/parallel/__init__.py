@@ -1,0 +1,27 @@
+"""SPMD parallelism: meshes, sharding rules, distributed training."""
+
+from .mesh import (
+    ShardingRules,
+    batch_sharding,
+    fsdp_rules,
+    initialize_multihost,
+    lm_tensor_parallel_rules,
+    make_mesh,
+    replicate,
+    shard_tree,
+)
+from .train import make_sharded_train_step, shard_batch, shard_train_state
+
+__all__ = [
+    "make_mesh",
+    "ShardingRules",
+    "shard_tree",
+    "replicate",
+    "batch_sharding",
+    "lm_tensor_parallel_rules",
+    "fsdp_rules",
+    "initialize_multihost",
+    "shard_train_state",
+    "shard_batch",
+    "make_sharded_train_step",
+]

@@ -1,0 +1,33 @@
+"""Training loops, SWA, checkpoint-aware state."""
+
+from .loops import (
+    TrainState,
+    TrainingResult,
+    epochs,
+    make_eval_step,
+    make_train_step,
+    one_epoch,
+    run_batch_stream,
+    validation_one_epoch,
+)
+from .swa import (
+    constant_swa_schedule,
+    cyclic_swa_schedule,
+    recalibrate_batchnorm,
+    swa_epochs,
+)
+
+__all__ = [
+    "TrainState",
+    "TrainingResult",
+    "epochs",
+    "make_train_step",
+    "make_eval_step",
+    "one_epoch",
+    "validation_one_epoch",
+    "run_batch_stream",
+    "swa_epochs",
+    "constant_swa_schedule",
+    "cyclic_swa_schedule",
+    "recalibrate_batchnorm",
+]

@@ -1,0 +1,151 @@
+"""Distributed/sharding tests on the virtual 8-device CPU mesh.
+
+Mirrors the reference's cluster-free distributed testing strategy
+(SURVEY.md §4.4-4.5): the multi-GPU/NCCL logic is exercised in one process.
+Here the whole data/tensor/FSDP-parallel story runs on 8 virtual devices.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from lamp_tpu import nn, optim, parallel, train
+
+
+def _toy(n=256, d=8, classes=4, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, d).astype(np.float32)
+    w = rng.randn(d, classes)
+    y = np.argmax(x @ w, axis=1).astype(np.int32)
+    return x, y
+
+
+def _loss(model, batch, key, train_mode):
+    x, y = batch
+    logits, new_model = model.forward(x, key=key, train=train_mode)
+    return (
+        nn.losses.cross_entropy_loss(logits, y),
+        jnp.asarray(x.shape[0], jnp.float32),
+        new_model,
+    )
+
+
+def test_mesh_creation():
+    mesh = parallel.make_mesh({"dp": 2, "tp": 4})
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    mesh2 = parallel.make_mesh({"dp": -1})
+    assert mesh2.shape == {"dp": 8}
+
+
+def test_data_parallel_step_matches_single_device():
+    """DP over 8 devices must produce the same update as single-device
+    (the determinism property the reference asserts for its DP engines)."""
+    x, y = _toy()
+    model = nn.MLP(8, 16, 4, key=jax.random.PRNGKey(0), norm=False)
+    opt = optim.SGDW(learning_rate=0.1)
+    state = train.TrainState.init(model, opt)
+
+    # single device
+    step1 = jax.jit(train.make_train_step(opt, _loss))
+    s1, (l1, _) = step1(state, (x, y), jax.random.PRNGKey(5))
+
+    # 8-way DP
+    mesh = parallel.make_mesh({"dp": 8})
+    sstate = parallel.shard_train_state(state, mesh)
+    step8 = parallel.make_sharded_train_step(opt, _loss, mesh, donate=False)
+    batch = parallel.shard_batch((x, y), mesh)
+    s8, (l8, _) = step8(sstate, batch, jax.random.PRNGKey(5))
+
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s8.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_data_parallel_training_converges():
+    x, y = _toy(n=512)
+    model = nn.MLP(8, 32, 4, key=jax.random.PRNGKey(0), norm=False)
+    opt = optim.AdamW(1e-2)
+    mesh = parallel.make_mesh({"dp": 8})
+    state = parallel.shard_train_state(train.TrainState.init(model, opt), mesh)
+    step = parallel.make_sharded_train_step(opt, _loss, mesh)
+
+    losses = []
+    for i in range(40):
+        batch = parallel.shard_batch((x, y), mesh)
+        state, (loss, _) = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < 0.3 * losses[0]
+
+
+def test_tensor_parallel_lm_step():
+    """LM with megatron-style TP shardings trains on a dp×tp mesh."""
+    mesh = parallel.make_mesh({"dp": 2, "tp": 4})
+    model = nn.LanguageModelModule.init(
+        vocab_size=32, context_length=16, num_blocks=2, embed_dim=32,
+        attention_heads=4, key=jax.random.PRNGKey(0),
+    )
+    opt = optim.AdamW(1e-2)
+
+    def lm_loss_fn(model, batch, key, train_mode):
+        tokens, target = batch
+        logits, new_model = model.forward(tokens, key=key, train=train_mode)
+        return (
+            nn.lm_loss(logits, target),
+            jnp.asarray(tokens.shape[0], jnp.float32),
+            new_model,
+        )
+
+    state = train.TrainState.init(model, opt)
+    sstate = parallel.shard_train_state(
+        state, mesh, parallel.lm_tensor_parallel_rules("tp")
+    )
+    # verify params actually sharded over tp
+    w_q = sstate.params.encoder.blocks[0].attention.w_q.weight
+    assert "tp" in str(w_q.sharding.spec)
+
+    step = parallel.make_sharded_train_step(opt, lm_loss_fn, mesh, donate=False)
+    tokens = np.random.RandomState(0).randint(0, 32, (16, 16)).astype(np.int32)
+    target = np.roll(tokens, -1, axis=1)
+    batch = parallel.shard_batch((tokens, target), mesh)
+    losses = []
+    for i in range(15):
+        sstate, (loss, _) = step(sstate, batch, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_fsdp_sharding():
+    mesh = parallel.make_mesh({"fsdp": 8})
+    model = nn.MLP(64, 128, 8, key=jax.random.PRNGKey(0), norm=False)
+    opt = optim.AdamW(1e-2)
+    state = train.TrainState.init(model, opt)
+    sstate = parallel.shard_train_state(
+        state, mesh, parallel.fsdp_rules(min_size=1024)
+    )
+    w0 = sstate.params.layers[0].weight
+    # 64x128 weight sharded over fsdp on dim 0
+    assert "fsdp" in str(w0.sharding.spec)
+    # optimizer moments co-sharded with their parameter (ZeRO property)
+    mt0 = sstate.opt_state["mt"].layers[0].weight
+    assert "fsdp" in str(mt0.sharding.spec)
+
+    x, y = _toy(n=64, d=64, classes=8)
+    step = parallel.make_sharded_train_step(opt, _loss, mesh, donate=False)
+    batch = parallel.shard_batch((x, y), mesh, "fsdp")
+    s2, (loss, _) = step(sstate, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+
+
+def test_every_nth_rank_sharding_of_stream():
+    """Host-level stream sharding across ranks (reference everyNth usage in
+    DDP loaders)."""
+    from lamp_tpu import data
+
+    s = data.from_function(16, lambda i: i)
+    shards = [s.every_nth(4, r).drain_to_list() for r in range(4)]
+    assert sorted(sum(shards, [])) == list(range(16))
+    assert all(len(sh) == 4 for sh in shards)

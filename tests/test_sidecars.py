@@ -1,0 +1,137 @@
+"""Sidecar tests: kNN, k-means, UMAP, extratrees.
+
+Mirrors the reference's knn.test.scala, kmeans.test.scala, umap.test.scala
+and extratree.test.scala (accuracy + round-trip assertions).
+"""
+
+import numpy as np
+import pytest
+
+from lamp_tpu import sidecars
+
+
+def _blobs(n_per=50, centers=((0, 0), (5, 5), (0, 5)), seed=0, dim=2):
+    rng = np.random.RandomState(seed)
+    xs, ys = [], []
+    for i, c in enumerate(centers):
+        pt = np.asarray(c, np.float32)
+        if dim > len(c):
+            pt = np.concatenate([pt, np.zeros(dim - len(c), np.float32)])
+        xs.append(pt + rng.randn(n_per, dim).astype(np.float32) * 0.5)
+        ys.append(np.full(n_per, i))
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def test_knn_search_exact():
+    x = np.asarray([[0.0], [1.0], [2.0], [10.0]], np.float32)
+    idx = np.asarray(sidecars.knn_search(x, x, 2))
+    assert idx[0, 0] == 0 and idx[0, 1] == 1
+    assert idx[3, 0] == 3 and idx[3, 1] == 2
+
+
+def test_knn_classification_and_regression():
+    x, y = _blobs()
+    pred = np.asarray(sidecars.knn_classification(x, y, x, 5, num_classes=3))
+    assert (pred == y).mean() > 0.95
+    yr = x[:, 0] * 2.0
+    predr = np.asarray(sidecars.knn_regression(x, yr, x, 5))
+    assert np.corrcoef(predr, yr)[0, 1] > 0.95
+
+
+def test_jaccard_distance():
+    a = np.asarray([[1, 1, 0, 0]], np.float32)
+    b = np.asarray([[1, 0, 1, 0], [1, 1, 0, 0]], np.float32)
+    d = np.asarray(sidecars.jaccard_distance(a, b))
+    assert abs(d[0, 0] - (1 - 1 / 3)) < 1e-6
+    assert abs(d[0, 1]) < 1e-6
+
+
+def test_minibatch_kmeans_recovers_blobs():
+    x, y = _blobs(n_per=100)
+    res = sidecars.minibatch_kmeans(x, 3, iterations=50, batch_size=64)
+    assert res.centers.shape == (3, 2)
+    # each true cluster maps to a distinct kmeans cluster
+    assign = np.asarray(res.assignment)
+    maps = [np.bincount(assign[y == i], minlength=3).argmax() for i in range(3)]
+    assert len(set(maps)) == 3
+    # purity
+    correct = sum(
+        (assign[y == i] == maps[i]).sum() for i in range(3)
+    )
+    assert correct / len(y) > 0.95
+
+
+def test_smooth_knn_weights():
+    d = np.asarray([[0.1, 0.2, 0.5], [0.0, 1.0, 2.0]])
+    w = sidecars.smooth_knn_weights(d)
+    assert w.shape == d.shape
+    # nearest neighbour always has weight 1 (d == rho)
+    np.testing.assert_allclose(w[:, 0], 1.0, atol=1e-6)
+    # weights decrease with distance
+    assert (np.diff(w, axis=1) <= 1e-9).all()
+
+
+def test_umap_separates_blobs():
+    x, y = _blobs(n_per=40, dim=8, centers=((0,) * 8, (8,) * 8))
+    emb = sidecars.umap(x, k=10, dim=2, epochs=300, key=None)
+    assert emb.shape == (80, 2)
+    c0 = emb[y == 0].mean(0)
+    c1 = emb[y == 1].mean(0)
+    spread = max(emb[y == 0].std(), emb[y == 1].std())
+    # cluster centers separated relative to intra-cluster spread
+    assert np.linalg.norm(c0 - c1) > 1.8 * spread
+
+
+def test_find_ab_params():
+    a, b = sidecars.find_ab_params(1.0, 0.1)
+    # canonical values for these settings are a≈1.58, b≈0.90
+    assert 1.2 < a < 2.0, a
+    assert 0.7 < b < 1.1, b
+
+
+def test_extratrees_classification():
+    x, y = _blobs(n_per=100)
+    forest = sidecars.build_forest_classification(
+        x, y, num_classes=3, n_trees=20, seed=0
+    )
+    probs = sidecars.predict_classification(forest, x)
+    assert probs.shape == (300, 3)
+    np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-9)
+    acc = (probs.argmax(1) == y).mean()
+    assert acc > 0.95, acc
+
+
+def test_extratrees_regression():
+    rng = np.random.RandomState(0)
+    x = rng.randn(300, 4)
+    y = 3 * x[:, 0] - 2 * x[:, 1] + 0.1 * rng.randn(300)
+    forest = sidecars.build_forest_regression(x, y, n_trees=30, seed=0)
+    pred = sidecars.predict_regression(forest, x)
+    assert np.corrcoef(pred, y)[0, 1] ** 2 > 0.85
+
+
+def test_extratrees_generalization_split():
+    """Train/test split sanity — not just memorization."""
+    x, y = _blobs(n_per=150)
+    rng = np.random.RandomState(1)
+    order = rng.permutation(len(x))
+    tr, te = order[:300], order[300:]
+    forest = sidecars.build_forest_classification(
+        x[tr], y[tr], num_classes=3, n_trees=20, seed=0, n_jobs=2
+    )
+    acc = (sidecars.predict_classification(forest, x[te]).argmax(1) == y[te]).mean()
+    assert acc > 0.9, acc
+
+
+def test_extratrees_serialization(tmp_path):
+    x, y = _blobs(n_per=30)
+    forest = sidecars.build_forest_classification(
+        x, y, num_classes=3, n_trees=5, seed=0
+    )
+    p = str(tmp_path / "forest.json")
+    sidecars.save_forest(p, forest)
+    loaded = sidecars.load_forest(p)
+    np.testing.assert_allclose(
+        sidecars.predict_classification(forest, x),
+        sidecars.predict_classification(loaded, x),
+    )

@@ -1,0 +1,123 @@
+"""ONNX export tests: export zoo-model inference graphs and verify by
+re-executing the ONNX graph with the bundled numpy interpreter.
+
+Mirrors the reference's lamp-onnx onnx.test.scala (export then run under
+onnxruntime and compare outputs).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lamp_tpu import nn
+from lamp_tpu.io.onnx_export import export_onnx
+from lamp_tpu.io.onnx_interp import run_onnx
+
+
+def _check(fn, args, atol=1e-4, input_names=None):
+    model = export_onnx(fn, args, input_names=input_names)
+    expected = fn(*args)
+    names = input_names or [f"input_{i}" for i in range(len(args))]
+    got = run_onnx(model, dict(zip(names, [np.asarray(a) for a in args])))
+    np.testing.assert_allclose(
+        np.asarray(expected, np.float64), np.asarray(got[0], np.float64),
+        atol=atol, rtol=atol,
+    )
+    return model
+
+
+def test_export_mlp():
+    m = nn.MLP(4, 8, 3, key=jax.random.PRNGKey(0), norm=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4))
+    _check(lambda x: m(x), (x,))
+
+
+def test_export_mlp_with_batchnorm():
+    m = nn.MLP(4, 8, 3, key=jax.random.PRNGKey(0), norm=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4))
+    _check(lambda x: m(x), (x,))
+
+
+def test_export_conv_net():
+    key = jax.random.PRNGKey(0)
+    m = nn.Sequential.init(
+        nn.Conv2D.init(3, 8, 3, key=key, padding=1),
+        nn.Fun.init(jax.nn.relu),
+        nn.MaxPool2D.init(2),
+        nn.BatchNorm2D.init(8),
+        nn.Fun.init(lambda x: x.reshape(x.shape[0], -1)),
+        nn.Linear.init(8 * 4 * 4, 5, key=jax.random.PRNGKey(2)),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 8, 8))
+    _check(lambda x: m(x), (x,))
+
+
+def test_export_transformer_lm():
+    m = nn.LanguageModelModule.init(
+        vocab_size=17, context_length=8, num_blocks=1, embed_dim=16,
+        attention_heads=2, key=jax.random.PRNGKey(0),
+    )
+    tokens = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+
+    def fwd(tokens):
+        logits, _ = m.forward(tokens, train=False)
+        return logits
+
+    model = _check(fwd, (tokens,), atol=2e-3, input_names=["tokens"])
+    # graph has initializers (the weights) and einsum/softmax structure
+    assert len(model.graph.initializer) > 4
+    ops = {n.op_type for n in model.graph.node}
+    assert "Einsum" in ops
+
+
+def test_export_lstm_classifier():
+    key = jax.random.PRNGKey(0)
+    emb = nn.Embedding.init(10, 8, key=key)
+    lstm = nn.LSTM.init(8, 12, key=jax.random.PRNGKey(1))
+    head = nn.Linear.init(12, 3, key=jax.random.PRNGKey(2))
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+
+    def fwd(tokens):
+        e = emb(tokens)
+        (h, _), _ = lstm.forward((e, None))
+        return head(h[:, -1])
+
+    # lax.scan in the jaxpr: unroll by tracing with static length via jax
+    # export of the scanned fn is out of scope -> unroll manually
+    def fwd_unrolled(tokens):
+        e = emb(tokens)
+        hsize = lstm.hidden_size
+        h = jnp.zeros((tokens.shape[0], hsize), e.dtype)
+        c = jnp.zeros((tokens.shape[0], hsize), e.dtype)
+        H = hsize
+        for t in range(tokens.shape[1]):
+            xt = e[:, t] @ lstm.w_ih + lstm.b_ih
+            g = xt + h @ lstm.w_hh + lstm.b_hh
+            i = jax.nn.sigmoid(g[:, :H])
+            f = jax.nn.sigmoid(g[:, H:2 * H])
+            gg = jnp.tanh(g[:, 2 * H:3 * H])
+            o = jax.nn.sigmoid(g[:, 3 * H:])
+            c = f * c + i * gg
+            h = o * jnp.tanh(c)
+        return head(h)
+
+    np.testing.assert_allclose(
+        np.asarray(fwd(tokens)), np.asarray(fwd_unrolled(tokens)), atol=1e-5
+    )
+    _check(fwd_unrolled, (tokens,), input_names=["tokens"])
+
+
+def test_export_file_roundtrip(tmp_path):
+    m = nn.Linear.init(3, 2, key=jax.random.PRNGKey(0))
+    x = jnp.ones((1, 3))
+    p = str(tmp_path / "model.onnx")
+    export_onnx(lambda x: m(x), (x,), path=p)
+    from lamp_tpu.io import onnx_minimal_pb2 as pb
+
+    loaded = pb.ModelProto()
+    with open(p, "rb") as f:
+        loaded.ParseFromString(f.read())
+    assert loaded.producer_name == "lamp_tpu"
+    got = run_onnx(loaded, {"input_0": np.ones((1, 3), np.float32)})
+    np.testing.assert_allclose(np.asarray(m(x)), got[0], atol=1e-6)

@@ -1,3 +1,24 @@
 from .dtypes import BF16, DOUBLE, HALF, SINGLE, Precision, enable_x64
+from .profiling import (
+    BufferLogger,
+    Peek,
+    device_memory_stats,
+    live_buffer_report,
+    measure_time,
+    model_memory_report,
+)
 
-__all__ = ["Precision", "SINGLE", "DOUBLE", "HALF", "BF16", "enable_x64"]
+__all__ = [
+    "Precision",
+    "SINGLE",
+    "DOUBLE",
+    "HALF",
+    "BF16",
+    "enable_x64",
+    "measure_time",
+    "live_buffer_report",
+    "BufferLogger",
+    "model_memory_report",
+    "device_memory_stats",
+    "Peek",
+]

@@ -1,0 +1,15 @@
+"""Model zoo: vision nets, KV-cached generation."""
+
+from .generate import KVCache, decode_step, generate, init_cache, prefill
+from .vision import ResidualBlock, lenet, resnet_cifar
+
+__all__ = [
+    "resnet_cifar",
+    "lenet",
+    "ResidualBlock",
+    "generate",
+    "KVCache",
+    "init_cache",
+    "decode_step",
+    "prefill",
+]

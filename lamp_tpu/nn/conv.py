@@ -195,26 +195,33 @@ def max_pool_2d(x, kernel_size, stride=None, padding=0):
 
 def avg_pool_2d(x, kernel_size, stride=None, padding=0,
                 count_include_pad: bool = True):
-    """Average pool over [N, C, H, W]. Reference: AvgPool2D op ops.scala:1775."""
+    """Average pool over [N, C, H, W]. Reference: AvgPool2D op ops.scala:1775.
+
+    Implemented as a depthwise conv with a constant mean kernel — fully
+    differentiable and lowered onto the MXU by XLA.
+    """
     kh, kw = _pair(kernel_size)
     sh, sw = _pair(stride) if stride is not None else (kh, kw)
     ph, pw = _pair(padding)
-    summed = jax.lax.reduce_window(
-        x, jnp.zeros((), x.dtype), jax.lax.add,
-        window_dimensions=(1, 1, kh, kw),
-        window_strides=(1, 1, sh, sw),
-        padding=((0, 0), (0, 0), (ph, ph), (pw, pw)),
+    c = x.shape[1]
+    kernel = jnp.full((c, 1, kh, kw), 1.0 / (kh * kw), x.dtype)
+    pooled = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(sh, sw),
+        padding=[(ph, ph), (pw, pw)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c,
     )
     if count_include_pad or (ph == 0 and pw == 0):
-        return summed / (kh * kw)
+        return pooled
     ones = jnp.ones((1, 1) + x.shape[2:], x.dtype)
-    counts = jax.lax.reduce_window(
-        ones, jnp.zeros((), x.dtype), jax.lax.add,
-        window_dimensions=(1, 1, kh, kw),
-        window_strides=(1, 1, sh, sw),
-        padding=((0, 0), (0, 0), (ph, ph), (pw, pw)),
+    counts = jax.lax.conv_general_dilated(
+        ones, jnp.full((1, 1, kh, kw), 1.0 / (kh * kw), x.dtype),
+        window_strides=(sh, sw),
+        padding=[(ph, ph), (pw, pw)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
-    return summed / counts
+    return pooled / counts
 
 
 def max_pool_1d(x, kernel_size, stride=None, padding=0):

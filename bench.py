@@ -50,16 +50,17 @@ def main():
     batch = (tokens, target)
     rk = jax.random.PRNGKey(1)
 
-    # warmup / compile
+    # warmup / compile; loss readback forces true device sync (through the
+    # axon tunnel block_until_ready alone does not wait for execution)
     for _ in range(3):
         state, (loss, _) = step(state, batch, rk)
-    jax.block_until_ready(loss)
+    float(loss)
 
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         state, (loss, _) = step(state, batch, rk)
-    jax.block_until_ready(loss)
+    float(loss)  # steps chain through donated state; one sync at the end
     dt = time.perf_counter() - t0
 
     tokens_per_sec = BATCH * CTX * iters / dt

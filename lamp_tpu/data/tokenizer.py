@@ -122,6 +122,13 @@ class ByteSegmentCodec(Codec):
         self.encoding = encoding
         self.unknown_token = unknown_token
         self.unknown_byte = unknown_byte
+        self._native = None
+        try:
+            from ..native import NativeBpe
+
+            self._native = NativeBpe(encoding)
+        except Exception:
+            self._native = None
 
     @staticmethod
     def train(corpus: bytes, vocab_min: int, vocab_max: int,
@@ -136,6 +143,8 @@ class ByteSegmentCodec(Codec):
         return max(tok for _, tok in self.encoding) + 1
 
     def encode(self, text: bytes) -> np.ndarray:
+        if self._native is not None:
+            return self._native.encode(text, self.unknown_token)
         return bpe_encode(text, self.encoding, self.unknown_token)
 
     def decode(self, tokens) -> bytes:

@@ -1,0 +1,149 @@
+"""Native (C++) host-runtime components, loaded via ctypes.
+
+Compiled lazily on first use with g++ and cached next to the source; every
+entry point has a pure-Python fallback so the framework works without a
+toolchain. See lamp_native.cpp for what lives here and why.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "lamp_native.cpp")
+_SO = os.path.join(_DIR, "lamp_native.so")
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _build() -> Optional[str]:
+    try:
+        src_mtime = os.path.getmtime(_SRC)
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
+            return _SO
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o",
+             _SO + ".tmp"],
+            check=True, capture_output=True,
+        )
+        os.replace(_SO + ".tmp", _SO)
+        return _SO
+    except Exception:
+        return None
+
+
+def get_lib():
+    """The loaded ctypes library, or None if unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        so = _build()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        lib.bpe_create.restype = ctypes.c_void_p
+        lib.bpe_create.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.bpe_destroy.argtypes = [ctypes.c_void_p]
+        lib.bpe_encode.restype = ctypes.c_int64
+        lib.bpe_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+        lib.tree_apply.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.forest_predict.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+class NativeBpe:
+    """Greedy longest-match encoder backed by the C++ table."""
+
+    def __init__(self, encoding: List[Tuple[bytes, int]]):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        seg_bytes = b"".join(seg for seg, _ in encoding)
+        offsets = np.zeros(len(encoding) + 1, np.int64)
+        for i, (seg, _) in enumerate(encoding):
+            offsets[i + 1] = offsets[i] + len(seg)
+        tokens = np.asarray([tok for _, tok in encoding], np.int32)
+        self._seg_buf = np.frombuffer(seg_bytes, np.uint8).copy()
+        self._handle = lib.bpe_create(
+            self._seg_buf.ctypes.data, offsets.ctypes.data,
+            tokens.ctypes.data, len(encoding),
+        )
+
+    def encode(self, corpus: bytes, unknown_token: int) -> np.ndarray:
+        buf = np.frombuffer(corpus, np.uint8)
+        out = np.empty(len(corpus), np.int32)
+        n = self._lib.bpe_encode(
+            self._handle, buf.ctypes.data, len(corpus), unknown_token,
+            out.ctypes.data,
+        )
+        return out[:n].copy()
+
+    def __del__(self):
+        if getattr(self, "_handle", None) and self._lib is not None:
+            self._lib.bpe_destroy(self._handle)
+            self._handle = None
+
+
+def native_forest_predict(forest, x: np.ndarray) -> Optional[np.ndarray]:
+    """Forest inference through the C++ traversal; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float64)
+    trees = forest["trees"]
+    n_values = trees[0].value.shape[1]
+    arrs = []  # keep references alive
+    fptr = (ctypes.c_void_p * len(trees))()
+    tptr = (ctypes.c_void_p * len(trees))()
+    lptr = (ctypes.c_void_p * len(trees))()
+    rptr = (ctypes.c_void_p * len(trees))()
+    vptr = (ctypes.c_void_p * len(trees))()
+    for i, t in enumerate(trees):
+        f = np.ascontiguousarray(t.feature, np.int32)
+        th = np.ascontiguousarray(t.threshold, np.float64)
+        l = np.ascontiguousarray(t.left, np.int32)
+        r = np.ascontiguousarray(t.right, np.int32)
+        v = np.ascontiguousarray(t.value, np.float64)
+        arrs.append((f, th, l, r, v))
+        fptr[i] = f.ctypes.data
+        tptr[i] = th.ctypes.data
+        lptr[i] = l.ctypes.data
+        rptr[i] = r.ctypes.data
+        vptr[i] = v.ctypes.data
+    out = np.zeros((x.shape[0], n_values), np.float64)
+    lib.forest_predict(
+        x.ctypes.data, x.shape[0], x.shape[1], len(trees),
+        ctypes.cast(fptr, ctypes.c_void_p),
+        ctypes.cast(tptr, ctypes.c_void_p),
+        ctypes.cast(lptr, ctypes.c_void_p),
+        ctypes.cast(rptr, ctypes.c_void_p),
+        ctypes.cast(vptr, ctypes.c_void_p),
+        n_values, out.ctypes.data,
+    )
+    return out

@@ -151,7 +151,11 @@ class MultiheadAttention(Module):
                 mask = lengths_to_mask(lengths, k.shape[2])
             use_dropout = train and self.dropout > 0.0
             on_tpu = jax.default_backend() == "tpu"
-            if on_tpu and mask is None and not use_dropout:
+            # same eligibility gate as the reference (no mask/dropout) plus a
+            # measured length crossover: XLA's fused unflashed attention wins
+            # below ~1k kv positions on v5e; the Pallas kernel wins beyond
+            # (and is the only option once S^2 stops fitting in HBM)
+            if on_tpu and mask is None and not use_dropout and k.shape[2] > 1024:
                 o = flash_attention(q, k, v, causal=self.causal)
             else:
                 acc = jnp.promote_types(q.dtype, jnp.float32)

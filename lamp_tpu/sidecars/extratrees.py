@@ -205,8 +205,17 @@ def _tree_apply(tree: _Tree, x):
 
 
 def predict_classification(forest, x) -> np.ndarray:
-    """Mean class distribution over trees (reference predict :513-545)."""
+    """Mean class distribution over trees (reference predict :513-545).
+    Routes through the C++ traversal when available."""
     x = np.asarray(x, np.float64)
+    try:
+        from ..native import native_forest_predict
+
+        out = native_forest_predict(forest, x)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     acc = np.zeros((x.shape[0], forest["num_classes"]), np.float64)
     for t in forest["trees"]:
         acc += _tree_apply(t, x)
@@ -215,6 +224,14 @@ def predict_classification(forest, x) -> np.ndarray:
 
 def predict_regression(forest, x) -> np.ndarray:
     x = np.asarray(x, np.float64)
+    try:
+        from ..native import native_forest_predict
+
+        out = native_forest_predict(forest, x)
+        if out is not None:
+            return out[:, 0]
+    except Exception:
+        pass
     acc = np.zeros((x.shape[0],), np.float64)
     for t in forest["trees"]:
         acc += _tree_apply(t, x)[:, 0]

@@ -1,0 +1,141 @@
+"""End-to-end PyTorch parity suite.
+
+The rebuild of the reference's endtoendtest
+(endtoendtest/src/test/scala/lamp/endtoend/e2e.test.scala): an identical MLP
+is trained on a battery of tabular classification datasets in this framework
+AND in PyTorch (CPU), then per-dataset test accuracies are compared with the
+reference's own thresholds: mean accuracy gap < 0.1 (e2e.test.scala:313) and
+accuracy correlation r^2 > 0.3 (:314). The reference also runs extratrees on
+the same datasets (:191) — reproduced here.
+
+Datasets are synthetic stand-ins for penn-ml-benchmarks (no network in CI):
+varied sample counts, dimensionality, class counts, noise, separability.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+HIDDEN = 64
+EPOCHS = 30
+BATCH = 64
+LR = 1e-3
+
+
+def _datasets(n_datasets=12):
+    """Varied tabular classification problems."""
+    out = []
+    rng = np.random.RandomState(7)
+    for i in range(n_datasets):
+        n = int(rng.choice([200, 400, 800]))
+        d = int(rng.choice([4, 8, 16, 32]))
+        classes = int(rng.choice([2, 2, 3, 5]))
+        noise = float(rng.choice([0.1, 0.5, 1.0, 2.0]))
+        w = rng.randn(d, classes) * rng.uniform(0.5, 2.0)
+        x = rng.randn(n, d).astype(np.float32)
+        logits = x @ w + noise * rng.randn(n, classes)
+        y = np.argmax(logits, 1).astype(np.int64)
+        # standardize
+        x = (x - x.mean(0)) / (x.std(0) + 1e-9)
+        split = int(0.7 * n)
+        perm = rng.permutation(n)
+        tr, te = perm[:split], perm[split:]
+        out.append((f"ds{i}_n{n}_d{d}_c{classes}", x[tr], y[tr], x[te], y[te],
+                    classes))
+    return out
+
+
+def _train_ours(x, y, xt, yt, classes, seed):
+    import jax
+    import jax.numpy as jnp
+
+    from lamp_tpu import data, nn, optim, train
+
+    model = nn.MLP(x.shape[1], HIDDEN, classes, key=jax.random.PRNGKey(seed),
+                   norm=False, dropout=0.0, activation=jax.nn.relu)
+
+    def loss_fn(m, batch, key, train_mode):
+        xx, yy = batch
+        logits, nm = m.forward(xx, key=key, train=train_mode)
+        return nn.losses.cross_entropy_loss(logits, yy), jnp.asarray(
+            xx.shape[0], jnp.float32
+        ), nm
+
+    rng = np.random.default_rng(seed)
+    result = train.epochs(
+        model=model, optimizer=optim.AdamW(LR), loss_fn=loss_fn,
+        train_batches=lambda e: data.minibatches_from_full(
+            min(BATCH, len(x)), x, y.astype(np.int32), rng=rng
+        ),
+        epochs=EPOCHS, key=jax.random.PRNGKey(seed), prefetch=False,
+    )
+    final = result.state.model
+    pred = np.asarray(jnp.argmax(final(jnp.asarray(xt)), -1))
+    return (pred == yt).mean()
+
+
+def _train_torch(x, y, xt, yt, classes, seed):
+    torch.manual_seed(seed)
+    model = torch.nn.Sequential(
+        torch.nn.Linear(x.shape[1], HIDDEN),
+        torch.nn.ReLU(),
+        torch.nn.Linear(HIDDEN, HIDDEN),
+        torch.nn.ReLU(),
+        torch.nn.Linear(HIDDEN, classes),
+    )
+    opt = torch.optim.AdamW(model.parameters(), lr=LR)
+    xt_t = torch.tensor(xt)
+    x_t = torch.tensor(x)
+    y_t = torch.tensor(y)
+    n = len(x)
+    g = torch.Generator().manual_seed(seed)
+    for _ in range(EPOCHS):
+        perm = torch.randperm(n, generator=g)
+        for s in range(0, n - (n % min(BATCH, n)), min(BATCH, n)):
+            sel = perm[s:s + min(BATCH, n)]
+            opt.zero_grad()
+            loss = torch.nn.functional.cross_entropy(model(x_t[sel]), y_t[sel])
+            loss.backward()
+            opt.step()
+    with torch.no_grad():
+        pred = model(xt_t).argmax(1).numpy()
+    return (pred == yt).mean()
+
+
+@pytest.mark.slow
+def test_pytorch_parity_suite():
+    datasets = _datasets()
+    ours, theirs, names = [], [], []
+    for name, x, y, xt, yt, classes in datasets:
+        a_ours = _train_ours(x, y, xt, yt, classes, seed=0)
+        a_torch = _train_torch(x, y, xt, yt, classes, seed=0)
+        ours.append(a_ours)
+        theirs.append(a_torch)
+        names.append(name)
+        print(f"{name}: ours={a_ours:.3f} torch={a_torch:.3f}")
+
+    ours = np.asarray(ours)
+    theirs = np.asarray(theirs)
+    diff_mean = np.abs(ours - theirs).mean()
+    r2 = np.corrcoef(ours, theirs)[0, 1] ** 2
+    print(f"mean accuracy gap: {diff_mean:.4f}, r^2: {r2:.4f}")
+    # reference thresholds (e2e.test.scala:313-314)
+    assert diff_mean < 0.1, diff_mean
+    assert r2 > 0.3, r2
+
+
+@pytest.mark.slow
+def test_extratrees_on_parity_datasets():
+    """Reference runs extratrees accuracy alongside (e2e.test.scala:191)."""
+    from lamp_tpu import sidecars
+
+    accs = []
+    for name, x, y, xt, yt, classes in _datasets(6):
+        forest = sidecars.build_forest_classification(
+            x, y, num_classes=classes, n_trees=30, seed=0, n_jobs=2
+        )
+        pred = sidecars.predict_classification(forest, xt).argmax(1)
+        accs.append((pred == yt).mean())
+    # trees should do clearly better than chance on these separable datasets
+    assert np.mean(accs) > 0.6, accs

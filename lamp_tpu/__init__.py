@@ -9,6 +9,7 @@ checkpointing + safetensors/ONNX interop, and classic-ML sidecars.
 
 __version__ = "0.1.0"
 
-from . import core, data, io, models, nn, optim, parallel, sidecars, train
+from . import core, data, io, models, nn, ops, optim, parallel, sidecars, train
 
-__all__ = ["core", "data", "io", "models", "nn", "optim", "parallel", "sidecars", "train", "__version__"]
+__all__ = ["core", "data", "io", "models", "nn", "ops", "optim", "parallel",
+           "sidecars", "train", "__version__"]

@@ -31,6 +31,12 @@ from .lm_data import (
 from .bert_data import BertBatch, make_mlm_mask, prepare_sentence_pairs
 from .graph_data import pack_graphs, small_graph_stream
 from .readers import categorical_to_int, read_csv, read_npy, write_npy
+from .images import (
+    denormalize_image,
+    image_to_tensor,
+    normalize_image,
+    tensor_to_image,
+)
 
 __all__ = [
     "BatchStream",
@@ -62,4 +68,8 @@ __all__ = [
     "read_npy",
     "write_npy",
     "categorical_to_int",
+    "image_to_tensor",
+    "tensor_to_image",
+    "normalize_image",
+    "denormalize_image",
 ]

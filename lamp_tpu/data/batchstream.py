@@ -108,6 +108,23 @@ class BatchStream:
 
         return BatchStream(gen, n)
 
+    def without_empty(self) -> "BatchStream":
+        """Drop empty batches (reference withoutEmptyBatches,
+        BatchStream.scala:138). A batch is empty when its first leaf has a
+        zero leading dimension."""
+
+        def gen():
+            import jax
+
+            for b in self:
+                leaves = jax.tree_util.tree_leaves(b)
+                if leaves and hasattr(leaves[0], "shape") and \
+                        leaves[0].shape[:1] == (0,):
+                    continue
+                yield b
+
+        return BatchStream(gen, None)
+
     def fold_left(self, init, fn):
         acc = init
         for b in self:

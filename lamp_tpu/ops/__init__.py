@@ -1,0 +1,35 @@
+"""Custom ops: fused attention kernels and misc tensor functions."""
+
+from .attention import dot_product_attention, flash_attention, mha_reference
+from .functions import (
+    capped_shifted_negative_exponential,
+    euclidean_distance,
+    index_add,
+    index_fill,
+    logdet,
+    mask_fill,
+    mask_select,
+    one_hot,
+    scatter_add,
+    sparse_dense_matmul,
+    sparse_from_value_and_index,
+    sparse_to_dense,
+)
+
+__all__ = [
+    "dot_product_attention",
+    "flash_attention",
+    "mha_reference",
+    "euclidean_distance",
+    "capped_shifted_negative_exponential",
+    "mask_fill",
+    "mask_select",
+    "index_add",
+    "index_fill",
+    "scatter_add",
+    "one_hot",
+    "sparse_from_value_and_index",
+    "sparse_to_dense",
+    "sparse_dense_matmul",
+    "logdet",
+]

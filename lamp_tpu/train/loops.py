@@ -261,6 +261,8 @@ def epochs(*, model=None, state: Optional[TrainState] = None,
            accumulation_steps: int = 1,
            loss_calculation: str = "simple",
            checkpoint_callback: Optional[Callable[[TrainState, Dict], None]] = None,
+           training_callback: Optional[Callable[[int, float], None]] = None,
+           validation_callback: Optional[Callable[[int, float], None]] = None,
            train_step=None,
            prefetch: bool = True,
            log: Optional[Callable[[str], None]] = None) -> TrainingResult:
@@ -296,6 +298,8 @@ def epochs(*, model=None, state: Optional[TrainState] = None,
             state, train_batches(epoch), train_step, ek, lr_factor=lr_factor,
             prefetch=prefetch, log=log,
         )
+        if training_callback is not None:
+            training_callback(epoch, train_loss)
         val_loss = None
         if validation_batches is not None and epoch % validation_frequency == 0:
             val_loss = validation_one_epoch(
@@ -312,6 +316,8 @@ def epochs(*, model=None, state: Optional[TrainState] = None,
                 min_val_epoch = epoch
                 if return_min_validation_loss_model:
                     min_val_state = state
+            if validation_callback is not None:
+                validation_callback(epoch, val_loss)
             if log:
                 log(f"epoch {epoch}: validation loss {val_loss:.6f} "
                     f"(smoothed {smoothed_val:.6f})")

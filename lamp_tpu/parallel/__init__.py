@@ -10,6 +10,7 @@ from .mesh import (
     replicate,
     shard_tree,
 )
+from .context import make_ring_attention, ring_attention
 from .train import make_sharded_train_step, shard_batch, shard_train_state
 
 __all__ = [
@@ -24,4 +25,6 @@ __all__ = [
     "shard_train_state",
     "shard_batch",
     "make_sharded_train_step",
+    "ring_attention",
+    "make_ring_attention",
 ]

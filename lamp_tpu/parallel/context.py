@@ -1,0 +1,116 @@
+"""Context (sequence) parallelism: ring attention over a mesh axis.
+
+Beyond reference parity (the reference has NO long-context scaling beyond the
+fused kernel — SURVEY.md §2.7/§5): shard the KV sequence over a mesh axis and
+rotate KV blocks around the ring with ``jax.lax.ppermute`` while each device
+computes flash attention on the block in front of it, merging partial results
+with online-softmax corrections. Communication is point-to-point over ICI and
+overlaps with compute; memory per device is O(S/N).
+
+Two entry points:
+- :func:`ring_attention` — inside shard_map/pjit with a named axis.
+- :func:`make_ring_attention` — wraps it in shard_map over a given mesh for
+  [B, H, S, D] inputs sharded on S.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["ring_attention", "make_ring_attention"]
+
+
+def _local_attend(q, k, v, sm_scale, q_start, kv_start, causal):
+    """Partial attention of local q against one kv block; returns
+    (out_unnormalized, m, l) online-softmax statistics. All f32 stats."""
+    acc = jnp.float32
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=acc)
+    s = s * sm_scale
+    if causal:
+        sq = q.shape[2]
+        skv = k.shape[2]
+        qpos = q_start + jnp.arange(sq)[:, None]
+        kpos = kv_start + jnp.arange(skv)[None, :]
+        s = jnp.where(kpos <= qpos, s, jnp.finfo(jnp.float32).min * 0.7)
+    m = jnp.max(s, axis=-1)                       # [B,H,Sq]
+    p = jnp.exp(s - m[..., None])
+    l = jnp.sum(p, axis=-1)                       # [B,H,Sq]
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                   preferred_element_type=acc)
+    return o, m, l
+
+
+def ring_attention(q, k, v, *, axis_name: str, n_devices: int,
+                   causal: bool = False, sm_scale: Optional[float] = None):
+    """Ring attention inside a shard_map: q/k/v are the LOCAL sequence shards
+    [B, H, S/N, D]; returns the local output shard. ``n_devices`` is the
+    (static) ring size, i.e. the mesh axis size."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    return _ring_attention_impl(q, k, v, axis_name, n_devices, causal,
+                                sm_scale)
+
+
+def _ring_attention_impl(q, k, v, axis_name: str, n_devices: int,
+                         causal: bool, sm_scale: float):
+    my = jax.lax.axis_index(axis_name)
+    chunk = k.shape[2]
+    q_start = my * chunk
+    b, h, sq, d = q.shape
+    perm = [(i, (i + 1) % n_devices) for i in range(n_devices)]
+
+    m_acc = jnp.full((b, h, sq), -jnp.inf, jnp.float32)
+    l_acc = jnp.zeros((b, h, sq), jnp.float32)
+    o_acc = jnp.zeros((b, h, sq, d), jnp.float32)
+
+    k_blk, v_blk = k, v
+    for i in range(n_devices):
+        src = (my - i) % n_devices
+        kv_start = src * chunk
+        o_i, m_i, l_i = _local_attend(q, k_blk, v_blk, sm_scale, q_start,
+                                      kv_start, causal)
+        m_new = jnp.maximum(m_acc, m_i)
+        alpha = jnp.exp(jnp.where(jnp.isinf(m_acc), -jnp.inf, m_acc) - m_new)
+        alpha = jnp.where(jnp.isinf(m_acc) & jnp.isinf(m_new), 0.0, alpha)
+        beta = jnp.exp(m_i - m_new)
+        l_acc = alpha * l_acc + beta * l_i
+        o_acc = o_acc * alpha[..., None] + o_i * beta[..., None]
+        m_acc = m_new
+        if i < n_devices - 1:
+            # rotate the kv block around the ring; overlaps with the next
+            # step's matmuls under XLA latency hiding
+            k_blk = jax.lax.ppermute(k_blk, axis_name, perm=perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm=perm)
+
+    l_safe = jnp.where(l_acc == 0.0, 1.0, l_acc)
+    return (o_acc / l_safe[..., None]).astype(q.dtype)
+
+
+def make_ring_attention(mesh: Mesh, axis: str = "sp", *, causal: bool = False,
+                        sm_scale: Optional[float] = None):
+    """Build a jitted ring-attention function over ``mesh``: takes GLOBAL
+    [B, H, S, D] q/k/v (S sharded over ``axis``) and returns the global
+    output with the same sharding."""
+    from jax.experimental.shard_map import shard_map
+
+    n = mesh.shape[axis]
+    spec = P(None, None, axis, None)
+
+    def fn(q, k, v):
+        scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
+        inner = functools.partial(
+            _ring_attention_impl, axis_name=axis, n_devices=n, causal=causal,
+            sm_scale=scale,
+        )
+        return shard_map(
+            lambda a, b_, c: inner(a, b_, c),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        )(q, k, v)
+
+    return jax.jit(fn)

@@ -1,6 +1,7 @@
 """Training loops, SWA, checkpoint-aware state."""
 
 from .loops import (
+    parallel_run_batch_stream,
     TrainState,
     TrainingResult,
     epochs,
@@ -26,6 +27,7 @@ __all__ = [
     "one_epoch",
     "validation_one_epoch",
     "run_batch_stream",
+    "parallel_run_batch_stream",
     "swa_epochs",
     "constant_swa_schedule",
     "cyclic_swa_schedule",

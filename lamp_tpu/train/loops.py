@@ -353,3 +353,23 @@ def run_batch_stream(state_or_model, stream, forward: Callable, *,
     for batch in stream:
         outs.append(forward(model, batch))
     return outs
+
+
+def parallel_run_batch_stream(state_or_model, stream, forward: Callable, *,
+                              mesh, axis: str = "dp"):
+    """Inference over a device mesh (reference parallelRunBatchStream,
+    IOLoops.scala:120): each host batch is sharded over ``axis`` and the
+    jitted forward runs SPMD across devices."""
+    from ..parallel.mesh import batch_sharding
+
+    model = (
+        state_or_model.model
+        if isinstance(state_or_model, TrainState)
+        else state_or_model
+    )
+    jitted = jax.jit(forward)
+    sharding = batch_sharding(mesh, axis)
+    outs = []
+    for batch in stream:
+        outs.append(jitted(model, jax.device_put(batch, sharding)))
+    return outs

@@ -339,3 +339,39 @@ def test_vertex_pooling():
     np.testing.assert_allclose(
         s[0], np.asarray(g.node_features[:3].sum(0)), atol=1e-12
     )
+
+
+def test_gqa_attention():
+    """Grouped-query attention: fewer KV heads, same output shape; with
+    num_kv_heads == num_heads it must match standard MHA exactly."""
+    m = nn.MultiheadAttention.init(8, 8, 8, 4, num_kv_heads=2, key=KEY,
+                                   dtype=jnp.float64)
+    assert m.w_k.weight.shape == (8, 4)  # 2 kv heads x head_dim 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 8), jnp.float64)
+    y, _ = m.forward(x)
+    assert y.shape == (2, 6, 8)
+
+    full = nn.MultiheadAttention.init(8, 8, 8, 4, num_kv_heads=4, key=KEY,
+                                      dtype=jnp.float64)
+    base = nn.MultiheadAttention.init(8, 8, 8, 4, key=KEY, dtype=jnp.float64)
+    y1, _ = full.forward(x)
+    y2, _ = base.forward(x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-12)
+
+
+def test_transformer_remat_matches():
+    """remat=True must not change values or gradients (only memory)."""
+    m1 = nn.TransformerEncoder.init(2, 16, 16, 2, key=KEY, causal=True,
+                                    dtype=jnp.float64)
+    m2 = m1.replace(remat=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16), jnp.float64)
+
+    def loss(m):
+        (y, _), _ = m.forward((x, None))
+        return jnp.sum(jnp.square(y))
+
+    np.testing.assert_allclose(float(loss(m1)), float(loss(m2)), rtol=1e-12)
+    g1 = jax.grad(loss)(m1)
+    g2 = jax.grad(loss)(m2)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)

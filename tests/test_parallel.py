@@ -204,3 +204,17 @@ def test_ring_attention_differentiable():
     for a, b in zip(g_ring, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    rtol=1e-4)
+
+
+def test_parallel_run_batch_stream():
+    from lamp_tpu import data
+
+    mesh = parallel.make_mesh({"dp": 8})
+    model = nn.MLP(4, 8, 2, key=jax.random.PRNGKey(0), norm=False)
+    stream = data.from_function(
+        3, lambda i: np.full((16, 4), i, np.float32)
+    )
+    outs = train.parallel_run_batch_stream(
+        model, stream, lambda m, b: m(b), mesh=mesh
+    )
+    assert len(outs) == 3 and outs[0].shape == (16, 2)

@@ -64,6 +64,7 @@ from .graph import (
     gcn_aggregation,
     vertex_pooling,
 )
+from .moe import MoEMLP, moe_sharding_rules
 from . import init, losses
 
 __all__ = [
@@ -89,4 +90,6 @@ __all__ = [
     "Residual",
     "init",
     "losses",
+    "MoEMLP",
+    "moe_sharding_rules",
 ]

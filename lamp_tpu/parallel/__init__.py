@@ -11,6 +11,7 @@ from .mesh import (
     shard_tree,
 )
 from .context import make_ring_attention, ring_attention
+from .pipeline import make_pipelined_forward, pipeline_apply
 from .train import make_sharded_train_step, shard_batch, shard_train_state
 
 __all__ = [
@@ -27,4 +28,6 @@ __all__ = [
     "make_sharded_train_step",
     "ring_attention",
     "make_ring_attention",
+    "pipeline_apply",
+    "make_pipelined_forward",
 ]

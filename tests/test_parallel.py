@@ -218,3 +218,88 @@ def test_parallel_run_batch_stream():
         model, stream, lambda m, b: m(b), mesh=mesh
     )
     assert len(outs) == 3 and outs[0].shape == (16, 2)
+
+
+def test_pipeline_matches_sequential():
+    """GPipe over 8 stages must equal sequential block application."""
+    mesh = parallel.make_mesh({"pp": 8})
+    L, M, B, D = 8, 4, 2, 16
+    keys = jax.random.split(jax.random.PRNGKey(0), L)
+    ws = jnp.stack([
+        jax.random.normal(k, (D, D), jnp.float32) * 0.3 for k in keys
+    ])  # [L, D, D]
+    mbs = jax.random.normal(jax.random.PRNGKey(1), (M, B, D), jnp.float32)
+
+    def stage_fn(w_stack, x):
+        # apply this stage's local blocks in order
+        def body(x, w):
+            return jnp.tanh(x @ w), None
+        y, _ = jax.lax.scan(body, x, w_stack)
+        return y
+
+    piped = parallel.make_pipelined_forward(mesh, stage_fn, axis="pp")
+    out = piped(ws, mbs)
+
+    # sequential reference
+    def seq(x):
+        for l in range(L):
+            x = jnp.tanh(x @ ws[l])
+        return x
+
+    ref = jnp.stack([seq(mbs[i]) for i in range(M)])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pipeline_differentiable():
+    mesh = parallel.make_mesh({"pp": 4}, devices=jax.devices()[:4])
+    L, M, B, D = 4, 2, 2, 8
+    keys = jax.random.split(jax.random.PRNGKey(0), L)
+    ws = jnp.stack([
+        jax.random.normal(k, (D, D), jnp.float32) * 0.3 for k in keys
+    ])
+    mbs = jax.random.normal(jax.random.PRNGKey(1), (M, B, D), jnp.float32)
+
+    def stage_fn(w_stack, x):
+        def body(x, w):
+            return jnp.tanh(x @ w), None
+        y, _ = jax.lax.scan(body, x, w_stack)
+        return y
+
+    piped = parallel.make_pipelined_forward(mesh, stage_fn, axis="pp")
+
+    def loss_piped(ws):
+        return jnp.sum(jnp.square(piped(ws, mbs)))
+
+    def loss_seq(ws):
+        x = mbs.reshape(M * B, D)
+        # note: sequential over stacked blocks
+        def body(x, w):
+            return jnp.tanh(x @ w), None
+        y, _ = jax.lax.scan(body, x, ws)
+        return jnp.sum(jnp.square(y))
+
+    g1 = jax.grad(loss_piped)(ws)
+    g2 = jax.grad(loss_seq)(ws)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_moe_expert_parallel():
+    """MoE layer trains with experts sharded over the ep axis; dense-dispatch
+    output matches the unsharded computation."""
+    from jax.sharding import NamedSharding
+
+    mesh = parallel.make_mesh({"ep": 8})
+    moe = nn.MoEMLP.init(16, 32, num_experts=8, key=jax.random.PRNGKey(0),
+                         top_k=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 6, 16), jnp.float32)
+    y_ref, _ = moe.forward(x)
+    assert y_ref.shape == x.shape
+
+    sharded = parallel.shard_tree(moe, mesh, nn.moe_sharding_rules("ep"))
+    y_sh, _ = jax.jit(lambda m, x: m.forward(x))(sharded, x)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref), atol=2e-5,
+                               rtol=2e-5)
+    # aux loss finite and positive
+    aux = moe.load_balancing_loss(x)
+    assert float(aux) > 0

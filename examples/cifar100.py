@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--width", type=int, default=1)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--export-onnx", default=None)
+    ap.add_argument("--mesh", default=None,
+                    help="e.g. 'dp=8' — SPMD data parallel over devices "
+                         "(replaces the reference's 2-process NCCL DDP)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -91,6 +94,23 @@ def main():
                 learning_curve=meta["learning_curve"],
             )
 
+    train_step = None
+    if args.mesh:
+        from lamp_tpu import parallel
+
+        axes = dict(
+            (kv.split("=")[0], int(kv.split("=")[1]))
+            for kv in args.mesh.split(",")
+        )
+        mesh = parallel.make_mesh(axes)
+        sharding = parallel.batch_sharding(mesh, list(axes)[0])
+        base = train.make_train_step(optimizer, loss_fn)
+        jitted = jax.jit(base, donate_argnums=(0,))
+
+        def train_step(state, batch, key, lr_factor=1.0):
+            return jitted(state, jax.device_put(batch, sharding), key,
+                          lr_factor)
+
     result = train.epochs(
         model=model,
         optimizer=optimizer,
@@ -105,6 +125,7 @@ def main():
         epochs=args.epochs,
         key=jax.random.PRNGKey(args.seed),
         checkpoint_callback=checkpoint_cb,
+        train_step=train_step,
         log=print,
     )
 

@@ -37,11 +37,19 @@ def train_bpe(corpus: bytes, vocab_min: int, vocab_max: int,
     package.scala:121-157).
     """
     max_len = min(7, max_segment_length)
-    freqs: Counter = Counter()
-    n = len(corpus)
-    for i in range(n):
-        for j in range(i + 1, min(i + max_len, n) + 1):
-            freqs[corpus[i:j]] += 1
+    freqs = None
+    try:
+        from ..native import native_ngram_counts
+
+        freqs = native_ngram_counts(corpus, max_len)
+    except Exception:
+        freqs = None
+    if freqs is None:
+        freqs = Counter()
+        n = len(corpus)
+        for i in range(n):
+            for j in range(i + 1, min(i + max_len, n) + 1):
+                freqs[corpus[i:j]] += 1
     vocab_size = vocab_max - vocab_min
     singles = sorted({bytes([b]) for b in corpus})
     multis = [

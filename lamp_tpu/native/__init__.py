@@ -72,6 +72,16 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.bpe_count_build.restype = ctypes.c_void_p
+        lib.bpe_count_build.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ]
+        lib.bpe_count_size.restype = ctypes.c_int64
+        lib.bpe_count_size.argtypes = [ctypes.c_void_p]
+        lib.bpe_count_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.bpe_count_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return _LIB
 
@@ -108,6 +118,29 @@ class NativeBpe:
         if getattr(self, "_handle", None) and self._lib is not None:
             self._lib.bpe_destroy(self._handle)
             self._handle = None
+
+
+def native_ngram_counts(corpus: bytes, max_len: int):
+    """Count byte n-grams (len<=7) via C++; returns {bytes: count} or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(corpus, np.uint8)
+    handle = lib.bpe_count_build(buf.ctypes.data, len(corpus), max_len)
+    try:
+        size = lib.bpe_count_size(handle)
+        keys = np.empty(size, np.uint64)
+        counts = np.empty(size, np.int64)
+        lib.bpe_count_fill(handle, keys.ctypes.data, counts.ctypes.data)
+    finally:
+        lib.bpe_count_free(handle)
+    out = {}
+    lengths = (keys >> np.uint64(56)).astype(np.int64)
+    payload = keys & np.uint64((1 << 56) - 1)
+    raw = payload.astype("<u8").view(np.uint8).reshape(-1, 8)
+    for i in range(size):
+        out[raw[i, :lengths[i]].tobytes()] = int(counts[i])
+    return out
 
 
 def native_forest_predict(forest, x: np.ndarray) -> Optional[np.ndarray]:

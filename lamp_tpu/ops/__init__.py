@@ -1,6 +1,7 @@
 """Custom ops: fused attention kernels and misc tensor functions."""
 
 from .attention import dot_product_attention, flash_attention, mha_reference
+from .fused_adamw import AdamWStochastic, fused_adamw_update
 from .functions import (
     capped_shifted_negative_exponential,
     euclidean_distance,
@@ -20,6 +21,8 @@ __all__ = [
     "dot_product_attention",
     "flash_attention",
     "mha_reference",
+    "fused_adamw_update",
+    "AdamWStochastic",
     "euclidean_distance",
     "capped_shifted_negative_exponential",
     "mask_fill",

@@ -60,33 +60,50 @@ def _np_of(x) -> Tuple[np.ndarray, str]:
     return arr, _DTYPE_TO_NAME[arr.dtype]
 
 
+def _is_writer_process() -> bool:
+    """In multi-host SPMD only process 0 writes checkpoints (arrays are
+    gathered to host by np.asarray); other processes still participate in
+    the gather but skip the file IO."""
+    try:
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 def write_tensor_blob(path: str, tensors: List[Any]) -> List[Dict]:
     """Write tensors to ``path`` (raw LE blob, 8-byte padded records) and
     return the descriptor list (reference Writer.writeTensorsIntoFile)."""
     descriptors = []
+    write = _is_writer_process()
     dirn = os.path.dirname(os.path.abspath(path))
-    os.makedirs(dirn, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=dirn)
+    if write:
+        os.makedirs(dirn, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=dirn)
+        f = os.fdopen(fd, "wb")
     try:
-        with os.fdopen(fd, "wb") as f:
-            offset = 0
-            for t in tensors:
-                arr, dname = _np_of(t)
-                data = np.ascontiguousarray(arr).tobytes()
-                pad = (-len(data)) % _ALIGN
+        offset = 0
+        for t in tensors:
+            arr, dname = _np_of(t)
+            data = np.ascontiguousarray(arr).tobytes()
+            pad = (-len(data)) % _ALIGN
+            if write:
                 f.write(data)
                 f.write(b"\x00" * pad)
-                descriptors.append({
-                    "offset": offset,
-                    "nbytes": len(data),
-                    "dtype": dname,
-                    "shape": list(arr.shape),
-                })
-                offset += len(data) + pad
-        os.replace(tmp, path)
+            descriptors.append({
+                "offset": offset,
+                "nbytes": len(data),
+                "dtype": dname,
+                "shape": list(arr.shape),
+            })
+            offset += len(data) + pad
+        if write:
+            f.close()
+            os.replace(tmp, path)
     except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+        if write:
+            f.close()
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         raise
     return descriptors
 

@@ -15,8 +15,6 @@ exported models for verification without onnxruntime.
 
 from __future__ import annotations
 
-import importlib
-import sys
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax

@@ -170,8 +170,11 @@ class MultiheadAttention(Module):
             # measured length crossover: XLA's fused unflashed attention wins
             # below ~1k kv positions on v5e; the Pallas kernel wins beyond
             # (and is the only option once S^2 stops fitting in HBM)
-            if on_tpu and mask is None and not use_dropout and k.shape[2] > 1024:
-                o = flash_attention(q, k, v, causal=self.causal)
+            if on_tpu and not use_dropout and k.shape[2] > 1024 and (
+                mask is None or lengths is not None
+            ):
+                o = flash_attention(q, k, v, causal=self.causal,
+                                    kv_lengths=lengths)
             else:
                 acc = jnp.promote_types(q.dtype, jnp.float32)
                 sm_scale = 1.0 / math.sqrt(q.shape[-1])

@@ -68,13 +68,19 @@ def mha_reference(q, k, v, *, causal=False, sm_scale=None, mask=None):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
-                *, sm_scale, causal, block_q, block_k, kv_len, q_offset):
-    # lse_ref is None in the inference-only variant (no residuals saved)
+                *, sm_scale, causal, block_q, block_k, kv_len, q_offset,
+                heads):
+    # lse_ref is None in the inference-only variant (no residuals saved);
+    # len_ref (SMEM int32 [B]) is None without per-batch kv lengths
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
+    if len_ref is not None:
+        kv_limit = jnp.minimum(len_ref[pl.program_id(0) // heads], kv_len)
+    else:
+        kv_limit = kv_len
 
     @pl.when(ki == 0)
     def _init():
@@ -95,15 +101,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale  # [block_q, block_k]
 
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        valid = cols < kv_limit
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
                 + qi * block_q + q_offset
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-            s = jnp.where(cols <= rows, s, NEG_INF)
-        else:
-            # mask kv padding (kv_len may be < padded length)
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-            s = jnp.where(cols < kv_len, s, NEG_INF)
+            valid = valid & (cols <= rows)
+        s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_scr[...]           # [block_q, LANES]
         l_prev = l_scr[...]
@@ -133,18 +137,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
             ).astype(jnp.float32)
 
 
-def _fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret,
-         save_residuals=True):
+def _fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
+         heads, interpret, save_residuals=True):
     bh, sq, d = q.shape
     skv = k.shape[1]
     grid = (bh, sq // block_q, skv // block_k)
     q_offset = skv - sq if causal else 0
+    has_len = lengths is not None
 
+    base = functools.partial(
+        _fwd_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
+        block_k=block_k, kv_len=kv_len, q_offset=q_offset, heads=heads,
+    )
     if save_residuals:
-        kernel = functools.partial(
-            _fwd_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
-            block_k=block_k, kv_len=kv_len, q_offset=q_offset,
-        )
+        if has_len:
+            kernel = base
+        else:
+            def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *scr):
+                base(None, q_ref, k_ref, v_ref, o_ref, lse_ref, *scr)
         out_shapes = (
             jax.ShapeDtypeStruct((bh, sq, d), q.dtype),          # o
             jax.ShapeDtypeStruct((bh, sq, LANES), jnp.float32),  # lse
@@ -154,24 +164,30 @@ def _fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret,
             pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
         )
     else:
-        def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
-            _fwd_kernel(
-                q_ref, k_ref, v_ref, o_ref, None, m_scr, l_scr, acc_scr,
-                sm_scale=sm_scale, causal=causal, block_q=block_q,
-                block_k=block_k, kv_len=kv_len, q_offset=q_offset,
-            )
+        if has_len:
+            def kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *scr):
+                base(len_ref, q_ref, k_ref, v_ref, o_ref, None, *scr)
+        else:
+            def kernel(q_ref, k_ref, v_ref, o_ref, *scr):
+                base(None, q_ref, k_ref, v_ref, o_ref, None, *scr)
 
         out_shapes = jax.ShapeDtypeStruct((bh, sq, d), q.dtype)
         out_specs = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
 
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+    ]
+    args = (q, k, v)
+    if has_len:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = (lengths.astype(jnp.int32),) + args
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -183,7 +199,7 @@ def _fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*args)
     if save_residuals:
         o, lse = out
         return o, lse[:, :, 0]
@@ -195,12 +211,16 @@ def _fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
-                   dq_scr, *, sm_scale, causal, block_q, block_k, kv_len,
-                   q_offset):
+def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                   dq_ref, dq_scr, *, sm_scale, causal, block_q, block_k,
+                   kv_len, q_offset, heads):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
+    if len_ref is not None:
+        kv_limit = jnp.minimum(len_ref[pl.program_id(0) // heads], kv_len)
+    else:
+        kv_limit = kv_len
 
     @pl.when(ki == 0)
     def _init():
@@ -225,10 +245,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
         rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
             + qi * block_q + q_offset
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        valid = cols < kv_limit
         if causal:
-            s = jnp.where(cols <= rows, s, NEG_INF)
-        else:
-            s = jnp.where(cols < kv_len, s, NEG_INF)
+            valid = valid & (cols <= rows)
+        s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse[:, :1])  # [block_q, block_k]
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -243,12 +263,17 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
         dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
-                    *, sm_scale, causal, block_q, block_k, kv_len, q_offset):
+                    *, sm_scale, causal, block_q, block_k, kv_len, q_offset,
+                    heads):
     ki = pl.program_id(1)
     qi = pl.program_id(2)
     n_q = pl.num_programs(2)
+    if len_ref is not None:
+        kv_limit = jnp.minimum(len_ref[pl.program_id(0) // heads], kv_len)
+    else:
+        kv_limit = kv_len
 
     @pl.when(qi == 0)
     def _init():
@@ -274,10 +299,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
             + qi * block_q + q_offset
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        valid = cols < kv_limit
         if causal:
-            s = jnp.where(cols <= rows, s, NEG_INF)
-        else:
-            s = jnp.where(cols < kv_len, s, NEG_INF)
+            valid = valid & (cols <= rows)
+        s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse[:, :1])           # [block_q, block_k]
         # dv += P^T @ do
         dv_scr[...] += jax.lax.dot_general(
@@ -300,31 +325,46 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd(sm_scale, causal, block_q, block_k, kv_len, interpret, res, g):
-    q, k, v, o, lse = res
+def _bwd(sm_scale, causal, block_q, block_k, kv_len, heads, interpret,
+         res, g):
+    q, k, v, lengths, o, lse = res
     bh, sq, d = q.shape
     skv = k.shape[1]
     do = g
     q_offset = skv - sq if causal else 0
+    has_len = lengths is not None
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     lse_rep = jnp.broadcast_to(lse[:, :, None], (bh, sq, LANES))
     di_rep = jnp.broadcast_to(di[:, :, None], (bh, sq, LANES))
 
+    data_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+    ]
+    args = (q, k, v, do, lse_rep, di_rep)
+    base_dq = functools.partial(
+        _bwd_dq_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
+        block_k=block_k, kv_len=kv_len, q_offset=q_offset, heads=heads,
+    )
+    if has_len:
+        dq_kernel = base_dq
+        dq_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + data_specs
+        dq_args = (lengths.astype(jnp.int32),) + args
+    else:
+        def dq_kernel(*refs):
+            base_dq(None, *refs)
+        dq_specs = data_specs
+        dq_args = args
+
     dq = pl.pallas_call(
-        functools.partial(
-            _bwd_dq_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
-            block_k=block_k, kv_len=kv_len, q_offset=q_offset,
-        ),
+        dq_kernel,
         grid=(bh, sq // block_q, skv // block_k),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
-        ],
+        in_specs=dq_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -332,22 +372,35 @@ def _bwd(sm_scale, causal, block_q, block_k, kv_len, interpret, res, g):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, do, lse_rep, di_rep)
+    )(*dq_args)
+
+    kv_data_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b, i, 0)),
+    ]
+    base_dkv = functools.partial(
+        _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
+        block_q=block_q, block_k=block_k, kv_len=kv_len, q_offset=q_offset,
+        heads=heads,
+    )
+    if has_len:
+        dkv_kernel = base_dkv
+        dkv_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + kv_data_specs
+        dkv_args = (lengths.astype(jnp.int32),) + args
+    else:
+        def dkv_kernel(*refs):
+            base_dkv(None, *refs)
+        dkv_specs = kv_data_specs
+        dkv_args = args
 
     dk, dv = pl.pallas_call(
-        functools.partial(
-            _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
-            block_q=block_q, block_k=block_k, kv_len=kv_len, q_offset=q_offset,
-        ),
+        dkv_kernel,
         grid=(bh, skv // block_k, sq // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b, i, 0)),
-        ],
+        in_specs=dkv_specs,
         out_specs=(
             pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
@@ -364,21 +417,30 @@ def _bwd(sm_scale, causal, block_q, block_k, kv_len, interpret, res, g):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, do, lse_rep, di_rep)
+    )(*dkv_args)
 
-    return dq, dk, dv
+    if lengths is None:
+        dlen = None
+    else:
+        import numpy as _np
+
+        dlen = _np.zeros(lengths.shape, jax.dtypes.float0)
+    return dq, dk, dv, dlen
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _flash(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret):
-    o, _ = _fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret,
-                save_residuals=False)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _flash(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
+           heads, interpret):
+    o, _ = _fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
+                heads, interpret, save_residuals=False)
     return o
 
 
-def _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret):
-    o, lse = _fwd(q, k, v, sm_scale, causal, block_q, block_k, kv_len, interpret)
-    return o, (q, k, v, o, lse)
+def _flash_fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
+               heads, interpret):
+    o, lse = _fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k,
+                  kv_len, heads, interpret)
+    return o, (q, k, v, lengths, o, lse)
 
 
 _flash.defvjp(_flash_fwd, _bwd)
@@ -390,13 +452,16 @@ def _round_up(x, m):
 
 def flash_attention(q, k, v, *, causal: bool = False,
                     sm_scale: Optional[float] = None,
+                    kv_lengths=None,
                     block_q: int = 0, block_k: int = 0,
                     interpret: Optional[bool] = None):
     """Flash attention on [B, H, S, D] tensors via Pallas TPU kernels.
 
     Handles non-multiple sequence lengths by padding (padded kv positions are
-    masked inside the kernel; padded q rows are sliced off). The backward pass
-    recomputes attention weights from the saved logsumexp.
+    masked inside the kernel; padded q rows are sliced off). ``kv_lengths``
+    ([B] int) masks keys/values per batch element (the reference's maxLength
+    protocol, inside the kernel). The backward pass recomputes attention
+    weights from the saved logsumexp.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -423,8 +488,8 @@ def flash_attention(q, k, v, *, causal: bool = False,
         kr = jnp.pad(kr, ((0, 0), (0, skv_p - skv), (0, 0)))
         vr = jnp.pad(vr, ((0, 0), (0, skv_p - skv), (0, 0)))
 
-    o = _flash(qr, kr, vr, sm_scale, causal, block_q_eff, block_k_eff,
-               skv, interpret)
+    o = _flash(qr, kr, vr, kv_lengths, sm_scale, causal, block_q_eff,
+               block_k_eff, skv, h, interpret)
     return o[:, :sq, :].reshape(b, h, sq, d)
 
 

@@ -2,6 +2,14 @@
 
 from .attention import dot_product_attention, flash_attention, mha_reference
 from .fused_adamw import AdamWStochastic, fused_adamw_update
+from .quantization import (
+    QuantizedLinear,
+    dequantize_int8,
+    int8_matmul,
+    quantize_int8,
+    quantize_int8_stochastic,
+    quantize_model,
+)
 from .functions import (
     capped_shifted_negative_exponential,
     euclidean_distance,
@@ -23,6 +31,12 @@ __all__ = [
     "mha_reference",
     "fused_adamw_update",
     "AdamWStochastic",
+    "quantize_int8",
+    "dequantize_int8",
+    "int8_matmul",
+    "QuantizedLinear",
+    "quantize_model",
+    "quantize_int8_stochastic",
     "euclidean_distance",
     "capped_shifted_negative_exponential",
     "mask_fill",

@@ -1,0 +1,158 @@
+"""Int8 quantization for serving.
+
+Beyond reference parity (production-serving tooling the reference lacks):
+per-channel absmax weight quantization, dynamic per-row activation
+quantization, and int8 x int8 -> int32 matmuls that hit the MXU's
+double-rate int8 path. ``QuantizedLinear`` swaps into any model via
+:func:`quantize_model` (pytree surgery), halving weight memory/bandwidth.
+
+A Pallas quantization kernel with stochastic rounding is provided for
+quantize-during-training use (pltpu.stochastic_round — the guide's
+quantization pattern); deterministic round-to-nearest uses plain jnp (XLA
+fuses it into neighbouring ops).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..nn.layers import Linear
+from ..nn.module import Module
+
+__all__ = [
+    "quantize_int8",
+    "dequantize_int8",
+    "int8_matmul",
+    "QuantizedLinear",
+    "quantize_model",
+    "quantize_int8_stochastic",
+]
+
+
+def quantize_int8(x, *, axis: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel (along ``axis``) absmax int8 quantization.
+
+    Returns (values int8, scales f32) with x ≈ values * scales.
+    """
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=axis, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_int8(values, scales, dtype=jnp.float32):
+    return (values.astype(jnp.float32) * scales).astype(dtype)
+
+
+def int8_matmul(x, w_q, w_scale, *, out_dtype=None):
+    """y = x @ dequant(w) using the int8 MXU path: x is dynamically quantized
+    per row, the matmul accumulates in int32, and both scales are applied to
+    the int32 result.
+
+    x: [..., K] float; w_q: [K, N] int8; w_scale: [1, N] f32.
+    """
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    xq, x_scale = quantize_int8(x2, axis=1)  # per-row
+    acc = jnp.dot(
+        xq.astype(jnp.int8), w_q.astype(jnp.int8),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * x_scale * w_scale
+    return y.reshape(*lead, w_q.shape[1]).astype(out_dtype)
+
+
+class QuantizedLinear(Module):
+    """Drop-in serving replacement for :class:`Linear` with int8 weights."""
+
+    w_q: jnp.ndarray       # [K, N] int8
+    w_scale: jnp.ndarray   # [1, N] f32
+    bias: Optional[jnp.ndarray]
+    __tags__ = {"w_q": "QuantizedLinear.weight",
+                "bias": "QuantizedLinear.bias"}
+
+    @staticmethod
+    def from_linear(linear: Linear) -> "QuantizedLinear":
+        q, scale = quantize_int8(linear.weight, axis=0)
+        return QuantizedLinear(w_q=q, w_scale=scale, bias=linear.bias)
+
+    def forward(self, x, *, key=None, train=False):
+        y = int8_matmul(x, self.w_q, self.w_scale)
+        if self.bias is not None:
+            y = y + self.bias
+        return y.astype(x.dtype), self
+
+
+def quantize_model(model):
+    """Replace every Linear in a module tree with a QuantizedLinear."""
+
+    def swap(node):
+        if isinstance(node, Linear):
+            return QuantizedLinear.from_linear(node)
+        return node
+
+    return jax.tree_util.tree_map(
+        swap, model, is_leaf=lambda n: isinstance(n, Linear)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas stochastic-rounding quantizer (for quantize-aware flows)
+# ---------------------------------------------------------------------------
+
+
+def _quant_kernel(seed_ref, x_ref, v_ref, s_ref):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[...].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    scaled = jnp.clip(x / scale, -127.0, 127.0)
+    # stochastic round to integer: floor + Bernoulli(frac)
+    # (pltpu.stochastic_round only targets bf16/fp8, so do it by hand)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
+    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))  # uniform [0,1)
+    floor = jnp.floor(scaled)
+    rounded = floor + (u < (scaled - floor)).astype(jnp.float32)
+    v_ref[...] = rounded.astype(jnp.int8)
+    s_ref[...] = jnp.broadcast_to(scale, s_ref.shape)
+
+
+def quantize_int8_stochastic(x, *, seed: int = 0,
+                             interpret: Optional[bool] = None):
+    """Per-row int8 quantization with stochastic rounding (Pallas kernel).
+
+    x: [M, K] float -> (values int8 [M, K], scales f32 [M, 1]).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m, k = x.shape
+    block_m = min(m, 1024)
+    grid = (pl.cdiv(m, block_m),)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    vals, scales = pl.pallas_call(
+        _quant_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, k), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_m, k), lambda i: (i, 0)),
+            pl.BlockSpec((block_m, 128), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, k), jnp.int8),
+            jax.ShapeDtypeStruct((m, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(seed_arr, x)
+    return vals, scales[:, :1]

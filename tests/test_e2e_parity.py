@@ -23,7 +23,7 @@ BATCH = 64
 LR = 1e-3
 
 
-def _datasets(n_datasets=12):
+def _datasets(n_datasets=50):
     """Varied tabular classification problems."""
     out = []
     rng = np.random.RandomState(7)
@@ -105,7 +105,8 @@ def _train_torch(x, y, xt, yt, classes, seed):
 
 @pytest.mark.slow
 def test_pytorch_parity_suite():
-    datasets = _datasets()
+    """Full 50-dataset battery (the reference's scale, e2e.test.scala:205)."""
+    datasets = _datasets(50)
     ours, theirs, names = [], [], []
     for name, x, y, xt, yt, classes in datasets:
         a_ours = _train_ours(x, y, xt, yt, classes, seed=0)

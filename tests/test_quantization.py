@@ -1,0 +1,73 @@
+"""Int8 quantization tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lamp_tpu import nn, ops
+
+
+def test_quantize_roundtrip():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32), jnp.float32)
+    q, s = ops.quantize_int8(w, axis=0)
+    assert q.dtype == jnp.int8
+    back = ops.dequantize_int8(q, s)
+    # absmax per column bounds the error at scale/2
+    err = np.abs(np.asarray(back - w))
+    bound = np.asarray(s) * 0.51
+    assert (err <= bound).all()
+
+
+def test_int8_matmul_close_to_float():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (16, 64), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 32), jnp.float32) * 0.1
+    wq, ws = ops.quantize_int8(w, axis=0)
+    y_q = ops.int8_matmul(x, wq, ws)
+    y_f = x @ w
+    rel = np.linalg.norm(np.asarray(y_q - y_f)) / np.linalg.norm(np.asarray(y_f))
+    assert rel < 0.02, rel
+
+
+def test_quantized_linear_and_model_surgery():
+    key = jax.random.PRNGKey(0)
+    model = nn.MLP(8, 32, 4, key=key, norm=False)
+    qmodel = ops.quantize_model(model)
+    # all Linears replaced
+    assert isinstance(qmodel.layers[0], ops.QuantizedLinear)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8), jnp.float32)
+    y_f = np.asarray(model(x))
+    y_q = np.asarray(qmodel(x))
+    cos = (y_f * y_q).sum() / (
+        np.linalg.norm(y_f) * np.linalg.norm(y_q) + 1e-9
+    )
+    assert cos > 0.999, cos
+
+
+def test_quantized_lm_generates():
+    """A quantized LM still produces coherent argmax decoding (end-to-end
+    serving path)."""
+    from lamp_tpu import data
+
+    model = nn.LanguageModelModule.init(
+        vocab_size=17, context_length=12, num_blocks=1, embed_dim=16,
+        attention_heads=2, key=jax.random.PRNGKey(0),
+    )
+    qmodel = ops.quantize_model(model)
+    prefix = np.array([[1, 2, 3]])
+    out_f = data.autoregressive_inference(model, prefix, length=4, temperature=0)
+    out_q = data.autoregressive_inference(qmodel, prefix, length=4, temperature=0)
+    assert out_q.shape == out_f.shape
+    assert out_q.min() >= 0 and out_q.max() < 17
+
+
+def test_stochastic_quantizer_unbiased():
+    if jax.default_backend() != "tpu":
+        import pytest
+
+        pytest.skip("pltpu.prng_seed has no CPU interpreter lowering")
+    x = jnp.full((256, 128), 0.3, jnp.float32)
+    vals, scales = ops.quantize_int8_stochastic(x, seed=1)
+    back = np.asarray(vals, np.float32) * np.asarray(scales)
+    # mean must approximate the true value (unbiased), individual entries round
+    np.testing.assert_allclose(back.mean(), 0.3, rtol=0.01)

@@ -119,7 +119,9 @@ def _quant_kernel(seed_ref, x_ref, v_ref, s_ref):
     # stochastic round to integer: floor + Bernoulli(frac)
     # (pltpu.stochastic_round only targets bf16/fp8, so do it by hand)
     bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))  # uniform [0,1)
+    # top 24 bits -> [0,1); route the cast through int32 (Mosaic has no
+    # uint32->f32 cast)
+    u = (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
     floor = jnp.floor(scaled)
     rounded = floor + (u < (scaled - floor)).astype(jnp.float32)
     v_ref[...] = rounded.astype(jnp.int8)

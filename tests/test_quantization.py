@@ -66,8 +66,13 @@ def test_stochastic_quantizer_unbiased():
         import pytest
 
         pytest.skip("pltpu.prng_seed has no CPU interpreter lowering")
-    x = jnp.full((256, 128), 0.3, jnp.float32)
+    # anchor the scale at 1.0; payload 0.3 -> scaled 38.1 rounds 38/39
+    x = jnp.concatenate(
+        [jnp.ones((512, 1)), jnp.full((512, 127), 0.3)], axis=1
+    ).astype(jnp.float32)
     vals, scales = ops.quantize_int8_stochastic(x, seed=1)
-    back = np.asarray(vals, np.float32) * np.asarray(scales)
-    # mean must approximate the true value (unbiased), individual entries round
-    np.testing.assert_allclose(back.mean(), 0.3, rtol=0.01)
+    v = np.asarray(vals)[:, 1:]
+    assert set(np.unique(v)) <= {38, 39}
+    back = v.astype(np.float32) * np.asarray(scales)
+    # unbiased: the mean approximates the true value despite sub-ULP rounding
+    np.testing.assert_allclose(back.mean(), 0.3, rtol=0.005)

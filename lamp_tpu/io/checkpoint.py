@@ -196,9 +196,32 @@ def load_pytree(path: str, template: Any) -> Any:
 def save_loop_state(path: str, *, model, optimizer_state, epoch: int,
                     last_validation_loss=None, min_validation_loss=None,
                     min_validation_model=None, learning_curve=None,
-                    lr_state=None, extra=None) -> None:
+                    lr_state=None, extra=None,
+                    background: bool = False) -> None:
     """Persist full training-loop state (reference SimpleLoopState,
-    data/LoopState.scala:4-29 + StateIO.stateToFile)."""
+    data/LoopState.scala:4-29 + StateIO.stateToFile).
+
+    ``background=True`` runs the host-side serialization on a daemon thread
+    so training continues while the checkpoint writes (jax arrays are
+    immutable, so snapshotting the references is safe; the device->host
+    gather happens on the writer thread).
+    """
+    if background:
+        import threading
+
+        threading.Thread(
+            target=save_loop_state,
+            kwargs=dict(
+                path=path, model=model, optimizer_state=optimizer_state,
+                epoch=epoch, last_validation_loss=last_validation_loss,
+                min_validation_loss=min_validation_loss,
+                min_validation_model=min_validation_model,
+                learning_curve=learning_curve, lr_state=lr_state,
+                extra=extra, background=False,
+            ),
+            daemon=True,
+        ).start()
+        return
     state = {
         "model": model,
         "optimizer_state": optimizer_state,

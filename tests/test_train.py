@@ -250,3 +250,27 @@ def test_tensor_blob_bf16_and_alignment():
         np.testing.assert_array_equal(
             back[1], np.arange(4, dtype=np.float32)
         )
+
+
+def test_background_checkpoint(tmp_path):
+    import time
+
+    from lamp_tpu import io as lio2
+
+    model = nn.MLP(4, 8, 2, key=jax.random.PRNGKey(0))
+    opt = optim.AdamW(1e-3)
+    state = train.TrainState.init(model, opt)
+    path = str(tmp_path / "bg_ckpt")
+    lio2.save_loop_state(
+        path, model=state.model, optimizer_state=state.opt_state, epoch=1,
+        background=True,
+    )
+    for _ in range(100):
+        if os.path.exists(path + ".meta"):
+            break
+        time.sleep(0.1)
+    loaded, meta = lio2.load_loop_state(
+        path, model_template=state.model,
+        optimizer_state_template=state.opt_state,
+    )
+    assert meta["epoch"] == 1

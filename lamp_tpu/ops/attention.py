@@ -471,7 +471,9 @@ def flash_attention(q, k, v, *, causal: bool = False,
         sm_scale = 1.0 / math.sqrt(d)
 
     if block_q == 0:  # auto-tune: bigger blocks amortize grid overhead
-        block_q = min(512, _round_up(sq, 128))
+        # (measured on v5e: 1024x1024 beats 512x1024 at ctx 2048-8192,
+        # fwd and bwd; VMEM at 1024x1024 f32 scores = 4MB, well in budget)
+        block_q = min(1024, _round_up(sq, 128))
     if block_k == 0:
         block_k = min(1024, _round_up(skv, 128))
     block_q_eff = min(block_q, _round_up(sq, 8))

@@ -65,6 +65,14 @@ from .graph import (
     vertex_pooling,
 )
 from .moe import MoEMLP, moe_sharding_rules
+from .modern import (
+    LlamaBlock,
+    ModernLM,
+    RMSNorm,
+    SwiGLU,
+    apply_rope,
+    rope_frequencies,
+)
 from . import init, losses
 
 __all__ = [
@@ -92,4 +100,10 @@ __all__ = [
     "losses",
     "MoEMLP",
     "moe_sharding_rules",
+    "RMSNorm",
+    "SwiGLU",
+    "LlamaBlock",
+    "ModernLM",
+    "apply_rope",
+    "rope_frequencies",
 ]

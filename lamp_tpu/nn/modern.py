@@ -1,0 +1,223 @@
+"""Modern transformer components: RMSNorm, rotary embeddings, SwiGLU,
+llama-style decoder blocks.
+
+Beyond reference parity: the components a production LM stack needs today
+(the reference predates them). Composes with everything else in the
+framework: GQA (nn.MultiheadAttention), the flash kernel, MoE, remat,
+tensor-parallel sharding rules.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import flash_attention, mha_reference
+from . import init as initializers
+from .layers import Embedding, Linear
+from .module import Module, buffer_field, static_field
+
+__all__ = ["RMSNorm", "apply_rope", "rope_frequencies", "SwiGLU",
+           "LlamaBlock", "ModernLM"]
+
+
+class RMSNorm(Module):
+    """Root-mean-square norm (no mean subtraction, no bias)."""
+
+    weight: jax.Array
+    eps: float = static_field()
+    __tags__ = {"weight": "RMSNorm.weight"}
+
+    @staticmethod
+    def init(dim: int, *, eps: float = 1e-6, dtype=jnp.float32) -> "RMSNorm":
+        return RMSNorm(weight=jnp.ones((dim,), dtype), eps=eps)
+
+    def forward(self, x, *, key=None, train=False):
+        sd = jnp.promote_types(x.dtype, jnp.float32)
+        xf = x.astype(sd)
+        ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(ms + self.eps) * self.weight.astype(sd)
+        return y.astype(x.dtype), self
+
+
+def rope_frequencies(head_dim: int, max_len: int, *, base: float = 10000.0,
+                     dtype=jnp.float32):
+    """Precompute (cos, sin) tables [max_len, head_dim/2]."""
+    compute = jnp.promote_types(dtype, jnp.float32)
+    inv = 1.0 / (base ** (jnp.arange(0, head_dim, 2, dtype=compute)
+                          / head_dim))
+    t = jnp.arange(max_len, dtype=compute)
+    freqs = jnp.outer(t, inv)
+    return jnp.cos(freqs).astype(dtype), jnp.sin(freqs).astype(dtype)
+
+
+def apply_rope(x, cos, sin, *, positions=None):
+    """Rotate q/k ([B, H, T, D]) by position-dependent angles.
+
+    cos/sin: [max_len, D/2]; positions: optional [T] or [B, T] overrides.
+    """
+    t = x.shape[2]
+    if positions is None:
+        c = cos[:t][None, None, :, :]
+        s = sin[:t][None, None, :, :]
+    else:
+        c = jnp.take(cos, positions, axis=0)
+        s = jnp.take(sin, positions, axis=0)
+        if positions.ndim == 1:
+            c = c[None, None, :, :]
+            s = s[None, None, :, :]
+        else:  # [B, T]
+            c = c[:, None, :, :]
+            s = s[:, None, :, :]
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    c = c.astype(acc)
+    s = s.astype(acc)
+    x1, x2 = jnp.split(x.astype(acc), 2, axis=-1)
+    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return out.astype(x.dtype)
+
+
+class SwiGLU(Module):
+    """Gated MLP: w2(silu(w1 x) * w3 x)."""
+
+    w1: Linear
+    w3: Linear
+    w2: Linear
+
+    @staticmethod
+    def init(dim: int, hidden: int, *, key, dtype=jnp.float32) -> "SwiGLU":
+        k1, k2, k3 = jax.random.split(key, 3)
+        return SwiGLU(
+            w1=Linear.init(dim, hidden, key=k1, bias=False, dtype=dtype),
+            w3=Linear.init(dim, hidden, key=k2, bias=False, dtype=dtype),
+            w2=Linear.init(hidden, dim, key=k3, bias=False, dtype=dtype),
+        )
+
+    def forward(self, x, *, key=None, train=False):
+        return self.w2(jax.nn.silu(self.w1(x)) * self.w3(x)), self
+
+
+class LlamaBlock(Module):
+    """Pre-RMSNorm decoder block: RoPE attention (GQA) + SwiGLU."""
+
+    norm1: RMSNorm
+    norm2: RMSNorm
+    w_q: Linear
+    w_k: Linear
+    w_v: Linear
+    w_o: Linear
+    mlp: SwiGLU
+    num_heads: int = static_field()
+    num_kv_heads: int = static_field()
+
+    @staticmethod
+    def init(dim: int, num_heads: int, *, key, num_kv_heads: Optional[int] = None,
+             mlp_hidden: Optional[int] = None, dtype=jnp.float32) -> "LlamaBlock":
+        kv_heads = num_kv_heads or num_heads
+        mlp_hidden = mlp_hidden or int(dim * 8 / 3 // 64 * 64) or dim * 2
+        head_dim = dim // num_heads
+        keys = jax.random.split(key, 5)
+        return LlamaBlock(
+            norm1=RMSNorm.init(dim, dtype=dtype),
+            norm2=RMSNorm.init(dim, dtype=dtype),
+            w_q=Linear.init(dim, dim, key=keys[0], bias=False, dtype=dtype),
+            w_k=Linear.init(dim, kv_heads * head_dim, key=keys[1], bias=False,
+                            dtype=dtype),
+            w_v=Linear.init(dim, kv_heads * head_dim, key=keys[2], bias=False,
+                            dtype=dtype),
+            w_o=Linear.init(dim, dim, key=keys[3], bias=False, dtype=dtype),
+            mlp=SwiGLU.init(dim, mlp_hidden, key=keys[4], dtype=dtype),
+            num_heads=num_heads,
+            num_kv_heads=kv_heads,
+        )
+
+    def forward(self, x_and_rope, *, key=None, train=False):
+        x, (cos, sin) = x_and_rope
+        b, t, d = x.shape
+        h, hk = self.num_heads, self.num_kv_heads
+        hd = d // h
+        a = self.norm1(x)
+        q = self.w_q(a).reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        k = self.w_k(a).reshape(b, t, hk, hd).transpose(0, 2, 1, 3)
+        v = self.w_v(a).reshape(b, t, hk, hd).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if hk != h:
+            k = jnp.repeat(k, h // hk, axis=1)
+            v = jnp.repeat(v, h // hk, axis=1)
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and t > 1024:
+            o = flash_attention(q, k, v, causal=True)
+        else:
+            o = mha_reference(q, k, v, causal=True)
+        x = x + self.w_o(o.transpose(0, 2, 1, 3).reshape(b, t, d))
+        m, _ = self.mlp.forward(self.norm2(x), key=key, train=train)
+        x = x + m
+        return (x, (cos, sin)), self
+
+
+class ModernLM(Module):
+    """Llama-style LM: token embedding -> N LlamaBlocks -> RMSNorm -> tied
+    (or untied) logits. RoPE positions, GQA, SwiGLU."""
+
+    token_embedding: Embedding
+    blocks: Tuple[LlamaBlock, ...]
+    final_norm: RMSNorm
+    lm_head: Optional[Linear]
+    rope_cos: jax.Array = buffer_field()
+    rope_sin: jax.Array = buffer_field()
+    context_length: int = static_field()
+
+    @staticmethod
+    def init(*, vocab_size: int, context_length: int, num_blocks: int,
+             embed_dim: int, num_heads: int, num_kv_heads: Optional[int] = None,
+             mlp_hidden: Optional[int] = None, tied: bool = True, key,
+             rope_base: float = 10000.0, dtype=jnp.float32) -> "ModernLM":
+        keys = jax.random.split(key, num_blocks + 2)
+        cos, sin = rope_frequencies(embed_dim // num_heads, context_length,
+                                    base=rope_base)
+        return ModernLM(
+            token_embedding=Embedding(
+                weight=initializers.normal(0.02)(
+                    keys[0], (vocab_size, embed_dim), dtype
+                )
+            ),
+            blocks=tuple(
+                LlamaBlock.init(
+                    embed_dim, num_heads, key=keys[i + 1],
+                    num_kv_heads=num_kv_heads, mlp_hidden=mlp_hidden,
+                    dtype=dtype,
+                )
+                for i in range(num_blocks)
+            ),
+            final_norm=RMSNorm.init(embed_dim, dtype=dtype),
+            lm_head=(
+                None if tied
+                else Linear.init(embed_dim, vocab_size, key=keys[-1],
+                                 bias=False, dtype=dtype)
+            ),
+            rope_cos=cos,
+            rope_sin=sin,
+            context_length=context_length,
+        )
+
+    def forward(self, tokens, *, key=None, train=False):
+        if isinstance(tokens, tuple):
+            tokens = tokens[0]
+        x = self.token_embedding(tokens)
+        rope = (self.rope_cos, self.rope_sin)
+        keys = (
+            jax.random.split(key, len(self.blocks))
+            if key is not None else [None] * len(self.blocks)
+        )
+        for block, k in zip(self.blocks, keys):
+            (x, rope), _ = block.forward((x, rope), key=k, train=train)
+        x = self.final_norm(x)
+        acc = jnp.promote_types(x.dtype, jnp.float32)
+        if self.lm_head is not None:
+            return self.lm_head(x).astype(acc), self
+        w = self.token_embedding.weight
+        return jnp.einsum("btd,vd->btv", x, w, preferred_element_type=acc), self

@@ -1,0 +1,90 @@
+"""Modern LM component tests: RMSNorm, RoPE, SwiGLU, llama-style model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lamp_tpu import nn, optim, train
+from .gradcheck import check_module_grads
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_rmsnorm():
+    m = nn.RMSNorm.init(8, dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 8), jnp.float64) * 4
+    y = m(x)
+    rms = np.sqrt(np.mean(np.square(np.asarray(y)), -1))
+    np.testing.assert_allclose(rms, 1.0, rtol=1e-6)  # unit weights
+
+    def build_loss(mm):
+        out, _ = mm.forward(x)
+        return jnp.sum(jnp.square(out))
+
+    check_module_grads(build_loss, m)
+
+
+def test_rope_properties():
+    cos, sin = nn.rope_frequencies(16, 32, dtype=jnp.float64)
+    q = jax.random.normal(KEY, (1, 2, 8, 16), jnp.float64)
+    # norm preservation (rotation)
+    rq = nn.apply_rope(q, cos, sin)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(rq), axis=-1),
+        np.linalg.norm(np.asarray(q), axis=-1), rtol=1e-9,
+    )
+    # relative property: <rope(q,i), rope(k,j)> depends only on i-j
+    k = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 1, 16), jnp.float64)
+    qv = jax.random.normal(jax.random.PRNGKey(4), (1, 1, 1, 16), jnp.float64)
+
+    def dot_at(i, j):
+        rq = nn.apply_rope(qv, cos, sin, positions=jnp.asarray([i]))
+        rk = nn.apply_rope(k, cos, sin, positions=jnp.asarray([j]))
+        return float(jnp.sum(rq * rk))
+
+    np.testing.assert_allclose(dot_at(5, 3), dot_at(10, 8), rtol=1e-9)
+    assert abs(dot_at(5, 3) - dot_at(10, 2)) > 1e-9
+
+
+def test_swiglu_and_block():
+    m = nn.SwiGLU.init(8, 16, key=KEY, dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8), jnp.float64)
+    assert m(x).shape == (2, 8)
+
+    block = nn.LlamaBlock.init(16, 4, key=KEY, num_kv_heads=2,
+                               dtype=jnp.float64)
+    cos, sin = nn.rope_frequencies(4, 8)
+    xb = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 16), jnp.float64)
+    (y, _), _ = block.forward((xb, (cos.astype(jnp.float64),
+                                    sin.astype(jnp.float64))))
+    assert y.shape == xb.shape
+
+
+def test_modern_lm_causal_and_overfit():
+    model = nn.ModernLM.init(
+        vocab_size=17, context_length=16, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=KEY,
+    )
+    tokens = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]])
+    logits, _ = model.forward(tokens)
+    assert logits.shape == (1, 8, 17)
+    # causality: changing the future leaves earlier logits unchanged
+    tokens2 = tokens.at[0, 5:].set(9)
+    logits2, _ = model.forward(tokens2)
+    np.testing.assert_allclose(
+        np.asarray(logits[:, :5]), np.asarray(logits2[:, :5]), atol=1e-5
+    )
+
+    # overfit
+    def loss_fn(m, batch, key, train_mode):
+        t, y = batch
+        lg, nm = m.forward(t, key=key, train=train_mode)
+        return nn.losses.sequence_nll(lg, y), jnp.asarray(1.0), nm
+
+    opt = optim.AdamW(5e-3)
+    state = train.TrainState.init(model, opt)
+    step = jax.jit(train.make_train_step(opt, loss_fn))
+    target = jnp.roll(tokens, -1, axis=1)
+    for i in range(150):
+        state, (loss, _) = step(state, (tokens, target), jax.random.PRNGKey(i))
+    assert float(loss) < 0.1, float(loss)

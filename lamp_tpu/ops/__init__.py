@@ -2,6 +2,7 @@
 
 from .attention import dot_product_attention, flash_attention, mha_reference
 from .fused_adamw import AdamWStochastic, fused_adamw_update
+from .paged_attention import PagedKVCache, paged_attention, paged_attention_reference
 from .quantization import (
     QuantizedLinear,
     dequantize_int8,
@@ -37,6 +38,9 @@ __all__ = [
     "QuantizedLinear",
     "quantize_model",
     "quantize_int8_stochastic",
+    "paged_attention",
+    "paged_attention_reference",
+    "PagedKVCache",
     "euclidean_distance",
     "capped_shifted_negative_exponential",
     "mask_fill",

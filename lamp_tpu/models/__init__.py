@@ -1,6 +1,7 @@
 """Model zoo: vision nets, KV-cached generation."""
 
 from .generate import KVCache, decode_step, generate, init_cache, prefill
+from .serving import BatchServer
 from .vision import ResidualBlock, lenet, resnet_cifar
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "init_cache",
     "decode_step",
     "prefill",
+    "BatchServer",
 ]

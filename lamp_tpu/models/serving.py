@@ -1,0 +1,183 @@
+"""Batch LM serving over the paged KV cache.
+
+Continuous-batching decode engine: concurrent sequences of different lengths
+share one physical page pool (ops.paged_attention); requests join and leave
+the batch between steps. This is the serving-side counterpart of the
+training stack — the reference has no serving layer at all (SURVEY.md §1).
+
+Engine shape:
+    server = BatchServer(model, page_size=64, total_pages=1024)
+    server.add("req1", prompt_tokens)
+    new_tokens = server.step()      # one token for every active request
+    server.remove("req1")
+
+One jitted step: per layer, the new tokens' K/V are written into their page
+slots functionally (donated pool buffers update in place under jit), then
+the paged kernel attends over history + self.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.lm import LanguageModelModule
+from ..ops.paged_attention import paged_attention
+
+__all__ = ["BatchServer"]
+
+
+class BatchServer:
+    """Paged-KV batch decode for :class:`LanguageModelModule`."""
+
+    def __init__(self, model: LanguageModelModule, *, page_size: int = 64,
+                 total_pages: int = 512, temperature: float = 0.0,
+                 seed: int = 0):
+        self.model = model
+        block = model.encoder.blocks[0]
+        self.layers = len(model.encoder.blocks)
+        self.heads = block.attention.num_heads
+        self.head_dim = block.attention.w_q.weight.shape[1] // self.heads
+        self.page_size = page_size
+        self.total_pages = total_pages
+        self.max_pages_per_seq = (
+            model.context_length + page_size - 1
+        ) // page_size
+        dt = model.token_embedding.weight.dtype
+        # one pool spanning all layers: [L, H, P, page, D]
+        self.k_pages = jnp.zeros(
+            (self.layers, self.heads, total_pages, page_size, self.head_dim), dt
+        )
+        self.v_pages = jnp.zeros_like(self.k_pages)
+        self.free_pages: List[int] = list(range(total_pages - 1, -1, -1))
+        self.seq_pages: Dict = {}
+        self.seq_len: Dict = {}
+        self.last_token: Dict = {}
+        self.temperature = temperature
+        self.key = jax.random.PRNGKey(seed)
+        self._step_fn = jax.jit(self._decode_step, donate_argnums=(1, 2))
+
+    # -- request lifecycle --------------------------------------------------
+    def add(self, seq_id, prompt_tokens) -> None:
+        """Admit a request: prefill the prompt token by token."""
+        if seq_id in self.seq_pages:
+            raise ValueError(f"duplicate request {seq_id}")
+        self.seq_pages[seq_id] = []
+        self.seq_len[seq_id] = 0
+        prompt = np.asarray(prompt_tokens).reshape(-1)
+        for t in prompt[:-1]:
+            self._advance([seq_id], jnp.asarray([int(t)], jnp.int32))
+        self.last_token[seq_id] = int(prompt[-1])
+
+    def remove(self, seq_id) -> None:
+        self.free_pages.extend(self.seq_pages.pop(seq_id))
+        self.seq_len.pop(seq_id)
+        self.last_token.pop(seq_id)
+
+    @property
+    def active(self) -> List:
+        return list(self.seq_pages)
+
+    # -- internals ------------------------------------------------------
+
+    def _alloc_slot(self, seq_id) -> Tuple[int, int]:
+        pos = self.seq_len[seq_id]
+        if pos % self.page_size == 0:
+            if not self.free_pages:
+                raise RuntimeError("KV page pool exhausted")
+            self.seq_pages[seq_id].append(self.free_pages.pop())
+        pg = self.seq_pages[seq_id][pos // self.page_size]
+        return pg, pos % self.page_size
+
+    def _views(self, seq_ids):
+        b = len(seq_ids)
+        idx = np.zeros((b, self.max_pages_per_seq), np.int32)
+        lens = np.zeros((b,), np.int32)
+        for i, sid in enumerate(seq_ids):
+            pages = self.seq_pages[sid]
+            idx[i, :len(pages)] = pages
+            lens[i] = self.seq_len[sid]
+        return jnp.asarray(idx), jnp.asarray(lens)
+
+    def _decode_step(self, model, k_pages, v_pages, tokens, page_idx, lengths,
+                     token_pages, token_slots):
+        """Process a [B] batch of tokens sitting at positions ``lengths``:
+        write their per-layer K/V into (token_pages, token_slots), attend over
+        history + self, return (logits [B,V], new_k_pages, new_v_pages)."""
+        b = tokens.shape[0]
+        x = model.token_embedding(tokens[:, None]) + jnp.take(
+            model.position_embedding.weight, lengths[:, None], axis=0
+        )
+        batch_ar = jnp.arange(b)
+        for li, block in enumerate(model.encoder.blocks):
+            att = block.attention
+            h = att.num_heads
+            a = block.norm1(x)[:, 0]          # [B, D_model]
+
+            def proj(lin):
+                y = a @ lin.weight
+                if lin.bias is not None:
+                    y = y + lin.bias
+                return y.reshape(b, h, self.head_dim)
+
+            q = proj(att.w_q)
+            kk = proj(att.w_k)
+            vv = proj(att.w_v)
+            # write this token's kv into its page slot. Index layout: the
+            # scalar layer index and the (page, slot) arrays are all advanced
+            # indices separated by the head slice, so the batch dim leads:
+            # target shape [B, H, D] == kk's natural layout
+            k_pages = k_pages.at[li, :, token_pages, token_slots].set(kk)
+            v_pages = v_pages.at[li, :, token_pages, token_slots].set(vv)
+            o = paged_attention(
+                q, k_pages[li], v_pages[li], page_idx, lengths + 1,
+            )
+            o = o.reshape(b, 1, h * self.head_dim)
+            ow = o @ att.w_o.weight
+            if att.w_o.bias is not None:
+                ow = ow + att.w_o.bias
+            x = x + ow * block.scale1
+            m = block.w2(block.activation(block.w1(block.norm2(x))))
+            x = x + m * block.scale2
+        x = model.final_norm(x)
+        w = model.token_embedding.weight
+        logits = jnp.einsum(
+            "btd,vd->btv", x, w, preferred_element_type=jnp.float32
+        )[:, 0]
+        return logits, k_pages, v_pages
+
+    def _advance(self, seq_ids, tokens):
+        """Write tokens' KV + return logits; bumps lengths."""
+        slots = [self._alloc_slot(s) for s in seq_ids]
+        idx, lens = self._views(seq_ids)
+        tp = jnp.asarray([p for p, _ in slots], jnp.int32)
+        ts = jnp.asarray([sl for _, sl in slots], jnp.int32)
+        logits, self.k_pages, self.v_pages = self._step_fn(
+            self.model, self.k_pages, self.v_pages, tokens, idx, lens, tp, ts
+        )
+        for s in seq_ids:
+            self.seq_len[s] += 1
+        return logits
+
+    # -- decode ----------------------------------------------------------
+    def step(self) -> Dict:
+        """Decode one token for every active request; returns {seq_id: token}."""
+        seq_ids = self.active
+        if not seq_ids:
+            return {}
+        tokens = jnp.asarray([self.last_token[s] for s in seq_ids], jnp.int32)
+        logits = self._advance(seq_ids, tokens)
+        if self.temperature <= 0:
+            nxt = jnp.argmax(logits, axis=-1)
+        else:
+            self.key, sub = jax.random.split(self.key)
+            nxt = jax.random.categorical(sub, logits / self.temperature, -1)
+        out = {}
+        for i, s in enumerate(seq_ids):
+            t = int(nxt[i])
+            self.last_token[s] = t
+            out[s] = t
+        return out

@@ -47,9 +47,11 @@ class BatchServer:
             model.context_length + page_size - 1
         ) // page_size
         dt = model.token_embedding.weight.dtype
-        # one pool spanning all layers: [L, H, P, page, D]
+        # one pool spanning all layers: [L, P, page, H*D] (heads fused into
+        # lanes so DMA slices stay 128-aligned for any head_dim)
         self.k_pages = jnp.zeros(
-            (self.layers, self.heads, total_pages, page_size, self.head_dim), dt
+            (self.layers, total_pages, page_size,
+             self.heads * self.head_dim), dt
         )
         self.v_pages = jnp.zeros_like(self.k_pages)
         self.free_pages: List[int] = list(range(total_pages - 1, -1, -1))
@@ -126,14 +128,16 @@ class BatchServer:
             q = proj(att.w_q)
             kk = proj(att.w_k)
             vv = proj(att.w_v)
-            # write this token's kv into its page slot. Index layout: the
-            # scalar layer index and the (page, slot) arrays are all advanced
-            # indices separated by the head slice, so the batch dim leads:
-            # target shape [B, H, D] == kk's natural layout
-            k_pages = k_pages.at[li, :, token_pages, token_slots].set(kk)
-            v_pages = v_pages.at[li, :, token_pages, token_slots].set(vv)
+            # write this token's fused-head kv row into its page slot
+            k_pages = k_pages.at[li, token_pages, token_slots].set(
+                kk.reshape(b, -1)
+            )
+            v_pages = v_pages.at[li, token_pages, token_slots].set(
+                vv.reshape(b, -1)
+            )
             o = paged_attention(
                 q, k_pages[li], v_pages[li], page_idx, lengths + 1,
+                num_kv_heads=h,
             )
             o = o.reshape(b, 1, h * self.head_dim)
             ow = o @ att.w_o.weight
@@ -175,9 +179,12 @@ class BatchServer:
         else:
             self.key, sub = jax.random.split(self.key)
             nxt = jax.random.categorical(sub, logits / self.temperature, -1)
+        # ONE device->host transfer for the whole batch (per-element int()
+        # would pay a full round trip per sequence)
+        nxt_host = np.asarray(nxt)
         out = {}
         for i, s in enumerate(seq_ids):
-            t = int(nxt[i])
+            t = int(nxt_host[i])
             self.last_token[s] = t
             out[s] = t
         return out

@@ -15,27 +15,27 @@ from lamp_tpu.ops.paged_attention import (
 def _setup(B=3, H=4, Hkv=2, D=32, PAGE=16, PAGES=8, TOTAL=64, seed=0):
     rng = np.random.RandomState(seed)
     q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
-    k_pages = jnp.asarray(rng.randn(Hkv, TOTAL, PAGE, D).astype(np.float32))
-    v_pages = jnp.asarray(rng.randn(Hkv, TOTAL, PAGE, D).astype(np.float32))
+    k_pages = jnp.asarray(rng.randn(TOTAL, PAGE, Hkv * D).astype(np.float32))
+    v_pages = jnp.asarray(rng.randn(TOTAL, PAGE, Hkv * D).astype(np.float32))
     page_indices = jnp.asarray(np.stack([
         rng.choice(TOTAL, PAGES, replace=False) for _ in range(B)
     ]).astype(np.int32))
     lengths = jnp.asarray(rng.randint(1, PAGES * PAGE, B).astype(np.int32))
-    return q, k_pages, v_pages, page_indices, lengths
+    return (q, k_pages, v_pages, page_indices, lengths), Hkv
 
 
 def test_paged_matches_reference():
-    args = _setup()
-    ref = paged_attention_reference(*args)
-    out = paged_attention(*args, interpret=True)
+    args, hkv = _setup()
+    ref = paged_attention_reference(*args, num_kv_heads=hkv)
+    out = paged_attention(*args, num_kv_heads=hkv, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=2e-5)
 
 
 def test_paged_mha_no_gqa():
-    args = _setup(H=2, Hkv=2)
-    ref = paged_attention_reference(*args)
-    out = paged_attention(*args, interpret=True)
+    args, hkv = _setup(H=2, Hkv=2)
+    ref = paged_attention_reference(*args, num_kv_heads=hkv)
+    out = paged_attention(*args, num_kv_heads=hkv, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=2e-5)
 
@@ -63,8 +63,9 @@ def test_page_pool_manager():
     # attention over the pool equals attention over the raw appended kv
     q = jnp.asarray(rng.randn(2, 4, 8).astype(np.float32))  # B=2, H=4 (GQA 2)
     out = paged_attention(q, cache.k_pages, cache.v_pages, idx, lens,
-                          interpret=True)
-    ref = paged_attention_reference(q, cache.k_pages, cache.v_pages, idx, lens)
+                          num_kv_heads=2, interpret=True)
+    ref = paged_attention_reference(q, cache.k_pages, cache.v_pages, idx,
+                                    lens, num_kv_heads=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
     # freeing returns pages to the pool

@@ -61,18 +61,70 @@ class BatchServer:
         self.temperature = temperature
         self.key = jax.random.PRNGKey(seed)
         self._step_fn = jax.jit(self._decode_step, donate_argnums=(1, 2))
+        self._prefill_fn = jax.jit(self._prefill_seq, donate_argnums=(1, 2))
 
     # -- request lifecycle --------------------------------------------------
     def add(self, seq_id, prompt_tokens) -> None:
-        """Admit a request: prefill the prompt token by token."""
+        """Admit a request: dense one-shot prefill of the prompt (full-matmul
+        efficiency; all K/V rows written into pages in one jitted call)."""
         if seq_id in self.seq_pages:
             raise ValueError(f"duplicate request {seq_id}")
         self.seq_pages[seq_id] = []
         self.seq_len[seq_id] = 0
         prompt = np.asarray(prompt_tokens).reshape(-1)
-        for t in prompt[:-1]:
-            self._advance([seq_id], jnp.asarray([int(t)], jnp.int32))
+        n_prefill = len(prompt) - 1
+        if n_prefill > 0:
+            # allocate the pages/slots for all prefill tokens
+            slots = []
+            for _ in range(n_prefill):
+                slots.append(self._alloc_slot(seq_id))
+                self.seq_len[seq_id] += 1
+            tp = jnp.asarray([p for p, _ in slots], jnp.int32)
+            ts = jnp.asarray([sl for _, sl in slots], jnp.int32)
+            self.k_pages, self.v_pages = self._prefill_fn(
+                self.model, self.k_pages, self.v_pages,
+                jnp.asarray(prompt[:-1].astype(np.int32)), tp, ts,
+            )
         self.last_token[seq_id] = int(prompt[-1])
+
+    def _prefill_seq(self, model, k_pages, v_pages, tokens, token_pages,
+                     token_slots):
+        """Dense prefill of ONE sequence: full causal forward over [T] tokens,
+        writing every layer's K/V rows into (token_pages, token_slots)."""
+        t = tokens.shape[0]
+        x = model.token_embedding(tokens[None]) + jnp.take(
+            model.position_embedding.weight, jnp.arange(t)[None], axis=0
+        )  # [1, T, D]
+        from ..ops.attention import mha_reference
+
+        for li, block in enumerate(model.encoder.blocks):
+            att = block.attention
+            h = att.num_heads
+            a = block.norm1(x)
+
+            def heads(lin):
+                y = a @ lin.weight
+                if lin.bias is not None:
+                    y = y + lin.bias
+                return y.reshape(1, t, h, self.head_dim).transpose(0, 2, 1, 3)
+
+            q = heads(att.w_q)
+            kk = heads(att.w_k)
+            vv = heads(att.w_v)
+            # write kv rows: [T, H*D] into page slots
+            k_rows = kk[0].transpose(1, 0, 2).reshape(t, -1)
+            v_rows = vv[0].transpose(1, 0, 2).reshape(t, -1)
+            k_pages = k_pages.at[li, token_pages, token_slots].set(k_rows)
+            v_pages = v_pages.at[li, token_pages, token_slots].set(v_rows)
+            o = mha_reference(q, kk, vv, causal=True)
+            o = o.transpose(0, 2, 1, 3).reshape(1, t, -1)
+            ow = o @ att.w_o.weight
+            if att.w_o.bias is not None:
+                ow = ow + att.w_o.bias
+            x = x + ow * block.scale1
+            m = block.w2(block.activation(block.w1(block.norm2(x))))
+            x = x + m * block.scale2
+        return k_pages, v_pages
 
     def remove(self, seq_id) -> None:
         self.free_pages.extend(self.seq_pages.pop(seq_id))

@@ -165,7 +165,6 @@ class BatchServer:
         x = model.token_embedding(tokens[:, None]) + jnp.take(
             model.position_embedding.weight, lengths[:, None], axis=0
         )
-        batch_ar = jnp.arange(b)
         for li, block in enumerate(model.encoder.blocks):
             att = block.attention
             h = att.num_heads

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from . import init as initializers
 from .layers import Embedding, LayerNorm, Linear
 from .losses import bce_with_logits_loss, nll_loss
-from .module import Module, static_field
+from .module import Module
 from .transformer import TransformerEncoder
 
 __all__ = [

@@ -11,8 +11,7 @@ the reference's tensor contract; XLA:TPU transposes internally as needed.
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Tuple, Union
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,12 +13,11 @@ shapes.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
-from . import init as initializers
 from .layers import Dropout, Linear
 from .module import Module, static_field
 

@@ -9,7 +9,7 @@ jnp (XLA fuses the elementwise chains into surrounding matmuls), matmuls carry
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

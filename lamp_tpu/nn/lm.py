@@ -13,7 +13,7 @@ generated token — call stack SURVEY.md §3.4).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

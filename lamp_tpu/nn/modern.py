@@ -9,8 +9,7 @@ tensor-parallel sharding rules.
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ shapes static under jit.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -62,9 +62,8 @@ class MoEMLP(Module):
         return self.w_gate.shape[1]
 
     def forward(self, x, *, key=None, train=False):
-        """x: [..., d]. Returns (y, aux) where the module also records the
-        load-balancing loss on ``self`` via the return protocol (access it
-        through :meth:`gating_stats` if needed)."""
+        """x: [..., d] -> same shape. For the auxiliary balancing objective
+        call :meth:`load_balancing_loss` separately in the training loss."""
         orig_shape = x.shape
         d = x.shape[-1]
         flat = x.reshape(-1, d)

@@ -15,7 +15,7 @@ call or a layer lives here — all differentiable through jax.grad:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

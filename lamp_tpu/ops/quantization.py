@@ -14,7 +14,6 @@ fuses it into neighbouring ops).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -19,7 +19,7 @@ on bias/norm parameters.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional, Union
+from typing import Any, Callable, Union
 
 import jax
 import jax.numpy as jnp

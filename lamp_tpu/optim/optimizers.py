@@ -12,7 +12,7 @@ bandwidth-bound elementwise kernels on TPU.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

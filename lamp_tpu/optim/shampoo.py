@@ -14,8 +14,6 @@ cheap path.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

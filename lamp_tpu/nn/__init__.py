@@ -13,6 +13,7 @@ from .module import (
 )
 from .layers import (
     MLP,
+    EitherModule,
     BatchNorm,
     BatchNorm2D,
     Dropout,
@@ -96,6 +97,7 @@ __all__ = [
     "Sequential",
     "Fun",
     "Residual",
+    "EitherModule",
     "init",
     "losses",
     "MoEMLP",

@@ -29,6 +29,7 @@ __all__ = [
     "Sequential",
     "Fun",
     "Residual",
+    "EitherModule",
 ]
 
 
@@ -332,6 +333,30 @@ class Sequential(Module):
 
     def __len__(self):
         return len(self.layers)
+
+
+class EitherModule(Module):
+    """Holds one of two alternative modules and dispatches to whichever is
+    present (reference EitherModule, Module.scala:35) — useful when a model
+    variant swaps a sub-block at construction time while keeping one
+    checkpointable type."""
+
+    left: Optional[Module]
+    right: Optional[Module]
+
+    @staticmethod
+    def init(left: Optional[Module] = None,
+             right: Optional[Module] = None) -> "EitherModule":
+        if (left is None) == (right is None):
+            raise ValueError("exactly one of left/right must be set")
+        return EitherModule(left=left, right=right)
+
+    def forward(self, x, *, key=None, train=False):
+        inner = self.left if self.left is not None else self.right
+        y, new_inner = inner.forward(x, key=key, train=train)
+        if self.left is not None:
+            return y, self.replace(left=new_inner)
+        return y, self.replace(right=new_inner)
 
 
 class Residual(Module):

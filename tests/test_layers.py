@@ -180,3 +180,18 @@ def test_param_tags_and_partition():
     y1 = m(jnp.ones((1, 3)))
     y2 = recombined(jnp.ones((1, 3)))
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_either_module():
+    left = nn.Linear.init(4, 4, key=KEY, dtype=jnp.float64)
+    m = nn.EitherModule.init(left=left)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4), jnp.float64)
+    np.testing.assert_allclose(np.asarray(m(x)), np.asarray(left(x)))
+    m2 = nn.EitherModule.init(right=nn.Fun.init(jax.nn.relu))
+    np.testing.assert_allclose(
+        np.asarray(m2(x)), np.asarray(jax.nn.relu(x))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        nn.EitherModule.init()

@@ -1,7 +1,7 @@
 """Model zoo: vision nets, KV-cached generation."""
 
 from .generate import KVCache, decode_step, generate, init_cache, prefill
-from .serving import BatchServer
+from .serving import BatchServer, ModernBatchServer
 from .vision import ResidualBlock, lenet, resnet_cifar
 
 __all__ = [
@@ -14,4 +14,5 @@ __all__ = [
     "decode_step",
     "prefill",
     "BatchServer",
+    "ModernBatchServer",
 ]

@@ -27,31 +27,36 @@ import numpy as np
 from ..nn.lm import LanguageModelModule
 from ..ops.paged_attention import paged_attention
 
-__all__ = ["BatchServer"]
+__all__ = ["BatchServer", "ModernBatchServer"]
 
 
 class BatchServer:
-    """Paged-KV batch decode for :class:`LanguageModelModule`."""
+    """Paged-KV batch decode for :class:`LanguageModelModule` (see
+    :class:`ModernBatchServer` for the llama-style family)."""
 
-    def __init__(self, model: LanguageModelModule, *, page_size: int = 64,
-                 total_pages: int = 512, temperature: float = 0.0,
-                 seed: int = 0):
-        self.model = model
+    def _introspect(self, model):
         block = model.encoder.blocks[0]
         self.layers = len(model.encoder.blocks)
         self.heads = block.attention.num_heads
+        self.kv_heads = self.heads
         self.head_dim = block.attention.w_q.weight.shape[1] // self.heads
+
+    def __init__(self, model, *, page_size: int = 64,
+                 total_pages: int = 512, temperature: float = 0.0,
+                 seed: int = 0):
+        self.model = model
+        self._introspect(model)
         self.page_size = page_size
         self.total_pages = total_pages
         self.max_pages_per_seq = (
             model.context_length + page_size - 1
         ) // page_size
         dt = model.token_embedding.weight.dtype
-        # one pool spanning all layers: [L, P, page, H*D] (heads fused into
-        # lanes so DMA slices stay 128-aligned for any head_dim)
+        # one pool spanning all layers: [L, P, page, H_kv*D] (heads fused
+        # into lanes so DMA slices stay 128-aligned for any head_dim)
         self.k_pages = jnp.zeros(
             (self.layers, total_pages, page_size,
-             self.heads * self.head_dim), dt
+             self.kv_heads * self.head_dim), dt
         )
         self.v_pages = jnp.zeros_like(self.k_pages)
         self.free_pages: List[int] = list(range(total_pages - 1, -1, -1))
@@ -188,7 +193,7 @@ class BatchServer:
             )
             o = paged_attention(
                 q, k_pages[li], v_pages[li], page_idx, lengths + 1,
-                num_kv_heads=h,
+                num_kv_heads=self.kv_heads,
             )
             o = o.reshape(b, 1, h * self.head_dim)
             ow = o @ att.w_o.weight
@@ -239,3 +244,105 @@ class BatchServer:
             self.last_token[s] = t
             out[s] = t
         return out
+
+
+class ModernBatchServer(BatchServer):
+    """Paged-KV batch decode for :class:`lamp_tpu.nn.ModernLM` (RoPE + GQA +
+    RMSNorm + SwiGLU). The pool holds ``num_kv_heads`` fused head rows; RoPE
+    rotates q/k at each token's absolute position before the pages are
+    written, so the cached keys are already position-encoded."""
+
+    def _introspect(self, model):
+        block = model.blocks[0]
+        self.layers = len(model.blocks)
+        self.heads = block.num_heads
+        self.kv_heads = block.num_kv_heads
+        d_model = block.w_q.weight.shape[0]
+        self.head_dim = d_model // self.heads
+
+    def _decode_step(self, model, k_pages, v_pages, tokens, page_idx, lengths,
+                     token_pages, token_slots):
+        from ..nn.modern import apply_rope
+
+        b = tokens.shape[0]
+        x = model.token_embedding(tokens[:, None])  # [B, 1, D]
+        cos, sin = model.rope_cos, model.rope_sin
+        for li, block in enumerate(model.blocks):
+            a = block.norm1(x)[:, 0]
+
+            def proj(lin, heads):
+                return (a @ lin.weight).reshape(b, heads, self.head_dim)
+
+            q = proj(block.w_q, self.heads)
+            kk = proj(block.w_k, self.kv_heads)
+            vv = proj(block.w_v, self.kv_heads)
+            # rotate at each token's own position ([B] lengths)
+            q = _rope_tok(q, cos, sin, lengths)
+            kk = _rope_tok(kk, cos, sin, lengths)
+            k_pages = k_pages.at[li, token_pages, token_slots].set(
+                kk.reshape(b, -1)
+            )
+            v_pages = v_pages.at[li, token_pages, token_slots].set(
+                vv.reshape(b, -1)
+            )
+            o = paged_attention(
+                q, k_pages[li], v_pages[li], page_idx, lengths + 1,
+                num_kv_heads=self.kv_heads,
+            )
+            x = x + (o.reshape(b, 1, -1) @ block.w_o.weight)
+            m, _ = block.mlp.forward(block.norm2(x))
+            x = x + m
+        x = model.final_norm(x)
+        if model.lm_head is not None:
+            logits = model.lm_head(x)[:, 0].astype(jnp.float32)
+        else:
+            w = model.token_embedding.weight
+            logits = jnp.einsum(
+                "btd,vd->btv", x, w, preferred_element_type=jnp.float32
+            )[:, 0]
+        return logits, k_pages, v_pages
+
+    def _prefill_seq(self, model, k_pages, v_pages, tokens, token_pages,
+                     token_slots):
+        from ..nn.modern import apply_rope
+        from ..ops.attention import mha_reference
+
+        t = tokens.shape[0]
+        x = model.token_embedding(tokens[None])  # [1, T, D]
+        cos, sin = model.rope_cos, model.rope_sin
+        for li, block in enumerate(model.blocks):
+            a = block.norm1(x)
+
+            def heads(lin, nh):
+                return (a @ lin.weight).reshape(1, t, nh, self.head_dim
+                                                ).transpose(0, 2, 1, 3)
+
+            q = heads(block.w_q, self.heads)
+            kk = heads(block.w_k, self.kv_heads)
+            vv = heads(block.w_v, self.kv_heads)
+            q = apply_rope(q, cos, sin)
+            kk = apply_rope(kk, cos, sin)
+            k_rows = kk[0].transpose(1, 0, 2).reshape(t, -1)
+            v_rows = vv[0].transpose(1, 0, 2).reshape(t, -1)
+            k_pages = k_pages.at[li, token_pages, token_slots].set(k_rows)
+            v_pages = v_pages.at[li, token_pages, token_slots].set(v_rows)
+            if self.kv_heads != self.heads:
+                rep = self.heads // self.kv_heads
+                kk = jnp.repeat(kk, rep, axis=1)
+                vv = jnp.repeat(vv, rep, axis=1)
+            o = mha_reference(q, kk, vv, causal=True)
+            o = o.transpose(0, 2, 1, 3).reshape(1, t, -1)
+            x = x + (o @ block.w_o.weight)
+            m, _ = block.mlp.forward(block.norm2(x))
+            x = x + m
+        return k_pages, v_pages
+
+
+def _rope_tok(x, cos, sin, positions):
+    """Rotate [B, H, D] single-token q/k at per-batch positions [B]."""
+    from ..nn.modern import apply_rope
+
+    # apply_rope expects [B, H, T, D]; T=1 with per-batch positions [B, 1]
+    out = apply_rope(x[:, :, None, :], cos, sin,
+                     positions=positions[:, None])
+    return out[:, :, 0, :]

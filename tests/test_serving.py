@@ -65,3 +65,36 @@ def test_serving_join_leave_and_page_reuse():
     s.add("b", [4, 5])
     out = s.step()
     assert "b" in out and 0 <= out["b"] < 23
+
+
+def test_modern_serving_matches_full_forward():
+    """ModernLM (RoPE + GQA) batch serving matches the dense forward."""
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    model = nn.ModernLM.init(
+        vocab_size=19, context_length=32, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(0),
+    )
+    prompt = [1, 4, 7, 2, 9]
+    server = ModernBatchServer(model, page_size=8, total_pages=32)
+    server.add("a", prompt)
+    logits = server._advance(["a"], jnp.asarray([prompt[-1]], jnp.int32))
+    full, _ = model.forward(jnp.asarray([prompt], jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(logits[0]), np.asarray(full[0, -1]), atol=5e-3, rtol=5e-3
+    )
+
+
+def test_modern_serving_decodes():
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    model = nn.ModernLM.init(
+        vocab_size=19, context_length=32, num_blocks=1, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(0),
+    )
+    s = ModernBatchServer(model, page_size=8, total_pages=32)
+    s.add("a", [1, 2, 3])
+    s.add("b", [4])
+    toks = [s.step() for _ in range(4)]
+    assert all(set(t) == {"a", "b"} for t in toks)
+    assert all(0 <= v < 19 for t in toks for v in t.values())

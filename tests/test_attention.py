@@ -60,6 +60,33 @@ def test_flash_backward_matches_reference(causal):
         )
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_backward_split_matches_fused(causal, monkeypatch):
+    """The split (two-kernel) backward — used when the fused kernel's
+    partial-dq slab would exceed its HBM budget — matches the fused one."""
+    import lamp_tpu.ops.attention as A
+
+    shape = (1, 2, 256, 32)
+    keys = jax.random.split(jax.random.PRNGKey(9), 3)
+    q, k, v = (_rand(kk, shape) for kk in keys)
+
+    def loss(q, k, v):
+        return jnp.sum(
+            jnp.square(flash_attention(q, k, v, causal=causal, interpret=True,
+                                       block_q=64, block_k=64))
+        )
+
+    monkeypatch.setattr(A, "_FUSED_BWD_SLAB_BYTES", 1 << 40)
+    gf = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setattr(A, "_FUSED_BWD_SLAB_BYTES", 0)
+    gs = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gf, gs, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-5,
+            err_msg=f"split/fused mismatch for {name}",
+        )
+
+
 def test_flash_backward_smaller_blocks():
     shape = (1, 1, 256, 32)
     keys = jax.random.split(jax.random.PRNGKey(3), 3)

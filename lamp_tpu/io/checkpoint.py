@@ -29,6 +29,8 @@ __all__ = [
     "read_tensor_blob",
     "save_pytree",
     "load_pytree",
+    "save_pytree_sharded",
+    "load_pytree_sharded",
     "save_loop_state",
     "load_loop_state",
     "read_safetensors",
@@ -190,6 +192,159 @@ def load_pytree(path: str, template: Any) -> Any:
             if tmpl is not None and hasattr(tmpl, "dtype"):
                 arr = arr.astype(tmpl.dtype)
             out.append(arr)
+    return treedef.unflatten(out)
+
+
+def save_pytree_sharded(path: str, tree: Any) -> None:
+    """Sharded checkpoint: every process writes ONLY the array shards it
+    addresses — no gather of distributed arrays to one host (contrast
+    :func:`save_pytree`, whose ``np.asarray`` pulls each full array to
+    process 0; the reference always gathers, Writer.scala:70-120).
+
+    Layout: ``path`` is the main JSON descriptor (process 0),
+    ``path + f".shard{p}.json"`` + ``path + f".data.shard{p}"`` are each
+    process's shard descriptor and blob. Replicated shards are written once
+    globally (by the shard with ``replica_id == 0``).
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(
+        tree, is_leaf=lambda x: x is None
+    )
+    try:
+        pidx = jax.process_index()
+    except Exception:
+        pidx = 0
+    blob_path = f"{path}.data.shard{pidx}"
+    dirn = os.path.dirname(os.path.abspath(path))
+    os.makedirs(dirn, exist_ok=True)
+
+    metas, records = [], []
+    arr_count = 0
+    fd, tmp = tempfile.mkstemp(dir=dirn)
+    offset = 0
+    with os.fdopen(fd, "wb") as f:
+        for leaf in leaves:
+            meta = _leaf_meta(leaf)
+            if meta["kind"] == "array":
+                meta["index"] = arr_count
+                meta["shape"] = list(np.shape(leaf))
+                _, meta["dtype"] = _np_of(
+                    leaf.dtype.type(0) if hasattr(leaf, "dtype") else leaf
+                )
+                shards = getattr(leaf, "addressable_shards", None)
+                if shards is None:  # plain numpy/scalar array
+                    shards = [None]
+                for sh in shards:
+                    if sh is None:
+                        data_arr = leaf
+                        starts = [0] * np.ndim(leaf)
+                    else:
+                        if getattr(sh, "replica_id", 0) != 0:
+                            continue  # replica written by its first holder
+                        starts = [
+                            sl.indices(dim)[0]
+                            for sl, dim in zip(sh.index, np.shape(leaf))
+                        ]
+                        data_arr = sh.data
+                    arr, _ = _np_of(data_arr)
+                    data = np.ascontiguousarray(arr).tobytes()
+                    pad = (-len(data)) % _ALIGN
+                    f.write(data)
+                    f.write(b"\x00" * pad)
+                    records.append({
+                        "leaf": arr_count,
+                        "offset": offset,
+                        "nbytes": len(data),
+                        "start": starts,
+                        "shape": list(arr.shape),
+                    })
+                    offset += len(data) + pad
+                arr_count += 1
+            metas.append(meta)
+    os.replace(tmp, blob_path)
+
+    fd, tmp = tempfile.mkstemp(dir=dirn)
+    with os.fdopen(fd, "w") as f:
+        json.dump({"process": pidx, "records": records}, f)
+    os.replace(tmp, f"{path}.shard{pidx}.json")
+
+    if pidx == 0:
+        doc = {"version": 1, "sharded": True, "treedef": str(treedef),
+               "leaves": metas}
+        fd, tmp = tempfile.mkstemp(dir=dirn)
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+
+
+def load_pytree_sharded(path: str, template: Any, *,
+                        shardings=None) -> Any:
+    """Load a sharded checkpoint, assembling each leaf from all shard files
+    present next to ``path`` (mmap reads — only the bytes touched are
+    paged in). ``shardings``: optional pytree of jax.sharding.Sharding
+    matching ``template``; when given, leaves are device_put with them."""
+    import glob as _glob
+
+    with open(path) as f:
+        doc = json.load(f)
+    t_leaves, treedef = jax.tree_util.tree_flatten(
+        template, is_leaf=lambda x: x is None
+    )
+    if len(t_leaves) != len(doc["leaves"]):
+        raise ValueError(
+            f"checkpoint has {len(doc['leaves'])} leaves, template has "
+            f"{len(t_leaves)}"
+        )
+    shard_docs = []
+    for sp in sorted(_glob.glob(f"{path}.shard*.json")):
+        with open(sp) as f:
+            sd = json.load(f)
+        sd["blob"] = np.memmap(
+            f"{path}.data.shard{sd['process']}", dtype=np.uint8, mode="r"
+        )
+        shard_docs.append(sd)
+
+    by_leaf: Dict[int, List] = {}
+    for sd in shard_docs:
+        for rec in sd["records"]:
+            by_leaf.setdefault(rec["leaf"], []).append((sd["blob"], rec))
+
+    s_leaves = (
+        jax.tree_util.tree_leaves(shardings, is_leaf=lambda x: x is None)
+        if shardings is not None else [None] * len(t_leaves)
+    )
+    out = []
+    for tmpl, meta, shrd in zip(t_leaves, doc["leaves"], s_leaves):
+        if meta["kind"] == "none":
+            out.append(None)
+            continue
+        if meta["kind"] == "py":
+            out.append(meta["value"])
+            continue
+        dname = meta["dtype"]
+        np_dtype = np.uint16 if dname == _BF16 else _NAME_TO_DTYPE[dname]
+        full = np.empty(meta["shape"], np_dtype)
+        covered = 0
+        for blob, rec in by_leaf.get(meta["index"], []):
+            raw = blob[rec["offset"]:rec["offset"] + rec["nbytes"]]
+            piece = raw.view(np_dtype).reshape(rec["shape"])
+            idx = tuple(
+                slice(s, s + n) for s, n in zip(rec["start"], rec["shape"])
+            )
+            full[idx] = piece
+            covered += piece.size
+        if covered < full.size:
+            raise ValueError(
+                f"leaf {meta['index']}: shards cover {covered} of "
+                f"{full.size} elements (missing shard files?)"
+            )
+        arr = jnp.asarray(full)
+        if dname == _BF16:
+            arr = arr.view(jnp.bfloat16)
+        if tmpl is not None and hasattr(tmpl, "dtype"):
+            arr = arr.astype(tmpl.dtype)
+        if shrd is not None:
+            arr = jax.device_put(arr, shrd)
+        out.append(arr)
     return treedef.unflatten(out)
 
 

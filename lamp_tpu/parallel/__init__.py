@@ -11,7 +11,14 @@ from .mesh import (
     shard_tree,
 )
 from .context import make_ring_attention, ring_attention
-from .pipeline import make_pipelined_forward, pipeline_apply
+from .pipeline import (
+    make_interleaved_pipelined_forward,
+    make_pipelined_forward,
+    make_pipelined_lm_forward,
+    pipeline_apply,
+    pipeline_apply_interleaved,
+    stack_lm_blocks,
+)
 from .train import make_sharded_train_step, shard_batch, shard_train_state
 
 __all__ = [
@@ -29,5 +36,9 @@ __all__ = [
     "ring_attention",
     "make_ring_attention",
     "pipeline_apply",
+    "pipeline_apply_interleaved",
     "make_pipelined_forward",
+    "make_interleaved_pipelined_forward",
+    "make_pipelined_lm_forward",
+    "stack_lm_blocks",
 ]

@@ -284,6 +284,128 @@ def test_pipeline_differentiable():
                                rtol=1e-4)
 
 
+@pytest.mark.parametrize("m", [4, 6])
+def test_interleaved_pipeline_matches_sequential(m):
+    """The interleaved (circular / 1F1B-style) schedule with v virtual
+    chunks per stage must equal sequential block application, including for
+    microbatch counts that are not a multiple of the stage count."""
+    mesh = parallel.make_mesh({"pp": 4}, devices=jax.devices()[:4])
+    L, B, D = 8, 2, 16  # 4 stages x 2 virtual chunks x 1 block per chunk
+    keys = jax.random.split(jax.random.PRNGKey(0), L)
+    ws = jnp.stack([
+        jax.random.normal(k, (D, D), jnp.float32) * 0.3 for k in keys
+    ])
+    mbs = jax.random.normal(jax.random.PRNGKey(1), (m, B, D), jnp.float32)
+
+    def chunk_fn(w_stack, x):
+        def body(x, w):
+            return jnp.tanh(x @ w), None
+        y, _ = jax.lax.scan(body, x, w_stack)
+        return y
+
+    piped = parallel.make_interleaved_pipelined_forward(
+        mesh, chunk_fn, axis="pp", n_virtual=2
+    )
+    out = piped(ws, mbs)
+
+    def seq(x):
+        for l in range(L):
+            x = jnp.tanh(x @ ws[l])
+        return x
+
+    ref = jnp.stack([seq(mbs[i]) for i in range(m)])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_interleaved_pipeline_differentiable():
+    mesh = parallel.make_mesh({"pp": 4}, devices=jax.devices()[:4])
+    L, M, B, D = 8, 4, 2, 8
+    keys = jax.random.split(jax.random.PRNGKey(0), L)
+    ws = jnp.stack([
+        jax.random.normal(k, (D, D), jnp.float32) * 0.3 for k in keys
+    ])
+    mbs = jax.random.normal(jax.random.PRNGKey(1), (M, B, D), jnp.float32)
+
+    def chunk_fn(w_stack, x):
+        def body(x, w):
+            return jnp.tanh(x @ w), None
+        y, _ = jax.lax.scan(body, x, w_stack)
+        return y
+
+    piped = parallel.make_interleaved_pipelined_forward(
+        mesh, chunk_fn, axis="pp", n_virtual=2
+    )
+
+    def loss_piped(ws):
+        return jnp.sum(jnp.square(piped(ws, mbs)))
+
+    def loss_seq(ws):
+        x = mbs.reshape(M * B, D)
+        def body(x, w):
+            return jnp.tanh(x @ w), None
+        y, _ = jax.lax.scan(body, x, ws)
+        return jnp.sum(jnp.square(y))
+
+    g1 = jax.grad(loss_piped)(ws)
+    g2 = jax.grad(loss_seq)(ws)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_pipelined_lm_forward_matches_model():
+    """The LM block-stack pipeline (interleaved, 2 stages x 2 virtual
+    chunks) reproduces the plain forward's logits."""
+    mesh = parallel.make_mesh({"pp": 2}, devices=jax.devices()[:2])
+    lm = nn.LanguageModelModule.init(
+        vocab_size=17, context_length=8, num_blocks=4, embed_dim=16,
+        attention_heads=2, key=jax.random.PRNGKey(0),
+    )
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 17)
+    piped = parallel.make_pipelined_lm_forward(
+        mesh, axis="pp", n_virtual=2, n_microbatches=2
+    )
+    got = piped(lm, tokens)
+    ref, _ = lm.forward(tokens, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """save_pytree_sharded writes per-shard blobs (no gather of the full
+    array) and load_pytree_sharded reassembles + re-shards them."""
+    from jax.sharding import NamedSharding
+
+    from lamp_tpu.io.checkpoint import load_pytree_sharded, save_pytree_sharded
+
+    mesh = parallel.make_mesh({"dp": 4, "tp": 2})
+    x = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp", "tp")))
+    # partially replicated leaf + a bf16 leaf + python metadata
+    y = jnp.arange(16, dtype=jnp.bfloat16).reshape(8, 2)
+    ys = jax.device_put(y, NamedSharding(mesh, P("dp", None)))
+    tree = {"x": xs, "y": ys, "step": 7, "none": None}
+
+    path = str(tmp_path / "ck")
+    save_pytree_sharded(path, tree)
+    import os
+
+    assert os.path.exists(path + ".data.shard0")
+    assert os.path.exists(path + ".shard0.json")
+
+    template = {"x": jnp.zeros_like(x), "y": jnp.zeros_like(y),
+                "step": 0, "none": None}
+    shardings = {"x": NamedSharding(mesh, P("dp", "tp")),
+                 "y": NamedSharding(mesh, P("dp", None)),
+                 "step": None, "none": None}
+    got = load_pytree_sharded(path, template, shardings=shardings)
+    np.testing.assert_array_equal(np.asarray(got["x"]), np.asarray(x))
+    np.testing.assert_array_equal(
+        np.asarray(got["y"], np.float32), np.asarray(y, np.float32)
+    )
+    assert got["step"] == 7 and got["none"] is None
+    assert got["x"].sharding.spec == P("dp", "tp")
+
+
 def test_moe_expert_parallel():
     """MoE layer trains with experts sharded over the ep axis; dense-dispatch
     output matches the unsharded computation."""

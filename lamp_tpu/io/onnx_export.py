@@ -61,16 +61,23 @@ def _tensor_proto(name: str, arr) -> pb.TensorProto:
 
 
 class _Exporter:
-    def __init__(self):
+    def __init__(self, root: Optional["_Exporter"] = None):
         self.graph = pb.GraphProto()
         self.names: Dict[Any, str] = {}
         self.consts: Dict[Any, np.ndarray] = {}  # var -> folded constant
+        self._root = root or self
         self.counter = 0
         self.initializer_names: Dict[int, str] = {}
 
+    def child(self) -> "_Exporter":
+        """Exporter for a subgraph (Scan/Loop body). Shares the name counter
+        so subgraph names never collide with outer-scope names (ONNX
+        subgraphs capture outer values by name)."""
+        return _Exporter(root=self._root)
+
     def fresh(self, hint="v"):
-        self.counter += 1
-        return f"{hint}_{self.counter}"
+        self._root.counter += 1
+        return f"{hint}_{self._root.counter}"
 
     def name_of(self, var):
         from jax.extend.core import Literal
@@ -132,6 +139,9 @@ class _Exporter:
             ):
                 a.type = pb.AttributeProto.FLOATS
                 a.floats.extend(v)
+            elif isinstance(v, pb.GraphProto):
+                a.type = pb.AttributeProto.GRAPH
+                a.g.CopyFrom(v)
             else:
                 raise ValueError(f"attr {k}={v}")
         return outs
@@ -513,4 +523,197 @@ def _emit_eqn(ex: _Exporter, eqn) -> List[str]:
     if prim == "rem":
         return ex.node("Mod", ins, fmod=1)
 
+    if prim == "dynamic_slice":
+        sizes = np.asarray(p["slice_sizes"], np.int64)
+        dims = np.asarray(eqn.invars[0].aval.shape, np.int64)
+        parts = []
+        axes0 = ex.add_initializer(np.asarray([0], np.int64))
+        for s_in in ins[1:]:
+            c = ex.node("Cast", [s_in], to=int(pb.TensorProto.INT64))[0]
+            parts.append(ex.node("Unsqueeze", [c, axes0])[0])
+        starts_raw = (
+            ex.node("Concat", parts, axis=0)[0] if len(parts) > 1 else parts[0]
+        )
+        # jax clamps starts so the full slice fits; mirror that
+        zeros = ex.add_initializer(np.zeros(len(sizes), np.int64))
+        maxs = ex.add_initializer(dims - sizes)
+        starts = ex.node("Max", [starts_raw, zeros])[0]
+        starts = ex.node("Min", [starts, maxs])[0]
+        sz = ex.add_initializer(sizes)
+        ends = ex.node("Add", [starts, sz])[0]
+        axes = ex.add_initializer(np.arange(len(sizes), dtype=np.int64))
+        return ex.node("Slice", [ins[0], starts, ends, axes])
+
+    if prim == "scan":
+        return _emit_scan(ex, eqn)
+
+    if prim == "while":
+        return _emit_while(ex, eqn)
+
     raise NotImplementedError(f"ONNX export: unsupported primitive '{prim}'")
+
+
+def _declare_graph_input(g: pb.GraphProto, name: str, dtype, shape) -> None:
+    vi = g.input.add()
+    vi.name = name
+    vi.type.tensor_type.elem_type = _onnx_dtype(dtype)
+    for d in shape:
+        vi.type.tensor_type.shape.dim.add().dim_value = int(d)
+
+
+def _declare_graph_output(child: "_Exporter", var, dtype, shape) -> str:
+    """Alias ``var`` (via Identity) as a fresh subgraph output."""
+    src = child.name_of(var)
+    name = child.fresh("body_out")
+    n = child.graph.node.add()
+    n.op_type = "Identity"
+    n.name = child.fresh("out")
+    n.input.append(src)
+    n.output.append(name)
+    vo = child.graph.output.add()
+    vo.name = name
+    vo.type.tensor_type.elem_type = _onnx_dtype(dtype)
+    for d in shape:
+        vo.type.tensor_type.shape.dim.add().dim_value = int(d)
+    return name
+
+
+def _emit_scan(ex: _Exporter, eqn) -> List[str]:
+    """lax.scan -> ONNX Scan. Reference precedent: lamp-onnx exports only
+    the static graphs it traces; scan bodies become an ONNX Scan subgraph
+    here so RNN/LSTM/GRU inference exports without unrolling."""
+    p = eqn.params
+    closed = p["jaxpr"]
+    body = closed.jaxpr
+    nc, ncar = p["num_consts"], p["num_carry"]
+    reverse = bool(p.get("reverse", False))
+    length = int(p["length"])
+
+    const_vs = eqn.invars[:nc]
+    carry_vs = eqn.invars[nc:nc + ncar]
+    xs_vs = eqn.invars[nc + ncar:]
+    n_ys = len(eqn.outvars) - ncar
+
+    child = ex.child()
+    # consts: captured from the outer scope by name (or folded in-body)
+    for bv, ov in zip(body.invars[:nc], const_vs):
+        cval = ex.const_of(ov)
+        if cval is not None:
+            child.consts[bv] = cval
+        else:
+            child.names[bv] = ex.name_of(ov)
+    for bv, cval in zip(body.constvars, closed.consts):
+        child.consts[bv] = np.asarray(cval)
+
+    # body graph inputs: carries, then per-step scan-input elements
+    for bv in body.invars[nc:]:
+        name = child.fresh("scan_in")
+        child.names[bv] = name
+        _declare_graph_input(child.graph, name, bv.aval.dtype, bv.aval.shape)
+
+    scan_ins = [ex.name_of(v) for v in xs_vs]
+    if not xs_vs:
+        # ONNX Scan requires >= 1 scan input; feed an unused zeros[length, 1]
+        dummy = ex.add_initializer(
+            np.zeros((length, 1), np.float32), "scan_dummy"
+        )
+        scan_ins = [dummy]
+        _declare_graph_input(child.graph, child.fresh("scan_in"),
+                             np.float32, (1,))
+
+    _emit_jaxpr(child, body)
+
+    for ov in body.outvars[:ncar]:
+        _declare_graph_output(child, ov, ov.aval.dtype, ov.aval.shape)
+    for ov in body.outvars[ncar:]:
+        _declare_graph_output(child, ov, ov.aval.dtype, ov.aval.shape)
+
+    n_scan_in = max(len(xs_vs), 1)
+    attrs = dict(
+        body=child.graph,
+        num_scan_inputs=n_scan_in,
+        scan_input_axes=[0] * n_scan_in,
+    )
+    if n_ys:
+        attrs["scan_output_axes"] = [0] * n_ys
+    if reverse:
+        attrs["scan_input_directions"] = [1] * n_scan_in
+        if n_ys:
+            attrs["scan_output_directions"] = [1] * n_ys
+
+    node_ins = [ex.name_of(v) for v in carry_vs] + scan_ins
+    return ex.node("Scan", node_ins, n_out=ncar + n_ys, **attrs)
+
+
+def _emit_while(ex: _Exporter, eqn) -> List[str]:
+    """lax.while_loop -> ONNX Loop (condition-driven, no trip count)."""
+    p = eqn.params
+    cond_closed, body_closed = p["cond_jaxpr"], p["body_jaxpr"]
+    cnc, bnc = p["cond_nconsts"], p["body_nconsts"]
+    cond_consts = eqn.invars[:cnc]
+    body_consts = eqn.invars[cnc:cnc + bnc]
+    carry_vs = eqn.invars[cnc + bnc:]
+    ncar = len(carry_vs)
+
+    def bind_consts(child, jaxpr, closed, const_outer):
+        for bv, ov in zip(jaxpr.invars[:len(const_outer)], const_outer):
+            cval = ex.const_of(ov)
+            if cval is not None:
+                child.consts[bv] = cval
+            else:
+                child.names[bv] = ex.name_of(ov)
+        for bv, cval in zip(jaxpr.constvars, closed.consts):
+            child.consts[bv] = np.asarray(cval)
+
+    # initial condition, evaluated in the outer graph
+    outer_cond = ex.child()
+    outer_cond.graph = ex.graph  # emit directly into the outer graph
+    bind_consts(outer_cond, cond_closed.jaxpr, cond_closed, cond_consts)
+    for bv, ov in zip(cond_closed.jaxpr.invars[cnc:], carry_vs):
+        cval = ex.const_of(ov)
+        if cval is not None:
+            outer_cond.consts[bv] = cval
+        else:
+            outer_cond.names[bv] = ex.name_of(ov)
+    _emit_jaxpr(outer_cond, cond_closed.jaxpr)
+    cond0 = outer_cond.name_of(cond_closed.jaxpr.outvars[0])
+
+    # Loop body: inputs (iter, cond_in, carries); outputs (cond_out, carries)
+    child = ex.child()
+    it_name = child.fresh("loop_iter")
+    cond_in = child.fresh("loop_cond")
+    _declare_graph_input(child.graph, it_name, np.int64, ())
+    _declare_graph_input(child.graph, cond_in, np.dtype(bool), ())
+    body = body_closed.jaxpr
+    bind_consts(child, body, body_closed, body_consts)
+    for bv in body.invars[bnc:]:
+        name = child.fresh("loop_in")
+        child.names[bv] = name
+        _declare_graph_input(child.graph, name, bv.aval.dtype, bv.aval.shape)
+    _emit_jaxpr(child, body)
+
+    # recompute the condition on the new carry, same subgraph
+    cond_child_bindings = {}
+    for bv, ov in zip(cond_closed.jaxpr.invars[cnc:], body.outvars):
+        cval = child.const_of(ov)
+        if cval is not None:
+            cond_child_bindings[bv] = ("const", cval)
+        else:
+            cond_child_bindings[bv] = ("name", child.name_of(ov))
+    cond_eval = ex.child()
+    cond_eval.graph = child.graph
+    bind_consts(cond_eval, cond_closed.jaxpr, cond_closed, cond_consts)
+    for bv, (kind, val) in cond_child_bindings.items():
+        if kind == "const":
+            cond_eval.consts[bv] = val
+        else:
+            cond_eval.names[bv] = val
+    _emit_jaxpr(cond_eval, cond_closed.jaxpr)
+
+    _declare_graph_output(cond_eval, cond_closed.jaxpr.outvars[0],
+                          np.dtype(bool), ())
+    for ov in body.outvars:
+        _declare_graph_output(child, ov, ov.aval.dtype, ov.aval.shape)
+
+    node_ins = ["", cond0] + [ex.name_of(v) for v in carry_vs]
+    return ex.node("Loop", node_ins, n_out=ncar, body=child.graph)

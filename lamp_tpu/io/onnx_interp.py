@@ -58,18 +58,27 @@ def _attrs(node) -> Dict:
             out[a.name] = list(a.ints)
         elif a.type == pb.AttributeProto.FLOATS:
             out[a.name] = list(a.floats)
+        elif a.type == pb.AttributeProto.GRAPH:
+            out[a.name] = a.g
     return out
 
 
 def run_onnx(model: pb.ModelProto, inputs: Dict[str, np.ndarray]) -> List[np.ndarray]:
-    env: Dict[str, np.ndarray] = {}
-    for t in model.graph.initializer:
+    return _run_graph(model.graph, {}, inputs)
+
+
+def _run_graph(graph: pb.GraphProto, outer_env: Dict[str, np.ndarray],
+               inputs: Dict[str, np.ndarray]) -> List[np.ndarray]:
+    """Execute one GraphProto. ``outer_env`` provides outer-scope names
+    (ONNX subgraph capture semantics for Scan/Loop bodies)."""
+    env: Dict[str, np.ndarray] = dict(outer_env)
+    for t in graph.initializer:
         env[t.name] = _decode_tensor(t)
     for k, v in inputs.items():
         env[k] = np.asarray(v)
 
-    for node in model.graph.node:
-        ins = [env[i] for i in node.input]
+    for node in graph.node:
+        ins = [env[i] if i else None for i in node.input]
         a = _attrs(node)
         op = node.op_type
         if op == "Add":
@@ -184,12 +193,64 @@ def run_onnx(model: pb.ModelProto, inputs: Dict[str, np.ndarray]) -> List[np.nda
             out = [np.cumsum(ins[0], axis=int(ins[1]))]
         elif op == "Mod":
             out = [np.fmod(ins[0], ins[1])]
+        elif op == "Scan":
+            out = _scan(ins, a, env, node)
+        elif op == "Loop":
+            out = _loop(ins, a, env, node)
         else:
             raise NotImplementedError(f"interp: {op}")
         for name, val in zip(node.output, out):
             env[name] = val
 
-    return [env[o.name] for o in model.graph.output]
+    return [env[o.name] for o in graph.output]
+
+
+def _scan(ins, a, env, node):
+    body = a["body"]
+    m = a["num_scan_inputs"]
+    n_states = len(node.input) - m
+    states = list(ins[:n_states])
+    xs = ins[n_states:]
+    in_dirs = a.get("scan_input_directions", [0] * m)
+    n_ys = len(body.output) - n_states
+    out_dirs = a.get("scan_output_directions", [0] * n_ys)
+    t_len = xs[0].shape[0]
+    body_in_names = [vi.name for vi in body.input]
+    ys = [[] for _ in range(n_ys)]
+    for t in range(t_len):
+        sub_inputs = dict(zip(body_in_names[:n_states], states))
+        for j in range(m):
+            idx = t_len - 1 - t if in_dirs[j] else t
+            sub_inputs[body_in_names[n_states + j]] = xs[j][idx]
+        outs = _run_graph(body, env, sub_inputs)
+        states = outs[:n_states]
+        for j in range(n_ys):
+            ys[j].append(outs[n_states + j])
+    stacked = [
+        np.stack(y[::-1] if out_dirs[j] else y, axis=0)
+        for j, y in enumerate(ys)
+    ]
+    return states + stacked
+
+
+def _loop(ins, a, env, node):
+    body = a["body"]
+    max_trip = ins[0]
+    cond = bool(ins[1]) if node.input[1] else True
+    vals = list(ins[2:])
+    body_in_names = [vi.name for vi in body.input]
+    it = 0
+    while cond and (max_trip is None or it < int(max_trip)):
+        sub_inputs = {
+            body_in_names[0]: np.asarray(it, np.int64),
+            body_in_names[1]: np.asarray(cond),
+        }
+        sub_inputs.update(zip(body_in_names[2:], vals))
+        outs = _run_graph(body, env, sub_inputs)
+        cond = bool(outs[0])
+        vals = outs[1:1 + len(vals)]
+        it += 1
+    return vals
 
 
 def _conv(ins, a):

@@ -72,6 +72,7 @@ def test_export_transformer_lm():
 
 
 def test_export_lstm_classifier():
+    """The LSTM's lax.scan exports as an ONNX Scan subgraph — no unrolling."""
     key = jax.random.PRNGKey(0)
     emb = nn.Embedding.init(10, 8, key=key)
     lstm = nn.LSTM.init(8, 12, key=jax.random.PRNGKey(1))
@@ -83,29 +84,42 @@ def test_export_lstm_classifier():
         (h, _), _ = lstm.forward((e, None))
         return head(h[:, -1])
 
-    # lax.scan in the jaxpr: unroll by tracing with static length via jax
-    # export of the scanned fn is out of scope -> unroll manually
-    def fwd_unrolled(tokens):
-        e = emb(tokens)
-        hsize = lstm.hidden_size
-        h = jnp.zeros((tokens.shape[0], hsize), e.dtype)
-        c = jnp.zeros((tokens.shape[0], hsize), e.dtype)
-        H = hsize
-        for t in range(tokens.shape[1]):
-            xt = e[:, t] @ lstm.w_ih + lstm.b_ih
-            g = xt + h @ lstm.w_hh + lstm.b_hh
-            i = jax.nn.sigmoid(g[:, :H])
-            f = jax.nn.sigmoid(g[:, H:2 * H])
-            gg = jnp.tanh(g[:, 2 * H:3 * H])
-            o = jax.nn.sigmoid(g[:, 3 * H:])
-            c = f * c + i * gg
-            h = o * jnp.tanh(c)
-        return head(h)
+    model = _check(fwd, (tokens,), input_names=["tokens"])
+    ops = {n.op_type for n in model.graph.node}
+    assert "Scan" in ops
 
-    np.testing.assert_allclose(
-        np.asarray(fwd(tokens)), np.asarray(fwd_unrolled(tokens)), atol=1e-5
-    )
-    _check(fwd_unrolled, (tokens,), input_names=["tokens"])
+
+def test_export_gru():
+    gru = nn.GRU.init(6, 5, key=jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 6))
+
+    def fwd(x):
+        (h, _), _ = gru.forward((x, None))
+        return h[:, -1]
+
+    _check(fwd, (x,))
+
+
+def test_export_while_loop():
+    """lax.while_loop exports as an ONNX Loop subgraph."""
+    w = jax.random.normal(jax.random.PRNGKey(0), (4, 4)) * 0.1
+
+    def fwd(x):
+        def cond(carry):
+            i, _ = carry
+            return i < 5
+
+        def body(carry):
+            i, x = carry
+            return i + 1, jnp.tanh(x @ w)
+
+        _, y = jax.lax.while_loop(cond, body, (0, x))
+        return y
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4))
+    model = _check(fwd, (x,))
+    ops = {n.op_type for n in model.graph.node}
+    assert "Loop" in ops
 
 
 def test_export_file_roundtrip(tmp_path):

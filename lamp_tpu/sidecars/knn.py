@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["squared_euclidean_distance", "jaccard_distance", "knn_search",
-           "knn_classification", "knn_regression"]
+           "knn_search_nn_descent", "knn_classification", "knn_regression"]
 
 
 def squared_euclidean_distance(a, b):
@@ -64,6 +64,69 @@ def knn_search(query, corpus, k: int, *,
     for s in range(0, n, batch_size):
         outs.append(top(query[s:s + batch_size]))
     return jnp.concatenate(outs, axis=0)
+
+
+def knn_search_nn_descent(data, k: int, *, n_iters: int = 12,
+                          n_random: int = 8, key=None,
+                          batch_size: int = 2048, tol: float = 0.001):
+    """Approximate all-pairs kNN by NN-descent (Dong et al. 2011): refine a
+    random neighbour graph by repeatedly examining neighbours-of-neighbours.
+    O(N·k²·D) per sweep instead of the O(N²·D) brute-force matrix — the
+    large-N path the reference's brute-force kNN (knn/package.scala:60)
+    lacks.
+
+    TPU-shaped: each sweep is a fixed-shape jitted program over row
+    minibatches; candidate dedup is a sort + adjacent-equality mask (no
+    dynamic shapes). Returns (indices [N,k], distances [N,k]) with squared
+    euclidean distances, sorted ascending. Stops early when fewer than
+    ``tol``·N·k neighbour entries changed in a sweep.
+    """
+    data = jnp.asarray(data, jnp.float32)
+    n = data.shape[0]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_eff = min(k, n - 1)
+
+    key, ik = jax.random.split(key)
+    idx = jax.random.randint(ik, (n, k_eff), 0, n)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def refine(rows, cand, x_rows):
+        # cand: [B, C] candidate neighbour ids for these rows
+        xc = data[cand]                       # [B, C, D]
+        d = jnp.sum(jnp.square(x_rows[:, None, :] - xc), axis=-1)
+        d = jnp.where(cand == rows[:, None], jnp.inf, d)
+        # dedup: sort by candidate id, mask adjacent repeats
+        order = jnp.argsort(cand, axis=1)
+        cs = jnp.take_along_axis(cand, order, axis=1)
+        ds = jnp.take_along_axis(d, order, axis=1)
+        dup = cs[:, 1:] == cs[:, :-1]
+        ds = jnp.concatenate(
+            [ds[:, :1], jnp.where(dup, jnp.inf, ds[:, 1:])], axis=1
+        )
+        negd, pos = jax.lax.top_k(-ds, k_eff)
+        return jnp.take_along_axis(cs, pos, axis=1), -negd
+
+    dists = None
+    for _ in range(n_iters):
+        key, rk = jax.random.split(key)
+        rand = jax.random.randint(rk, (n, n_random), 0, n)
+        expanded = idx[idx].reshape(n, k_eff * k_eff)
+        cand = jnp.concatenate([idx, expanded, rand], axis=1)
+        new_idx, new_d = [], []
+        rows_all = jnp.arange(n)
+        for s in range(0, n, batch_size):
+            e = min(s + batch_size, n)
+            ni, nd = refine(rows_all[s:e], cand[s:e], data[s:e])
+            new_idx.append(ni)
+            new_d.append(nd)
+        new_idx = jnp.concatenate(new_idx, axis=0)
+        dists = jnp.concatenate(new_d, axis=0)
+        changed = int(jnp.sum(new_idx != idx))
+        idx = new_idx
+        if changed <= tol * n * k_eff:
+            break
+    return idx, dists
 
 
 def knn_classification(features, values, query, k: int, *, num_classes: int,

@@ -19,9 +19,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..optim import AdamW
-from .knn import knn_search, squared_euclidean_distance
+from .knn import knn_search, knn_search_nn_descent, squared_euclidean_distance
 
-__all__ = ["smooth_knn_weights", "find_ab_params", "umap", "umap_custom_knn"]
+__all__ = ["smooth_knn_weights", "find_ab_params", "spectral_init", "umap",
+           "umap_custom_knn"]
 
 
 def smooth_knn_weights(knn_dists: np.ndarray, *, n_iter: int = 64,
@@ -103,14 +104,37 @@ def find_ab_params(spread: float = 1.0, min_dist: float = 0.1,
     return float(a), float(b)
 
 
+def spectral_init(rows, cols, weights, n: int, dim: int, *,
+                  max_dense: int = 4096) -> Optional[np.ndarray]:
+    """Spectral embedding of the fuzzy graph as layout initialization: the
+    ``dim`` eigenvectors of the symmetric normalized Laplacian with smallest
+    nonzero eigenvalues (umap-learn's default init; the reference only has
+    random init). Dense eigh (one TPU/LAPACK call) up to ``max_dense``
+    points; returns None beyond that (caller falls back to random init)."""
+    if n > max_dense:
+        return None
+    a = np.zeros((n, n), np.float32)
+    a[np.asarray(rows), np.asarray(cols)] = np.asarray(weights, np.float32)
+    a = np.maximum(a, a.T)
+    deg = a.sum(axis=1)
+    dmh = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    lsym = np.eye(n, dtype=np.float32) - (dmh[:, None] * a) * dmh[None, :]
+    _, evecs = np.linalg.eigh(lsym.astype(np.float64))
+    comp = evecs[:, 1:dim + 1].astype(np.float32)
+    scale = 10.0 / max(np.abs(comp).max(), 1e-12)
+    return comp * scale
+
+
 def umap_custom_knn(knn_idx: np.ndarray, knn_dists: np.ndarray, *,
                     dim: int = 2, epochs: int = 300,
                     negative_samples: int = 5, learning_rate: float = 0.5,
                     repulsion_strength: float = 0.7,
                     spread: float = 1.0, min_dist: float = 0.1,
-                    key=None, init: Optional[np.ndarray] = None) -> np.ndarray:
+                    key=None, init="spectral") -> np.ndarray:
     """UMAP layout from a precomputed kNN graph (reference umapCustomKnn,
-    umap.scala:420)."""
+    umap.scala:420). ``init``: "spectral" (default; falls back to random
+    beyond the dense-eigh size limit), "random", or an explicit [n, dim]
+    array."""
     if key is None:
         key = jax.random.PRNGKey(0)
     n, k = knn_idx.shape
@@ -123,11 +147,22 @@ def umap_custom_knn(knn_idx: np.ndarray, knn_dists: np.ndarray, *,
 
     a, b = find_ab_params(spread, min_dist)
 
-    if init is None:
-        ikey, key = jax.random.split(key)
-        emb = jax.random.normal(ikey, (n, dim), jnp.float32) * 0.1
+    emb = None
+    if isinstance(init, str):
+        if init == "spectral":
+            emb = spectral_init(rows, cols, ww, n, dim)
+            if emb is not None:
+                ikey, key = jax.random.split(key)
+                emb = jnp.asarray(emb) + jax.random.normal(
+                    ikey, (n, dim), jnp.float32
+                ) * 1e-3
+        elif init != "random":
+            raise ValueError(f"unknown init {init!r}")
     else:
         emb = jnp.asarray(init, jnp.float32)
+    if emb is None:
+        ikey, key = jax.random.split(key)
+        emb = jax.random.normal(ikey, (n, dim), jnp.float32) * 0.1
 
     rows_j = jnp.asarray(rows)
     cols_j = jnp.asarray(cols)
@@ -175,24 +210,37 @@ def umap_custom_knn(knn_idx: np.ndarray, knn_dists: np.ndarray, *,
 def umap(data: np.ndarray, *, k: int = 15, dim: int = 2, epochs: int = 300,
          negative_samples: int = 5, learning_rate: float = 0.5,
          repulsion_strength: float = 0.7,
-         spread: float = 1.0, min_dist: float = 0.1, key=None) -> np.ndarray:
+         spread: float = 1.0, min_dist: float = 0.1, key=None,
+         knn_method: str = "auto") -> np.ndarray:
     """Full UMAP: kNN on TPU + fuzzy weights + stochastic layout
-    (reference umap, umap.scala:355)."""
+    (reference umap, umap.scala:355). ``knn_method``: "brute" (exact,
+    O(N²) distance matmul), "nn_descent" (approximate, O(N·k²) per sweep —
+    the large-N path), or "auto" (brute up to 4096 points)."""
     data = np.asarray(data, np.float32)
-    idx = np.asarray(knn_search(data, data, k + 1))
-    # drop self column
-    self_col = idx[:, 0] == np.arange(len(data))
-    idx = np.where(self_col[:, None], np.roll(idx, -1, axis=1), idx)[:, :k]
-    d = np.sqrt(np.maximum(np.asarray(
-        squared_euclidean_distance(jnp.asarray(data), jnp.asarray(data))
-    ), 0.0)) if len(data) <= 4096 else None
-    if d is not None:
-        dists = np.take_along_axis(d, idx, axis=1)
+    n = len(data)
+    if knn_method == "auto":
+        knn_method = "brute" if n <= 4096 else "nn_descent"
+    if knn_method == "nn_descent":
+        idx, d2 = knn_search_nn_descent(
+            data, k, key=key if key is not None else jax.random.PRNGKey(0)
+        )
+        idx = np.asarray(idx)
+        dists = np.sqrt(np.maximum(np.asarray(d2), 0.0))
     else:
-        dists = np.stack([
-            np.linalg.norm(data[i] - data[idx[i]], axis=1)
-            for i in range(len(data))
-        ])
+        idx = np.asarray(knn_search(data, data, k + 1))
+        # drop self column
+        self_col = idx[:, 0] == np.arange(n)
+        idx = np.where(self_col[:, None], np.roll(idx, -1, axis=1), idx)[:, :k]
+        if n <= 4096:
+            d = np.sqrt(np.maximum(np.asarray(
+                squared_euclidean_distance(jnp.asarray(data), jnp.asarray(data))
+            ), 0.0))
+            dists = np.take_along_axis(d, idx, axis=1)
+        else:
+            dists = np.stack([
+                np.linalg.norm(data[i] - data[idx[i]], axis=1)
+                for i in range(n)
+            ])
     return umap_custom_knn(
         idx, dists, dim=dim, epochs=epochs,
         negative_samples=negative_samples, learning_rate=learning_rate,

@@ -82,6 +82,51 @@ def test_umap_separates_blobs():
     assert np.linalg.norm(c0 - c1) > 1.8 * spread
 
 
+def test_nn_descent_recall():
+    """NN-descent recovers (almost) the exact kNN graph on blob data."""
+    x, _ = _blobs(n_per=120, dim=8, centers=((0,) * 8, (6,) * 8, (3,) * 8))
+    k = 10
+    exact = np.asarray(sidecars.knn_search(x, x, k + 1))[:, 1:]  # drop self
+    approx, dists = sidecars.knn_search_nn_descent(x, k, n_iters=15)
+    approx = np.asarray(approx)
+    recall = np.mean([
+        len(set(approx[i]) & set(exact[i])) / k for i in range(len(x))
+    ])
+    assert recall > 0.9, recall
+    # distances ascending, self excluded
+    d = np.asarray(dists)
+    assert (np.diff(d, axis=1) >= -1e-5).all()
+    assert not (approx == np.arange(len(x))[:, None]).any()
+
+
+def test_spectral_init_separates_components():
+    """Spectral init places two disconnected graph components apart."""
+    # two 4-cliques, disjoint
+    rows, cols, w = [], [], []
+    for base in (0, 4):
+        for i in range(4):
+            for j in range(4):
+                if i != j:
+                    rows.append(base + i)
+                    cols.append(base + j)
+                    w.append(1.0)
+    emb = sidecars.spectral_init(rows, cols, w, 8, 1)
+    assert emb is not None and emb.shape == (8, 1)
+    a, b = emb[:4, 0], emb[4:, 0]
+    # components land on opposite sides
+    assert (a.max() < b.min()) or (b.max() < a.min())
+
+
+def test_umap_nn_descent_path():
+    x, y = _blobs(n_per=40, dim=8, centers=((0,) * 8, (8,) * 8))
+    emb = sidecars.umap(x, k=10, dim=2, epochs=200, knn_method="nn_descent")
+    assert emb.shape == (80, 2)
+    c0 = emb[y == 0].mean(0)
+    c1 = emb[y == 1].mean(0)
+    spread = max(emb[y == 0].std(), emb[y == 1].std())
+    assert np.linalg.norm(c0 - c1) > 1.8 * spread
+
+
 def test_find_ab_params():
     a, b = sidecars.find_ab_params(1.0, 0.1)
     # canonical values for these settings are a≈1.58, b≈0.90

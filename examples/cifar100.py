@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--mesh", default=None,
                     help="e.g. 'dp=8' — SPMD data parallel over devices "
                          "(replaces the reference's 2-process NCCL DDP)")
+    ap.add_argument("--steps-per-call", type=int, default=8,
+                    help="optimizer steps fused per device dispatch "
+                         "(lax.scan); this model's step is sub-ms on TPU, "
+                         "so per-batch dispatch would leave the chip idle")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -126,6 +130,7 @@ def main():
         key=jax.random.PRNGKey(args.seed),
         checkpoint_callback=checkpoint_cb,
         train_step=train_step,
+        steps_per_call=(1 if args.mesh else args.steps_per_call),
         log=print,
     )
 

@@ -6,6 +6,7 @@ from .loops import (
     TrainingResult,
     epochs,
     make_eval_step,
+    make_chained_train_step,
     make_train_step,
     one_epoch,
     run_batch_stream,
@@ -22,6 +23,7 @@ __all__ = [
     "TrainState",
     "TrainingResult",
     "epochs",
+    "make_chained_train_step",
     "make_train_step",
     "make_eval_step",
     "one_epoch",

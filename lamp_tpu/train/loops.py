@@ -188,6 +188,38 @@ def make_train_step(optimizer: Optimizer, loss_fn: Callable, *,
     return step
 
 
+def make_chained_train_step(optimizer: Optimizer, loss_fn: Callable,
+                            **step_kwargs):
+    """Build a step that runs K FULL optimizer steps per dispatched call
+    (``lax.scan`` over batches stacked on a leading axis).
+
+    Why: every host→device dispatch has fixed latency (µs on a local
+    runtime, ~50 ms through a remote-TPU tunnel). For small models whose
+    step time is below that, per-batch dispatch leaves the chip idle —
+    measured on the CIFAR resnet (0.7 ms device step): 4.9k images/s
+    per-call vs 359k images/s chained. The reference has no analogue (JNI
+    dispatch per op); this is the TPU idiom for small-model training.
+
+    ``chained(state, stacked_batches, key, lr_factor)`` where each
+    ``stacked_batches`` leaf has leading axis K. Returns
+    (state, (example-weighted mean loss, total examples)).
+    """
+    step = make_train_step(optimizer, loss_fn, **step_kwargs)
+
+    def chained(state: TrainState, batches, key, lr_factor=1.0):
+        def body(carry, sub):
+            s, k = carry
+            k, sk = jax.random.split(k)
+            s, (loss, n) = step(s, sub, sk, lr_factor)
+            return (s, k), (loss, jnp.sum(n))
+
+        (state, _), (losses, ns) = jax.lax.scan(body, (state, key), batches)
+        total = jnp.sum(ns)
+        return state, (jnp.sum(losses * ns) / total, total)
+
+    return chained
+
+
 def make_eval_step(loss_fn: Callable):
     def step(state: TrainState, batch):
         model = state.model
@@ -198,8 +230,14 @@ def make_eval_step(loss_fn: Callable):
 
 
 def one_epoch(state: TrainState, stream, train_step, key, *, lr_factor=1.0,
-              prefetch: bool = True, device=None, log=None):
+              prefetch: bool = True, device=None, log=None,
+              steps_per_call: int = 1):
     """Drive one training epoch (reference oneEpoch, IOLoops.scala:607-749).
+
+    ``steps_per_call > 1``: buffer that many host batches, stack them, and
+    hand them to ``train_step`` in one call — ``train_step`` must then be a
+    :func:`make_chained_train_step` step. Amortizes dispatch latency for
+    small models.
 
     Returns (state, mean_loss, instances, seconds).
     """
@@ -212,7 +250,25 @@ def one_epoch(state: TrainState, stream, train_step, key, *, lr_factor=1.0,
     losses = []
     counts = []
     t0 = time.perf_counter()
-    for batch in it:
+
+    if steps_per_call > 1:
+        def stacked_batches():
+            buf = []
+            for b in it:
+                buf.append(b)
+                if len(buf) == steps_per_call:
+                    yield jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *buf
+                    )
+                    buf = []
+            if buf:  # remainder chunk (one extra trace per distinct size)
+                yield jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *buf)
+
+        batch_iter = stacked_batches()
+    else:
+        batch_iter = it
+
+    for batch in batch_iter:
         key, sub = jax.random.split(key)
         state, (loss, n) = train_step(state, batch, sub, lr_factor)
         nn_ = jnp.sum(n)
@@ -279,6 +335,7 @@ def epochs(*, model=None, state: Optional[TrainState] = None,
            validation_callback: Optional[Callable[[int, float], None]] = None,
            train_step=None,
            prefetch: bool = True,
+           steps_per_call: int = 1,
            log: Optional[Callable[[str], None]] = None) -> TrainingResult:
     """The master training loop (reference IOLoops.epochs, IOLoops.scala:305).
 
@@ -290,7 +347,10 @@ def epochs(*, model=None, state: Optional[TrainState] = None,
     if state is None:
         state = TrainState.init(model, optimizer)
     if train_step is None:
-        train_step = jax.jit(make_train_step(
+        maker = (
+            make_chained_train_step if steps_per_call > 1 else make_train_step
+        )
+        train_step = jax.jit(maker(
             optimizer, loss_fn, accumulation_steps=accumulation_steps,
             loss_calculation=loss_calculation,
         ))
@@ -310,7 +370,7 @@ def epochs(*, model=None, state: Optional[TrainState] = None,
         key, ek = jax.random.split(key)
         state, train_loss, n, dt = one_epoch(
             state, train_batches(epoch), train_step, ek, lr_factor=lr_factor,
-            prefetch=prefetch, log=log,
+            prefetch=prefetch, log=log, steps_per_call=steps_per_call,
         )
         if training_callback is not None:
             training_callback(epoch, train_loss)

@@ -86,6 +86,59 @@ def test_gradient_accumulation_matches_large_batch():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_chained_train_step_matches_sequential():
+    """K optimizer steps fused into one lax.scan dispatch must equal K
+    sequential make_train_step calls exactly."""
+    x, y = _toy_classification(n=96)
+    model = nn.MLP(8, 16, 3, key=jax.random.PRNGKey(0), norm=False)
+    opt = optim.AdamW(1e-2)
+    K, B = 3, 32
+    batches = [(x[i * B:(i + 1) * B], y[i * B:(i + 1) * B]) for i in range(K)]
+
+    step = jax.jit(train.make_train_step(opt, _mlp_loss))
+    s1 = train.TrainState.init(model, opt)
+    key = jax.random.PRNGKey(1)
+    k = key
+    losses = []
+    for b in batches:
+        k, sub = jax.random.split(k)
+        s1, (l, n) = step(s1, b, sub)
+        losses.append(float(l))
+
+    chained = jax.jit(train.make_chained_train_step(opt, _mlp_loss))
+    s2 = train.TrainState.init(model, opt)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(v) for v in xs]), *batches
+    )
+    s2, (mean_loss, total) = chained(s2, stacked, key)
+
+    assert float(total) == K * B
+    np.testing.assert_allclose(float(mean_loss), np.mean(losses), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_epochs_steps_per_call():
+    """epochs(steps_per_call=4) trains to the same kind of loss as plain."""
+    x, y = _toy_classification()
+    model = nn.MLP(8, 32, 3, key=jax.random.PRNGKey(0), norm=False)
+    rng = np.random.default_rng(0)
+    result = train.epochs(
+        model=model,
+        optimizer=optim.AdamW(1e-2),
+        loss_fn=_mlp_loss,
+        train_batches=lambda e: data.minibatches_from_full(32, x, y, rng=rng),
+        epochs=6,
+        steps_per_call=4,  # 8 batches/epoch -> two chained calls of 4
+        key=jax.random.PRNGKey(1),
+    )
+    first = result.learning_curve[0][1]
+    last = result.learning_curve[-1][1]
+    assert last < first * 0.7, (first, last)
+
+
 def test_adversarial_and_perturbed_loss_calculations():
     x, y = _toy_classification(n=64)
     model = nn.MLP(8, 16, 3, key=jax.random.PRNGKey(0), norm=False)

@@ -15,6 +15,7 @@ from .pipeline import (
     make_interleaved_pipelined_forward,
     make_pipelined_forward,
     make_pipelined_lm_forward,
+    make_pipelined_lm_loss_fn,
     pipeline_apply,
     pipeline_apply_interleaved,
     stack_lm_blocks,
@@ -40,5 +41,6 @@ __all__ = [
     "make_pipelined_forward",
     "make_interleaved_pipelined_forward",
     "make_pipelined_lm_forward",
+    "make_pipelined_lm_loss_fn",
     "stack_lm_blocks",
 ]

@@ -73,7 +73,7 @@ def pipeline_apply(stage_params, microbatches, stage_fn: Callable, *,
 
 def pipeline_apply_interleaved(chunk_params, microbatches, chunk_fn: Callable,
                                *, axis_name: str, n_stages: int,
-                               n_virtual: int):
+                               n_virtual: int, extras=None):
     """Interleaved (circular) pipeline schedule — the Megatron "virtual
     stages" idea, expressed differentiably.
 
@@ -143,7 +143,8 @@ def pipeline_apply_interleaved(chunk_params, microbatches, chunk_fn: Callable,
             lambda a: jax.lax.dynamic_index_in_dim(a, ci, 0, keepdims=False),
             chunk_params,
         )
-        y = chunk_fn(p_c, x_in)
+        y = chunk_fn(p_c, x_in) if extras is None \
+            else chunk_fn(p_c, x_in, extras)
         y = jnp.where(valid, y, jnp.zeros_like(y))
         age_out = jnp.where(valid, age_in + 1, -1)
         # 4. pass along the ring (device S-1 wraps to device 0)
@@ -161,19 +162,22 @@ def pipeline_apply_interleaved(chunk_params, microbatches, chunk_fn: Callable,
 
 
 def make_interleaved_pipelined_forward(mesh: Mesh, chunk_fn: Callable, *,
-                                       axis: str = "pp", n_virtual: int = 2):
+                                       axis: str = "pp", n_virtual: int = 2,
+                                       has_extras: bool = False):
     """Wrap :func:`pipeline_apply_interleaved` in shard_map over ``mesh``.
 
     Takes GLOBAL stacked block params [L, ...] (L divisible by S·n_virtual)
     and microbatches [M, ...]; returns [M, ...]. ``chunk_fn(params, x)``
-    applies one chunk of L / (S·n_virtual) blocks.
+    applies one chunk of L / (S·n_virtual) blocks. With ``has_extras`` the
+    returned fn takes a third replicated pytree forwarded to
+    ``chunk_fn(params, x, extras)`` (e.g. RoPE tables).
     """
     from jax.experimental.shard_map import shard_map
 
     s = mesh.shape[axis]
     v = n_virtual
 
-    def fn(stacked_params, microbatches):
+    def fn(stacked_params, microbatches, extras=None):
         # [L, ...] -> [v, S, Lc, ...]: element [j, d] is global chunk j·S+d,
         # sharding axis 1 puts chunk j·S+d on device d
         def to_chunks(a):
@@ -184,69 +188,126 @@ def make_interleaved_pipelined_forward(mesh: Mesh, chunk_fn: Callable, *,
         param_specs = jax.tree_util.tree_map(
             lambda _: P(None, axis), chunked
         )
+        extras_specs = jax.tree_util.tree_map(lambda _: P(), extras)
 
-        def inner(chunked_local, mbs):
+        def inner(chunked_local, mbs, ext):
             local = jax.tree_util.tree_map(
                 lambda a: a.squeeze(1), chunked_local
             )
             return pipeline_apply_interleaved(
                 local, mbs, chunk_fn, axis_name=axis, n_stages=s,
-                n_virtual=v,
+                n_virtual=v, extras=ext,
             )
 
         return shard_map(
-            inner, mesh=mesh, in_specs=(param_specs, P()), out_specs=P(),
-        )(chunked, microbatches)
+            inner, mesh=mesh,
+            in_specs=(param_specs, P(), extras_specs), out_specs=P(),
+        )(chunked, microbatches, extras)
 
-    return jax.jit(fn)
+    if has_extras:
+        return jax.jit(fn)
+    return jax.jit(lambda stacked, mbs: fn(stacked, mbs, None))
 
 
 def stack_lm_blocks(lm):
-    """Stack a LanguageModelModule's homogeneous encoder blocks into one
-    pytree with a leading [L] axis (scannable / pipeline-shardable)."""
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *lm.encoder.blocks)
+    """Stack an LM's homogeneous blocks into one pytree with a leading [L]
+    axis (scannable / pipeline-shardable). Works for LanguageModelModule
+    (``lm.encoder.blocks``) and ModernLM (``lm.blocks``)."""
+    blocks = lm.encoder.blocks if hasattr(lm, "encoder") else lm.blocks
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
 
 
 def make_pipelined_lm_forward(mesh: Mesh, *, axis: str = "pp",
-                              n_virtual: int = 1, n_microbatches: int = 1):
-    """Pipeline a LanguageModelModule's block stack over the ``axis`` mesh
-    dimension: embeddings, final norm and the tied-embedding logits run
-    replicated (cheap); the L encoder blocks are split into S·n_virtual
-    chunks flowing through the interleaved schedule.
+                              n_virtual: int = 1, n_microbatches: int = 1,
+                              modern: bool = False):
+    """Pipeline an LM's block stack over the ``axis`` mesh dimension:
+    embeddings, final norm and logits run replicated (cheap); the L blocks
+    are split into S·n_virtual chunks flowing through the interleaved
+    schedule.
+
+    ``modern=False``: LanguageModelModule (learned positions, GPT blocks).
+    ``modern=True``: ModernLM (RoPE + GQA llama blocks; the RoPE tables ride
+    along as replicated extras).
 
     Returns ``fn(lm, tokens) -> logits`` (jitted). Deterministic forward
     (no dropout keys are threaded through the pipeline).
     """
     v = n_virtual
 
-    def chunk_fn(chunk_blocks, x):
-        def body(x, block):
-            (y, _), _ = block.forward((x, None), train=False)
-            return y, None
+    if modern:
+        def chunk_fn(chunk_blocks, x, rope):
+            def body(x, block):
+                (y, _), _ = block.forward((x, rope), train=False)
+                return y, None
 
-        y, _ = jax.lax.scan(body, x, chunk_blocks)
-        return y
+            y, _ = jax.lax.scan(body, x, chunk_blocks)
+            return y
+    else:
+        def chunk_fn(chunk_blocks, x):
+            def body(x, block):
+                (y, _), _ = block.forward((x, None), train=False)
+                return y, None
+
+            y, _ = jax.lax.scan(body, x, chunk_blocks)
+            return y
 
     piped = make_interleaved_pipelined_forward(
-        mesh, chunk_fn, axis=axis, n_virtual=v
+        mesh, chunk_fn, axis=axis, n_virtual=v, has_extras=modern
     )
 
     def fn(lm, tokens):
         b, t = tokens.shape
-        pos = jnp.arange(t)[None, :]
-        x = lm.token_embedding(tokens) + lm.position_embedding(pos)
+        if modern:
+            x = lm.token_embedding(tokens)
+        else:
+            pos = jnp.arange(t)[None, :]
+            x = lm.token_embedding(tokens) + lm.position_embedding(pos)
         mbs = x.reshape(
             n_microbatches, b // n_microbatches, t, x.shape[-1]
         )
-        y = piped(stack_lm_blocks(lm), mbs)
+        stacked = stack_lm_blocks(lm)
+        if modern:
+            y = piped(stacked, mbs, (lm.rope_cos, lm.rope_sin))
+        else:
+            y = piped(stacked, mbs)
         y = lm.final_norm(y.reshape(b, t, -1))
+        acc = jnp.promote_types(y.dtype, jnp.float32)
+        if getattr(lm, "lm_head", None) is not None:
+            return lm.lm_head(y).astype(acc)
         w = lm.token_embedding.weight
-        return jnp.einsum(
-            "btd,vd->btv", y, w,
-            preferred_element_type=jnp.promote_types(y.dtype, jnp.float32),
-        )
+        return jnp.einsum("btd,vd->btv", y, w, preferred_element_type=acc)
 
     return jax.jit(fn)
+
+
+def make_pipelined_lm_loss_fn(mesh: Mesh, *, axis: str = "pp",
+                              n_virtual: int = 1, n_microbatches: int = 1,
+                              modern: bool = False,
+                              ignore_index: int = -100):
+    """Loss function for PIPELINE-PARALLEL LM TRAINING, composable with
+    ``train.make_train_step`` / ``train.epochs``: the forward runs through
+    the interleaved pipeline (jax reverses it for the backward pipeline),
+    the sequence-NLL loss and optimizer step run replicated.
+
+    ``loss_fn(model, (tokens, targets), key, train) -> (loss, n, model)``.
+    """
+    piped = make_pipelined_lm_forward(
+        mesh, axis=axis, n_virtual=n_virtual, n_microbatches=n_microbatches,
+        modern=modern,
+    )
+
+    def loss_fn(model, batch, key, train_mode):
+        tokens, target = batch
+        logits = piped(model, tokens)
+        from ..nn.losses import sequence_nll
+
+        return (
+            sequence_nll(logits, target, ignore_index=ignore_index),
+            jnp.asarray(tokens.shape[0], jnp.float32),
+            model,
+        )
+
+    return loss_fn
 
 
 def make_pipelined_forward(mesh: Mesh, stage_fn: Callable, *,

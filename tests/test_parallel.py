@@ -406,6 +406,65 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     assert got["x"].sharding.spec == P("dp", "tp")
 
 
+def test_pipelined_modern_lm_forward_matches_model():
+    """RoPE/GQA llama-style blocks pipeline too (extras carry the RoPE
+    tables)."""
+    mesh = parallel.make_mesh({"pp": 2}, devices=jax.devices()[:2])
+    lm = nn.ModernLM.init(
+        vocab_size=19, context_length=8, num_blocks=4, embed_dim=16,
+        num_heads=2, num_kv_heads=1, key=jax.random.PRNGKey(0),
+    )
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 19)
+    piped = parallel.make_pipelined_lm_forward(
+        mesh, axis="pp", n_virtual=2, n_microbatches=2, modern=True
+    )
+    got = piped(lm, tokens)
+    ref, _ = lm.forward(tokens, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_pipelined_lm_training_step():
+    """End-to-end pipeline-parallel training: the pipelined loss_fn composes
+    with make_train_step, and its gradients equal the plain (non-pipelined)
+    training step's."""
+    mesh = parallel.make_mesh({"pp": 2}, devices=jax.devices()[:2])
+    lm = nn.LanguageModelModule.init(
+        vocab_size=17, context_length=8, num_blocks=2, embed_dim=16,
+        attention_heads=2, key=jax.random.PRNGKey(0),
+    )
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 17)
+    target = jnp.roll(tokens, -1, axis=1)
+    # SGD so post-step params differ proportionally to the gradients
+    # (AdamW's first-step g/|g| normalization amplifies numerical noise on
+    # zero-gradient params into tolerance-breaking sign flips)
+    opt = optim.SGDW(0.1, weight_decay=0.0)
+
+    ploss = parallel.make_pipelined_lm_loss_fn(mesh, axis="pp",
+                                               n_microbatches=2)
+    pstep = jax.jit(train.make_train_step(opt, ploss))
+    ps = train.TrainState.init(lm, opt)
+    ps, (pl, _) = pstep(ps, (tokens, target), jax.random.PRNGKey(2))
+
+    def plain_loss(model, batch, key, train_mode):
+        toks, tgt = batch
+        logits, nm = model.forward(toks, key=key, train=train_mode)
+        return nn.lm_loss(logits, tgt), jnp.asarray(
+            toks.shape[0], jnp.float32
+        ), nm
+
+    sstep = jax.jit(train.make_train_step(opt, plain_loss))
+    ss = train.TrainState.init(lm, opt)
+    ss, (sl, _) = sstep(ss, (tokens, target), jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(float(pl), float(sl), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ps.params), jax.tree_util.tree_leaves(ss.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-4)
+
+
 def test_moe_expert_parallel():
     """MoE layer trains with experts sharded over the ep axis; dense-dispatch
     output matches the unsharded computation."""

@@ -141,6 +141,110 @@ def test_loss_gradients():
     )
 
 
+def test_elementwise_pair_gradients():
+    """ElementWiseMinimum/Maximum, Pow, Where (ops.scala:2287,2314,939,483)."""
+    a = np.asarray([[0.5, -1.0], [2.0, 0.3]])
+    b = jnp.asarray([[0.7, -2.0], [1.0, 0.9]])
+    check_grad(lambda m: jnp.sum(jnp.square(jnp.minimum(m, b))), a)
+    check_grad(lambda m: jnp.sum(jnp.square(jnp.maximum(m, b))), a)
+    check_grad(lambda m: jnp.sum(jnp.power(jnp.abs(m) + 0.5, b)), a)
+    check_grad(lambda m: jnp.sum(jnp.where(b > 0, m * 2.0, m * m)), a)
+
+
+def test_more_indexing_gradients():
+    """IndexFill, MaskSelect, OneHot-weighted select, take_along_axis
+    (ops.scala:203,461,495)."""
+    from lamp_tpu import ops as O
+
+    x = np.random.RandomState(11).randn(4, 3)
+    idx = jnp.asarray([1, 3])
+    check_grad(
+        lambda m: jnp.sum(jnp.square(O.index_fill(m, idx, 0.0))), x
+    )
+    mask = jnp.asarray(np.random.RandomState(12).rand(4, 3) > 0.4)
+    check_grad(
+        lambda m: jnp.sum(jnp.square(O.mask_select(m, mask, fill=0.0)[0])), x
+    )
+    oh = O.one_hot(jnp.asarray([0, 2, 1, 0]), 3).astype(jnp.float64)
+    check_grad(lambda m: jnp.sum(jnp.square(m * oh)), x)
+    ta = jnp.asarray([[0], [2], [1], [0]])
+    check_grad(
+        lambda m: jnp.sum(jnp.square(jnp.take_along_axis(m, ta, axis=1))), x
+    )
+
+
+def test_more_linalg_gradients():
+    """PInv, CholeskySolve, Diag, tensordot, SVD/eigh values, lstsq-style
+    (STen.scala:1815-1877, ops.scala:371,2234,333)."""
+    a = np.asarray([[2.0, 0.3], [0.3, 1.5]])
+    rect = np.random.RandomState(13).randn(4, 2)
+    check_grad(lambda m: jnp.sum(jnp.square(jnp.linalg.pinv(m))), rect)
+    check_grad(
+        lambda m: jnp.sum(jax.scipy.linalg.cho_solve(
+            (jnp.linalg.cholesky(m @ m.T + 2 * jnp.eye(2)), True),
+            jnp.ones((2, 1)),
+        )), a,
+    )
+    check_grad(lambda m: jnp.sum(jnp.square(jnp.diag(m))), a)
+    check_grad(lambda m: jnp.sum(jnp.square(jnp.diagflat(jnp.diag(m)))), a)
+    t = np.random.RandomState(14).randn(2, 3, 2)
+    check_grad(
+        lambda m: jnp.sum(jnp.square(jnp.tensordot(m, jnp.asarray(t), axes=([1, 2], [0, 1])))),
+        np.random.RandomState(15).randn(3, 2, 3),
+    )
+    # singular values / symmetric eigenvalues (value-only, well-separated)
+    check_grad(
+        lambda m: jnp.sum(jnp.linalg.svd(m + jnp.diag(jnp.asarray([3.0, 1.0])),
+                                         compute_uv=False)), a * 0.1,
+    )
+    check_grad(
+        lambda m: jnp.sum(jnp.linalg.eigvalsh(
+            (m + m.T) / 2 + jnp.diag(jnp.asarray([4.0, 0.0]))
+        )), a * 0.1,
+    )
+    # least squares via solve of normal equations (linalg_lstsq parity)
+    y = jnp.asarray(np.random.RandomState(16).randn(4, 1))
+    check_grad(
+        lambda m: jnp.sum(jnp.linalg.solve(
+            m.T @ m + 0.1 * jnp.eye(2), m.T @ y
+        )), rect,
+    )
+
+
+def test_sparse_and_scan_gradients():
+    """Sparse COO value grads + cumulative/sorting ops
+    (ops.scala:289,316; STen cumsum/sort)."""
+    from lamp_tpu import ops as O
+
+    vals = np.asarray([0.5, -1.2, 2.0])
+    idx = jnp.asarray([[0, 1], [1, 0], [2, 2]])  # [nnz, ndim]
+
+    def through_sparse(v):
+        s = O.sparse_from_value_and_index(v, idx, (3, 3))
+        return jnp.sum(jnp.square(O.sparse_to_dense(s)))
+
+    check_grad(through_sparse, vals)
+
+    x = np.random.RandomState(17).randn(3, 4)
+    check_grad(lambda m: jnp.sum(jnp.square(jnp.cumsum(m, axis=1))), x)
+    check_grad(lambda m: jnp.sum(jnp.square(jnp.cumprod(m * 0.5 + 1.5, axis=1))), x)
+    check_grad(lambda m: jnp.sum(jnp.sort(m, axis=1) * jnp.asarray([1.0, 2.0, 3.0, 4.0])), x)
+    check_grad(lambda m: jnp.sum(jax.lax.top_k(m, 2)[0] * jnp.asarray([1.0, 2.0])), x)
+
+
+def test_embedding_and_cast_gradients():
+    """Embedding gather (ops.scala:2141) and CastToPrecision (:260)."""
+    w = np.random.RandomState(18).randn(5, 3)
+    tok = jnp.asarray([1, 4, 1, 0])
+    check_grad(lambda m: jnp.sum(jnp.square(m[tok])), w)
+    # cast round trip f64->f32->f64 passes gradient through (large eps: the
+    # f32 quantization floor swamps 1e-6 central-difference perturbations)
+    check_grad(
+        lambda m: jnp.sum(jnp.square(m.astype(jnp.float32).astype(jnp.float64))),
+        w, eps=1e-3, atol=1e-2, rtol=1e-2,
+    )
+
+
 def test_special_op_gradients():
     x = np.asarray([[0.5, 1.5], [2.5, 0.1]])
     check_grad(

@@ -52,13 +52,25 @@ class BatchServer:
             model.context_length + page_size - 1
         ) // page_size
         dt = model.token_embedding.weight.dtype
-        # one pool spanning all layers: [L, P, page, H_kv*D] (heads fused
-        # into lanes so DMA slices stay 128-aligned for any head_dim)
-        self.k_pages = jnp.zeros(
-            (self.layers, total_pages, page_size,
-             self.kv_heads * self.head_dim), dt
+        # one pool PER LAYER: [P, page, H_kv*D] (heads fused into lanes so
+        # DMA slices stay 128-aligned for any head_dim). Per-layer arrays —
+        # not one [L, ...] block — so each layer's scatter-update and kernel
+        # read alias in place under jit; slicing layer li out of a fused
+        # pool materialized a full layer copy per layer per step, which made
+        # step time scale with POOL size instead of batch size (measured
+        # 11.5 ms vs 1.6 ms per step at 4096 pages, B=32).
+        self.k_pages = tuple(
+            jnp.zeros(
+                (total_pages, page_size, self.kv_heads * self.head_dim), dt
+            )
+            for _ in range(self.layers)
         )
-        self.v_pages = jnp.zeros_like(self.k_pages)
+        self.v_pages = tuple(
+            jnp.zeros(
+                (total_pages, page_size, self.kv_heads * self.head_dim), dt
+            )
+            for _ in range(self.layers)
+        )
         self.free_pages: List[int] = list(range(total_pages - 1, -1, -1))
         self.seq_pages: Dict = {}
         self.seq_len: Dict = {}
@@ -97,6 +109,8 @@ class BatchServer:
         """Dense prefill of ONE sequence: full causal forward over [T] tokens,
         writing every layer's K/V rows into (token_pages, token_slots)."""
         t = tokens.shape[0]
+        k_pages = list(k_pages)
+        v_pages = list(v_pages)
         x = model.token_embedding(tokens[None]) + jnp.take(
             model.position_embedding.weight, jnp.arange(t)[None], axis=0
         )  # [1, T, D]
@@ -119,8 +133,8 @@ class BatchServer:
             # write kv rows: [T, H*D] into page slots
             k_rows = kk[0].transpose(1, 0, 2).reshape(t, -1)
             v_rows = vv[0].transpose(1, 0, 2).reshape(t, -1)
-            k_pages = k_pages.at[li, token_pages, token_slots].set(k_rows)
-            v_pages = v_pages.at[li, token_pages, token_slots].set(v_rows)
+            k_pages[li] = k_pages[li].at[token_pages, token_slots].set(k_rows)
+            v_pages[li] = v_pages[li].at[token_pages, token_slots].set(v_rows)
             o = mha_reference(q, kk, vv, causal=True)
             o = o.transpose(0, 2, 1, 3).reshape(1, t, -1)
             ow = o @ att.w_o.weight
@@ -129,7 +143,7 @@ class BatchServer:
             x = x + ow * block.scale1
             m = block.w2(block.activation(block.w1(block.norm2(x))))
             x = x + m * block.scale2
-        return k_pages, v_pages
+        return tuple(k_pages), tuple(v_pages)
 
     def remove(self, seq_id) -> None:
         self.free_pages.extend(self.seq_pages.pop(seq_id))
@@ -167,6 +181,8 @@ class BatchServer:
         write their per-layer K/V into (token_pages, token_slots), attend over
         history + self, return (logits [B,V], new_k_pages, new_v_pages)."""
         b = tokens.shape[0]
+        k_pages = list(k_pages)
+        v_pages = list(v_pages)
         x = model.token_embedding(tokens[:, None]) + jnp.take(
             model.position_embedding.weight, lengths[:, None], axis=0
         )
@@ -185,10 +201,10 @@ class BatchServer:
             kk = proj(att.w_k)
             vv = proj(att.w_v)
             # write this token's fused-head kv row into its page slot
-            k_pages = k_pages.at[li, token_pages, token_slots].set(
+            k_pages[li] = k_pages[li].at[token_pages, token_slots].set(
                 kk.reshape(b, -1)
             )
-            v_pages = v_pages.at[li, token_pages, token_slots].set(
+            v_pages[li] = v_pages[li].at[token_pages, token_slots].set(
                 vv.reshape(b, -1)
             )
             o = paged_attention(
@@ -207,7 +223,7 @@ class BatchServer:
         logits = jnp.einsum(
             "btd,vd->btv", x, w, preferred_element_type=jnp.float32
         )[:, 0]
-        return logits, k_pages, v_pages
+        return logits, tuple(k_pages), tuple(v_pages)
 
     def _advance(self, seq_ids, tokens):
         """Write tokens' KV + return logits; bumps lengths."""
@@ -265,6 +281,8 @@ class ModernBatchServer(BatchServer):
         from ..nn.modern import apply_rope
 
         b = tokens.shape[0]
+        k_pages = list(k_pages)
+        v_pages = list(v_pages)
         x = model.token_embedding(tokens[:, None])  # [B, 1, D]
         cos, sin = model.rope_cos, model.rope_sin
         for li, block in enumerate(model.blocks):
@@ -279,10 +297,10 @@ class ModernBatchServer(BatchServer):
             # rotate at each token's own position ([B] lengths)
             q = _rope_tok(q, cos, sin, lengths)
             kk = _rope_tok(kk, cos, sin, lengths)
-            k_pages = k_pages.at[li, token_pages, token_slots].set(
+            k_pages[li] = k_pages[li].at[token_pages, token_slots].set(
                 kk.reshape(b, -1)
             )
-            v_pages = v_pages.at[li, token_pages, token_slots].set(
+            v_pages[li] = v_pages[li].at[token_pages, token_slots].set(
                 vv.reshape(b, -1)
             )
             o = paged_attention(
@@ -300,7 +318,7 @@ class ModernBatchServer(BatchServer):
             logits = jnp.einsum(
                 "btd,vd->btv", x, w, preferred_element_type=jnp.float32
             )[:, 0]
-        return logits, k_pages, v_pages
+        return logits, tuple(k_pages), tuple(v_pages)
 
     def _prefill_seq(self, model, k_pages, v_pages, tokens, token_pages,
                      token_slots):
@@ -308,6 +326,8 @@ class ModernBatchServer(BatchServer):
         from ..ops.attention import mha_reference
 
         t = tokens.shape[0]
+        k_pages = list(k_pages)
+        v_pages = list(v_pages)
         x = model.token_embedding(tokens[None])  # [1, T, D]
         cos, sin = model.rope_cos, model.rope_sin
         for li, block in enumerate(model.blocks):
@@ -324,8 +344,8 @@ class ModernBatchServer(BatchServer):
             kk = apply_rope(kk, cos, sin)
             k_rows = kk[0].transpose(1, 0, 2).reshape(t, -1)
             v_rows = vv[0].transpose(1, 0, 2).reshape(t, -1)
-            k_pages = k_pages.at[li, token_pages, token_slots].set(k_rows)
-            v_pages = v_pages.at[li, token_pages, token_slots].set(v_rows)
+            k_pages[li] = k_pages[li].at[token_pages, token_slots].set(k_rows)
+            v_pages[li] = v_pages[li].at[token_pages, token_slots].set(v_rows)
             if self.kv_heads != self.heads:
                 rep = self.heads // self.kv_heads
                 kk = jnp.repeat(kk, rep, axis=1)
@@ -335,7 +355,7 @@ class ModernBatchServer(BatchServer):
             x = x + (o @ block.w_o.weight)
             m, _ = block.mlp.forward(block.norm2(x))
             x = x + m
-        return k_pages, v_pages
+        return tuple(k_pages), tuple(v_pages)
 
 
 def _rope_tok(x, cos, sin, positions):

@@ -81,6 +81,14 @@ def _paged_kernel(
     b = pl.program_id(0)
     n_blocks = pages_per_seq // pages_per_block
     length = lengths_ref[b]
+    # only touch blocks that hold live tokens: DMA + compute for the unused
+    # page capacity beyond `length` would otherwise dominate decode time
+    # (pages_per_seq is sized for the max context, sequences are usually far
+    # shorter). At least one block so the unconditional first DMA is waited.
+    block_tokens_ = pages_per_block * page
+    n_live = jnp.clip(
+        (length + block_tokens_ - 1) // block_tokens_, 1, n_blocks
+    )
 
     def page_dma(slot, block_idx):
         copies = []
@@ -115,7 +123,7 @@ def _paged_kernel(
         m_acc, l_acc, o_acc = carry
         slot = block_idx % 2
 
-        @pl.when(block_idx + 1 < n_blocks)
+        @pl.when(block_idx + 1 < n_live)
         def _():
             start((block_idx + 1) % 2, block_idx + 1)
 
@@ -157,7 +165,7 @@ def _paged_kernel(
     m0 = jnp.full((hq, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((hq, 1), jnp.float32)
     o0 = jnp.zeros((hq, d), jnp.float32)
-    m, l, o = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, o0))
+    m, l, o = jax.lax.fori_loop(0, n_live, body, (m0, l0, o0))
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     o_ref[0] = (o * l_inv).astype(o_ref.dtype)
 

@@ -64,110 +64,143 @@ def paged_attention_reference(q, k_pages, v_pages, page_indices, lengths, *,
 
 
 def _paged_kernel(
-    # scalar prefetch
+    # scalar prefetch (SMEM; the last two are WRITABLE cross-cell state)
     page_indices_ref,    # [B * pages_per_seq] int32 (flattened)
     lengths_ref,         # [B] int32
+    buf_idx_ref,         # [1] int32 — which double-buffer slot is current
+    init_ref,            # [1] int32 — 1 until the very first live cell ran
     # inputs
-    q_ref,               # [1, H, D] VMEM (this sequence's query heads)
+    q_ref,               # [1, H, H_kv*D] VMEM (block-diagonally expanded q)
     k_pages_ref,         # [P, page, H_kv*D] ANY (stays in HBM)
     v_pages_ref,
     # outputs
-    o_ref,               # [1, H, D]
+    o_ref,               # [1, H, D] (same block revisited over the i grid)
     # scratch
+    m_scr, l_scr,        # [H8, 128] f32 online-softmax state
+    o_scr,               # [H8, D] f32 accumulator
     k_buf, v_buf,        # [2, pages_per_block, page, H_kv*D] VMEM
     sems,                # DMA semaphores [2, 2]
-    *, pages_per_seq, pages_per_block, page, sm_scale, num_kv_heads, head_dim,
+    *, pages_per_seq, pages_per_block, page, sm_scale, num_kv_heads,
+    head_dim, batch,
 ):
+    """Grid = (B, pages_per_seq // pages_per_block). Blocks past a
+    sequence's live length are skipped (near-zero cost), and each cell
+    prefetches the NEXT live cell's pages while it computes — cross-cell
+    double buffering in the style of the official TPU paged kernel, which
+    hides the DMA latency that a per-sequence start→wait structure pays on
+    every cell."""
     b = pl.program_id(0)
-    n_blocks = pages_per_seq // pages_per_block
-    length = lengths_ref[b]
-    # only touch blocks that hold live tokens: DMA + compute for the unused
-    # page capacity beyond `length` would otherwise dominate decode time
-    # (pages_per_seq is sized for the max context, sequences are usually far
-    # shorter). At least one block so the unconditional first DMA is waited.
-    block_tokens_ = pages_per_block * page
-    n_live = jnp.clip(
-        (length + block_tokens_ - 1) // block_tokens_, 1, n_blocks
-    )
-
-    def page_dma(slot, block_idx):
-        copies = []
-        for i in range(pages_per_block):
-            logical = block_idx * pages_per_block + i
-            phys = page_indices_ref[b * pages_per_seq + logical]
-            copies.append(pltpu.make_async_copy(
-                k_pages_ref.at[phys], k_buf.at[slot, i], sems.at[slot, 0]
-            ))
-            copies.append(pltpu.make_async_copy(
-                v_pages_ref.at[phys], v_buf.at[slot, i], sems.at[slot, 1]
-            ))
-        return copies
-
-    def start(slot, block_idx):
-        for c in page_dma(slot, block_idx):
-            c.start()
-
-    def wait(slot, block_idx):
-        for c in page_dma(slot, block_idx):
-            c.wait()
-
-    start(0, 0)
-
-    block_tokens = pages_per_block * page
+    i = pl.program_id(1)
+    bk = pages_per_block * page
     hq = q_ref.shape[1]
     d = head_dim
     hkv = num_kv_heads
     q_per_kv = hq // hkv
 
-    def body(block_idx, carry):
-        m_acc, l_acc, o_acc = carry
-        slot = block_idx % 2
+    def live_len(b_):
+        # length 0 still "owns" block 0 so the DMA chain stays balanced
+        # (a fully-masked block computes to zeros)
+        return jnp.maximum(lengths_ref[jnp.clip(b_, 0, batch - 1)], 1)
 
-        @pl.when(block_idx + 1 < n_live)
-        def _():
-            start((block_idx + 1) % 2, block_idx + 1)
+    length = live_len(b)
 
-        wait(slot, block_idx)
-        # [tokens, H_kv * D]
-        k = k_buf[slot].reshape(block_tokens, hkv * d)
-        v = v_buf[slot].reshape(block_tokens, hkv * d)
-        q = q_ref[0]  # [H, D]
-        # group q by kv head and contract against that head's lane slice
-        s_parts = []
-        for g in range(hkv):
-            kg = k[:, g * d:(g + 1) * d]               # [tokens, D]
-            qg = q[g * q_per_kv:(g + 1) * q_per_kv]    # [q_per_kv, D]
-            s_parts.append(jax.lax.dot_general(
-                qg, kg, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+    def page_dma(slot, b_, block_idx):
+        copies = []
+        for j in range(pages_per_block):
+            logical = block_idx * pages_per_block + j
+            phys = page_indices_ref[b_ * pages_per_seq + logical]
+            copies.append(pltpu.make_async_copy(
+                k_pages_ref.at[phys], k_buf.at[slot, j], sems.at[slot, 0]
             ))
-        s = jnp.concatenate(s_parts, axis=0) * sm_scale  # [H, tokens]
-        tok = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
-            + block_idx * block_tokens
+            copies.append(pltpu.make_async_copy(
+                v_pages_ref.at[phys], v_buf.at[slot, j], sems.at[slot, 1]
+            ))
+        return copies
+
+    def next_indices(b_, i_):
+        # first live (b, i) at or after candidate (b_, i_)
+        return jax.lax.cond(
+            i_ * bk < live_len(b_),
+            lambda: (jnp.int32(b_), jnp.int32(i_)),
+            lambda: (jnp.int32(b_ + 1), jnp.int32(0)),
+        )
+
+    @pl.when(i * bk < length)
+    def _run():
+        buf = buf_idx_ref[0]
+
+        @pl.when(init_ref[0] == 1)
+        def _first():  # the very first live cell starts its own DMA
+            for c in page_dma(buf, b, i):
+                c.start()
+
+        init_ref[0] = 0
+
+        @pl.when(i == 0)
+        def _init_acc():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            o_scr[...] = jnp.zeros_like(o_scr)
+
+        next_b, next_i = next_indices(b, i + 1)
+
+        @pl.when(next_b < batch)
+        def _prefetch():  # overlap the next cell's loads with this compute
+            nbuf = 1 - buf
+            for c in page_dma(nbuf, next_b, next_i):
+                c.start()
+            buf_idx_ref[0] = nbuf
+
+        for c in page_dma(buf, b, i):
+            c.wait()
+
+        k = k_buf[buf].reshape(bk, hkv * d)
+        v = v_buf[buf].reshape(bk, hkv * d)
+        # expand q block-diagonally ([H, H_kv*D], head h nonzero only in its
+        # own kv group's lane slice) so ONE matmul contracts every group at
+        # once — a per-group loop of tiny [q_per_kv, D] dots costs several
+        # times the DMA time in per-instruction overhead
+        q = q_ref[0]  # [H, D]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (hq, d), 0)
+        q_exp = jnp.concatenate(
+            [jnp.where(rows // q_per_kv == g, q, 0) for g in range(hkv)],
+            axis=1,
+        )  # [H, H_kv*D]
+        s = jax.lax.dot_general(
+            q_exp, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # [H, tokens]
+        tok = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
         s = jnp.where(tok < length, s, NEG_INF)
 
+        m_acc = m_scr[:hq, :1]
+        l_acc = l_scr[:hq, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_acc, m_cur)
         alpha = jnp.exp(m_acc - m_new)
         p = jnp.exp(s - m_new)
         l_new = alpha * l_acc + jnp.sum(p, axis=1, keepdims=True)
-        o_parts = []
-        for g in range(hkv):
-            vg = v[:, g * d:(g + 1) * d]
-            pg = p[g * q_per_kv:(g + 1) * q_per_kv]
-            o_parts.append(jax.lax.dot(
-                pg.astype(vg.dtype), vg, preferred_element_type=jnp.float32
-            ))
-        o_blk = jnp.concatenate(o_parts, axis=0)  # [H, D]
-        o_new = o_acc * alpha + o_blk
-        return m_new, l_new, o_new
+        # o_exp[h] = p[h] @ v over ALL lane groups; the caller slices out
+        # group g(h)'s lanes
+        o_blk = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )  # [H, H_kv*D]
+        o_scr[:hq] = o_scr[:hq] * alpha + o_blk
+        m_scr[:hq, :1] = m_new
+        l_scr[:hq, :1] = l_new
 
-    m0 = jnp.full((hq, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((hq, 1), jnp.float32)
-    o0 = jnp.zeros((hq, d), jnp.float32)
-    m, l, o = jax.lax.fori_loop(0, n_live, body, (m0, l0, o0))
-    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    o_ref[0] = (o * l_inv).astype(o_ref.dtype)
+        @pl.when(next_b != b)
+        def _finalize():  # last live block of this sequence
+            l = l_scr[:hq, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_exp = o_scr[:hq] * l_inv        # [H, H_kv*D]
+            # each head keeps only its own kv group's lane slice
+            o = jnp.zeros((hq, d), jnp.float32)
+            for g in range(hkv):
+                o = o + jnp.where(
+                    rows // q_per_kv == g, o_exp[:, g * d:(g + 1) * d], 0.0
+                )
+            o_ref[0] = o.astype(o_ref.dtype)
 
 
 def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
@@ -192,18 +225,23 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
     kernel = functools.partial(
         _paged_kernel, pages_per_seq=pages_per_seq,
         pages_per_block=pages_per_block, page=page, sm_scale=sm_scale,
-        num_kv_heads=num_kv_heads, head_dim=d,
+        num_kv_heads=num_kv_heads, head_dim=d, batch=b,
     )
+    n_blocks = pages_per_seq // pages_per_block
+    h8 = ((h + 7) // 8) * 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b,),
+        num_scalar_prefetch=4,
+        grid=(b, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, h, d), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, h, d), lambda bi, i, *_: (bi, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, h, d), lambda i, *_: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, h, d), lambda bi, i, *_: (bi, 0, 0)),
         scratch_shapes=[
+            pltpu.VMEM((h8, 128), jnp.float32),
+            pltpu.VMEM((h8, 128), jnp.float32),
+            pltpu.VMEM((h8, fused), jnp.float32),
             pltpu.VMEM((2, pages_per_block, page, fused), k_pages.dtype),
             pltpu.VMEM((2, pages_per_block, page, fused), v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -213,10 +251,17 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            # cross-cell DMA state (buf_idx/init flags, scratch) requires a
+            # single sequential traversal
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
         interpret=interpret,
     )(
         page_indices.reshape(-1).astype(jnp.int32),
         lengths.astype(jnp.int32),
+        jnp.zeros((1,), jnp.int32),   # buffer index (writable SMEM state)
+        jnp.ones((1,), jnp.int32),    # init flag
         q, k_pages, v_pages,
     )
 

@@ -43,13 +43,18 @@ __all__ = [
 
 
 def lengths_to_mask(lengths, max_len: int):
-    """[B] valid lengths -> [B, 1, 1, max_len] boolean attend-mask.
+    """Valid-length limits -> boolean attend-mask over keys.
 
-    The reference's 1D maxLength protocol (Transformer.scala:663-705): tokens
-    at positions >= length are masked out as attention *keys*.
+    The reference's maxLength protocol (Transformer.scala:663-750), both
+    variants: [B] (1D — per batch element, -> [B, 1, 1, max_len]) and
+    [B, Sq] (2D — per query row, -> [B, 1, Sq, max_len]). Tokens at key
+    positions >= the limit are masked out.
     """
-    pos = jnp.arange(max_len)[None, :]
-    return (pos < lengths[:, None])[:, None, None, :]
+    pos = jnp.arange(max_len)
+    lengths = jnp.asarray(lengths)
+    if lengths.ndim == 2:
+        return (pos[None, None, :] < lengths[:, :, None])[:, None, :, :]
+    return (pos[None, :] < lengths[:, None])[:, None, None, :]
 
 
 def positional_embedding_vaswani(max_len: int, dim: int, dtype=jnp.float32):

@@ -68,17 +68,19 @@ def mha_reference(q, k, v, *, causal=False, sm_scale=None, mask=None):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+def _fwd_kernel(lim_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
                 *, sm_scale, causal, block_q, block_k, kv_len, q_offset,
                 heads):
     # lse_ref is None in the inference-only variant (no residuals saved);
-    # len_ref (SMEM int32 [B]) is None without per-batch kv lengths
+    # lim_ref ([1, 1, block_q] int32 VMEM) is None without kv-length limits —
+    # per-QUERY-ROW limits, covering both the reference's 1D (per-batch) and
+    # 2D (per-query-token) maxLength protocols in-kernel
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
-    if len_ref is not None:
-        kv_limit = jnp.minimum(len_ref[pl.program_id(0) // heads], kv_len)
+    if lim_ref is not None:
+        kv_limit = jnp.minimum(lim_ref[0, 0][:, None], kv_len)  # [block_q, 1]
     else:
         kv_limit = kv_len
 
@@ -137,13 +139,13 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             ).astype(jnp.float32)
 
 
-def _fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
+def _fwd(q, k, v, limits, sm_scale, causal, block_q, block_k, kv_len,
          heads, interpret, save_residuals=True):
     bh, sq, d = q.shape
     skv = k.shape[1]
     grid = (bh, sq // block_q, skv // block_k)
     q_offset = skv - sq if causal else 0
-    has_len = lengths is not None
+    has_len = limits is not None
 
     base = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
@@ -165,8 +167,8 @@ def _fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
         )
     else:
         if has_len:
-            def kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *scr):
-                base(len_ref, q_ref, k_ref, v_ref, o_ref, None, *scr)
+            def kernel(lim_ref, q_ref, k_ref, v_ref, o_ref, *scr):
+                base(lim_ref, q_ref, k_ref, v_ref, o_ref, None, *scr)
         else:
             def kernel(q_ref, k_ref, v_ref, o_ref, *scr):
                 base(None, q_ref, k_ref, v_ref, o_ref, None, *scr)
@@ -181,8 +183,10 @@ def _fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
     ]
     args = (q, k, v)
     if has_len:
-        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
-        args = (lengths.astype(jnp.int32),) + args
+        in_specs = [pl.BlockSpec(
+            (1, 1, block_q), lambda b, i, j: (b // heads, 0, i)
+        )] + in_specs
+        args = (limits,) + args
 
     out = pl.pallas_call(
         kernel,
@@ -211,14 +215,14 @@ def _fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+def _bwd_dq_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                    dq_ref, dq_scr, *, sm_scale, causal, block_q, block_k,
                    kv_len, q_offset, heads):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
-    if len_ref is not None:
-        kv_limit = jnp.minimum(len_ref[pl.program_id(0) // heads], kv_len)
+    if lim_ref is not None:
+        kv_limit = jnp.minimum(lim_ref[0, 0][:, None], kv_len)  # [block_q, 1]
     else:
         kv_limit = kv_len
 
@@ -263,15 +267,15 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+def _bwd_dkv_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
                     *, sm_scale, causal, block_q, block_k, kv_len, q_offset,
                     heads):
     ki = pl.program_id(1)
     qi = pl.program_id(2)
     n_q = pl.num_programs(2)
-    if len_ref is not None:
-        kv_limit = jnp.minimum(len_ref[pl.program_id(0) // heads], kv_len)
+    if lim_ref is not None:
+        kv_limit = jnp.minimum(lim_ref[0, 0][:, None], kv_len)  # [block_q, 1]
     else:
         kv_limit = kv_len
 
@@ -325,7 +329,7 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd_fused_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+def _bwd_fused_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                       dqp_ref, dk_ref, dv_ref, dk_scr, dv_scr,
                       *, sm_scale, causal, block_q, block_k, kv_len, q_offset,
                       heads):
@@ -341,8 +345,8 @@ def _bwd_fused_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     ki = pl.program_id(1)
     qi = pl.program_id(2)
     n_q = pl.num_programs(2)
-    if len_ref is not None:
-        kv_limit = jnp.minimum(len_ref[pl.program_id(0) // heads], kv_len)
+    if lim_ref is not None:
+        kv_limit = jnp.minimum(lim_ref[0, 0][:, None], kv_len)  # [block_q, 1]
     else:
         kv_limit = kv_len
 
@@ -432,8 +436,10 @@ def _bwd_fused(sm_scale, causal, block_q, block_k, kv_len, heads, interpret,
     )
     if has_len:
         kernel = base
-        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + data_specs
-        call_args = (lengths.astype(jnp.int32),) + args
+        in_specs = [pl.BlockSpec(
+            (1, 1, block_q), lambda b, j, i: (b // heads, 0, i)
+        )] + data_specs
+        call_args = (lengths,) + args
     else:
         def kernel(*refs):
             base(None, *refs)
@@ -523,8 +529,10 @@ def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, heads, interpret,
     )
     if has_len:
         dq_kernel = base_dq
-        dq_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + data_specs
-        dq_args = (lengths.astype(jnp.int32),) + args
+        dq_specs = [pl.BlockSpec(
+            (1, 1, block_q), lambda b, i, j: (b // heads, 0, i)
+        )] + data_specs
+        dq_args = (lengths,) + args
     else:
         def dq_kernel(*refs):
             base_dq(None, *refs)
@@ -559,8 +567,10 @@ def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, heads, interpret,
     )
     if has_len:
         dkv_kernel = base_dkv
-        dkv_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + kv_data_specs
-        dkv_args = (lengths.astype(jnp.int32),) + args
+        dkv_specs = [pl.BlockSpec(
+            (1, 1, block_q), lambda b, j, i: (b // heads, 0, i)
+        )] + kv_data_specs
+        dkv_args = (lengths,) + args
     else:
         def dkv_kernel(*refs):
             base_dkv(None, *refs)
@@ -629,9 +639,11 @@ def flash_attention(q, k, v, *, causal: bool = False,
 
     Handles non-multiple sequence lengths by padding (padded kv positions are
     masked inside the kernel; padded q rows are sliced off). ``kv_lengths``
-    ([B] int) masks keys/values per batch element (the reference's maxLength
-    protocol, inside the kernel). The backward pass recomputes attention
-    weights from the saved logsumexp.
+    masks keys/values inside the kernel — the reference's maxLength protocol
+    (Transformer.scala:663-750), BOTH variants: [B] int (per batch element)
+    or [B, Sq] int (per query row; the reference's own fused-kernel gate
+    disables the cuDNN kernel for 2D masks — here the fast path keeps them).
+    The backward pass recomputes attention weights from the saved logsumexp.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -660,7 +672,16 @@ def flash_attention(q, k, v, *, causal: bool = False,
         kr = jnp.pad(kr, ((0, 0), (0, skv_p - skv), (0, 0)))
         vr = jnp.pad(vr, ((0, 0), (0, skv_p - skv), (0, 0)))
 
-    o = _flash(qr, kr, vr, kv_lengths, sm_scale, causal, block_q_eff,
+    limits = None
+    if kv_lengths is not None:
+        limits = jnp.asarray(kv_lengths, jnp.int32)
+        if limits.ndim == 1:
+            limits = jnp.broadcast_to(limits[:, None], (b, sq))
+        if sq_p != sq:  # padded q rows are sliced off; any limit works
+            limits = jnp.pad(limits, ((0, 0), (0, sq_p - sq)))
+        limits = limits[:, None, :]  # [B, 1, Sq]: Mosaic wants >=2 tiled dims
+
+    o = _flash(qr, kr, vr, limits, sm_scale, causal, block_q_eff,
                block_k_eff, skv, h, interpret)
     return o[:, :sq, :].reshape(b, h, sq, d)
 

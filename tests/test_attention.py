@@ -120,6 +120,39 @@ def test_dot_product_attention_mask_path():
 
 
 @pytest.mark.parametrize("causal", [False, True])
+def test_flash_kv_lengths_2d(causal):
+    """Per-QUERY-ROW kv limits (the reference's 2D maxLength protocol,
+    Transformer.scala:663-750) inside the kernel, forward and backward."""
+    b, h, s, d = 2, 2, 128, 32
+    keys = jax.random.split(jax.random.PRNGKey(11), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys)
+    rng = np.random.RandomState(3)
+    lim = jnp.asarray(rng.randint(1, s + 1, (b, s)), jnp.int32)
+    mask = (jnp.arange(s)[None, None, :] < lim[:, :, None])[:, None, :, :]
+
+    out = flash_attention(q, k, v, causal=causal, kv_lengths=lim,
+                          interpret=True, block_q=32, block_k=64)
+    ref = mha_reference(q, k, v, causal=causal, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, causal=causal, kv_lengths=lim,
+                            interpret=True, block_q=32, block_k=64)
+        return jnp.sum(jnp.square(o))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(mha_reference(q, k, v, causal=causal,
+                                                mask=mask)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4, err_msg=f"2D grad {name}")
+
+
+@pytest.mark.parametrize("causal", [False, True])
 def test_flash_kv_lengths(causal):
     """Per-batch kv-length masking inside the kernel matches the masked XLA
     reference, forward and backward."""

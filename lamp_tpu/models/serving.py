@@ -41,6 +41,8 @@ class BatchServer:
         self.kv_heads = self.heads
         self.head_dim = block.attention.w_q.weight.shape[1] // self.heads
 
+    PREFILL_BUCKET = 64
+
     def __init__(self, model, *, page_size: int = 64,
                  total_pages: int = 512, temperature: float = 0.0,
                  seed: int = 0):
@@ -71,7 +73,11 @@ class BatchServer:
             )
             for _ in range(self.layers)
         )
-        self.free_pages: List[int] = list(range(total_pages - 1, -1, -1))
+        # page 0 is reserved as the "trash" page: bucketed prefill pads the
+        # prompt up to a multiple of PREFILL_BUCKET (one jit trace per bucket
+        # instead of one per prompt length) and the padded rows' K/V land
+        # there (causal attention means they never affect real tokens)
+        self.free_pages: List[int] = list(range(total_pages - 1, 0, -1))
         self.seq_pages: Dict = {}
         self.seq_len: Dict = {}
         self.last_token: Dict = {}
@@ -96,11 +102,27 @@ class BatchServer:
             for _ in range(n_prefill):
                 slots.append(self._alloc_slot(seq_id))
                 self.seq_len[seq_id] += 1
-            tp = jnp.asarray([p for p, _ in slots], jnp.int32)
-            ts = jnp.asarray([sl for _, sl in slots], jnp.int32)
+            # bucket the length so prefill compiles once per bucket; padded
+            # rows write their K/V to the reserved trash page (cap at the
+            # model's context length — positions beyond it don't exist)
+            t_pad = min(
+                -(-n_prefill // self.PREFILL_BUCKET) * self.PREFILL_BUCKET,
+                self.model.context_length,
+            )
+            n_pad = max(t_pad, n_prefill) - n_prefill
+            tp = np.asarray(
+                [p for p, _ in slots] + [0] * n_pad, np.int32
+            )
+            ts = np.asarray(
+                [sl for _, sl in slots]
+                + [j % self.page_size for j in range(n_pad)], np.int32,
+            )
+            tokens = np.concatenate(
+                [prompt[:-1], np.zeros(n_pad, prompt.dtype)]
+            ).astype(np.int32)
             self.k_pages, self.v_pages = self._prefill_fn(
                 self.model, self.k_pages, self.v_pages,
-                jnp.asarray(prompt[:-1].astype(np.int32)), tp, ts,
+                jnp.asarray(tokens), jnp.asarray(tp), jnp.asarray(ts),
             )
         self.last_token[seq_id] = int(prompt[-1])
 

@@ -83,8 +83,32 @@ class BatchServer:
         self.last_token: Dict = {}
         self.temperature = temperature
         self.key = jax.random.PRNGKey(seed)
+        # serving weights are frozen: precompute fused per-layer QKV weights
+        # once (one [D, (H+2H_kv)*hd] matmul per layer instead of three) and
+        # pass them as jit ARGS — closure capture would bake them into the
+        # compiled program as constants
+        self._extras = self._precompute_extras(model)
         self._step_fn = jax.jit(self._decode_step, donate_argnums=(1, 2))
         self._prefill_fn = jax.jit(self._prefill_seq, donate_argnums=(1, 2))
+
+    def _precompute_extras(self, model):
+        ws, bs = [], []
+        any_bias = False
+        for block in model.encoder.blocks:
+            att = block.attention
+            ws.append(jnp.concatenate(
+                [att.w_q.weight, att.w_k.weight, att.w_v.weight], axis=1
+            ))
+            row = []
+            for lin in (att.w_q, att.w_k, att.w_v):
+                n = lin.weight.shape[1]
+                if lin.bias is not None:
+                    any_bias = True
+                    row.append(lin.bias)
+                else:
+                    row.append(jnp.zeros((n,), lin.weight.dtype))
+            bs.append(jnp.concatenate(row))
+        return (tuple(ws), tuple(bs) if any_bias else None)
 
     # -- request lifecycle --------------------------------------------------
     def add(self, seq_id, prompt_tokens) -> None:
@@ -198,30 +222,30 @@ class BatchServer:
         return jnp.asarray(idx), jnp.asarray(lens)
 
     def _decode_step(self, model, k_pages, v_pages, tokens, page_idx, lengths,
-                     token_pages, token_slots):
+                     token_pages, token_slots, extras):
         """Process a [B] batch of tokens sitting at positions ``lengths``:
         write their per-layer K/V into (token_pages, token_slots), attend over
         history + self, return (logits [B,V], new_k_pages, new_v_pages)."""
         b = tokens.shape[0]
+        wqkv, bqkv = extras
         k_pages = list(k_pages)
         v_pages = list(v_pages)
         x = model.token_embedding(tokens[:, None]) + jnp.take(
             model.position_embedding.weight, lengths[:, None], axis=0
         )
+        hd = self.head_dim
         for li, block in enumerate(model.encoder.blocks):
             att = block.attention
             h = att.num_heads
             a = block.norm1(x)[:, 0]          # [B, D_model]
 
-            def proj(lin):
-                y = a @ lin.weight
-                if lin.bias is not None:
-                    y = y + lin.bias
-                return y.reshape(b, h, self.head_dim)
-
-            q = proj(att.w_q)
-            kk = proj(att.w_k)
-            vv = proj(att.w_v)
+            y = a @ wqkv[li]
+            if bqkv is not None:
+                y = y + bqkv[li]
+            nq = h * hd
+            q = y[:, :nq].reshape(b, h, hd)
+            kk = y[:, nq:2 * nq].reshape(b, h, hd)
+            vv = y[:, 2 * nq:].reshape(b, h, hd)
             # write this token's fused-head kv row into its page slot
             k_pages[li] = k_pages[li].at[token_pages, token_slots].set(
                 kk.reshape(b, -1)
@@ -254,7 +278,8 @@ class BatchServer:
         tp = jnp.asarray([p for p, _ in slots], jnp.int32)
         ts = jnp.asarray([sl for _, sl in slots], jnp.int32)
         logits, self.k_pages, self.v_pages = self._step_fn(
-            self.model, self.k_pages, self.v_pages, tokens, idx, lens, tp, ts
+            self.model, self.k_pages, self.v_pages, tokens, idx, lens, tp, ts,
+            self._extras,
         )
         for s in seq_ids:
             self.seq_len[s] += 1
@@ -298,27 +323,49 @@ class ModernBatchServer(BatchServer):
         d_model = block.w_q.weight.shape[0]
         self.head_dim = d_model // self.heads
 
-    def _decode_step(self, model, k_pages, v_pages, tokens, page_idx, lengths,
-                     token_pages, token_slots):
-        from ..nn.modern import apply_rope
+    def _precompute_extras(self, model):
+        ws = tuple(
+            jnp.concatenate(
+                [blk.w_q.weight, blk.w_k.weight, blk.w_v.weight], axis=1
+            )
+            for blk in model.blocks
+        )
+        return (ws, None)
 
+    def _decode_step(self, model, k_pages, v_pages, tokens, page_idx, lengths,
+                     token_pages, token_slots, extras):
         b = tokens.shape[0]
+        wqkv, _ = extras
         k_pages = list(k_pages)
         v_pages = list(v_pages)
         x = model.token_embedding(tokens[:, None])  # [B, 1, D]
-        cos, sin = model.rope_cos, model.rope_sin
+        # hoist the RoPE angle gathers out of the layer loop: every layer
+        # rotates at the same per-token positions
+        hd = self.head_dim
+        c = jnp.take(model.rope_cos, lengths, axis=0).astype(jnp.float32)
+        s = jnp.take(model.rope_sin, lengths, axis=0).astype(jnp.float32)
+        c = c[:, None, :]  # [B, 1, hd/2] broadcasting over heads
+        s = s[:, None, :]
+
+        def rot(t):
+            acc = t.astype(jnp.float32)
+            t1, t2 = jnp.split(acc, 2, axis=-1)
+            return jnp.concatenate(
+                [t1 * c - t2 * s, t2 * c + t1 * s], axis=-1
+            ).astype(t.dtype)
+
+        nq = self.heads * hd
+        nkv = self.kv_heads * hd
         for li, block in enumerate(model.blocks):
             a = block.norm1(x)[:, 0]
 
-            def proj(lin, heads):
-                return (a @ lin.weight).reshape(b, heads, self.head_dim)
-
-            q = proj(block.w_q, self.heads)
-            kk = proj(block.w_k, self.kv_heads)
-            vv = proj(block.w_v, self.kv_heads)
+            y = a @ wqkv[li]
+            q = y[:, :nq].reshape(b, self.heads, hd)
+            kk = y[:, nq:nq + nkv].reshape(b, self.kv_heads, hd)
+            vv = y[:, nq + nkv:].reshape(b, self.kv_heads, hd)
             # rotate at each token's own position ([B] lengths)
-            q = _rope_tok(q, cos, sin, lengths)
-            kk = _rope_tok(kk, cos, sin, lengths)
+            q = rot(q)
+            kk = rot(kk)
             k_pages[li] = k_pages[li].at[token_pages, token_slots].set(
                 kk.reshape(b, -1)
             )
@@ -380,11 +427,3 @@ class ModernBatchServer(BatchServer):
         return tuple(k_pages), tuple(v_pages)
 
 
-def _rope_tok(x, cos, sin, positions):
-    """Rotate [B, H, D] single-token q/k at per-batch positions [B]."""
-    from ..nn.modern import apply_rope
-
-    # apply_rope expects [B, H, T, D]; T=1 with per-batch positions [B, 1]
-    out = apply_rope(x[:, :, None, :], cos, sin,
-                     positions=positions[:, None])
-    return out[:, :, 0, :]

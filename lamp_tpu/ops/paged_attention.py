@@ -67,42 +67,37 @@ def _paged_kernel(
     # scalar prefetch (SMEM; the last two are WRITABLE cross-cell state)
     page_indices_ref,    # [B * pages_per_seq] int32 (flattened)
     lengths_ref,         # [B] int32
-    buf_idx_ref,         # [1] int32 — which double-buffer slot is current
-    init_ref,            # [1] int32 — 1 until the very first live cell ran
+    cnt_ref,             # [1] int32 — cumulative blocks DMA'd (slot parity)
+    init_ref,            # [1] int32 — 1 until the first cell ran
     # inputs
-    q_ref,               # [1, H, H_kv*D] VMEM (block-diagonally expanded q)
+    q_ref,               # [1, H, D] VMEM (this sequence's query heads)
     k_pages_ref,         # [P, page, H_kv*D] ANY (stays in HBM)
     v_pages_ref,
     # outputs
-    o_ref,               # [1, H, D] (same block revisited over the i grid)
+    o_ref,               # [1, H, D]
     # scratch
-    m_scr, l_scr,        # [H8, 128] f32 online-softmax state
-    o_scr,               # [H8, D] f32 accumulator
     k_buf, v_buf,        # [2, pages_per_block, page, H_kv*D] VMEM
     sems,                # DMA semaphores [2, 2]
     *, pages_per_seq, pages_per_block, page, sm_scale, num_kv_heads,
     head_dim, batch,
 ):
-    """Grid = (B, pages_per_seq // pages_per_block). Blocks past a
-    sequence's live length are skipped (near-zero cost), and each cell
-    prefetches the NEXT live cell's pages while it computes — cross-cell
-    double buffering in the style of the official TPU paged kernel, which
-    hides the DMA latency that a per-sequence start→wait structure pays on
-    every cell."""
+    """Grid = (B,), one cell per sequence; an in-cell ``fori_loop`` with a
+    DYNAMIC bound walks only the live kv blocks (no dead grid cells), and
+    the last live block prefetches the NEXT sequence's first block — the
+    double-buffer slot parity rides in a writable scalar-prefetch counter,
+    so DMA latency is hidden across cell boundaries too."""
     b = pl.program_id(0)
-    i = pl.program_id(1)
     bk = pages_per_block * page
+    n_blocks = pages_per_seq // pages_per_block
     hq = q_ref.shape[1]
     d = head_dim
     hkv = num_kv_heads
     q_per_kv = hq // hkv
 
-    def live_len(b_):
-        # length 0 still "owns" block 0 so the DMA chain stays balanced
-        # (a fully-masked block computes to zeros)
-        return jnp.maximum(lengths_ref[jnp.clip(b_, 0, batch - 1)], 1)
-
-    length = live_len(b)
+    # length 0 still owns block 0 so the DMA chain stays balanced (a fully
+    # masked block computes to zeros)
+    length = jnp.maximum(lengths_ref[b], 1)
+    n_live = jnp.clip((length + bk - 1) // bk, 1, n_blocks)
 
     def page_dma(slot, b_, block_idx):
         copies = []
@@ -117,55 +112,47 @@ def _paged_kernel(
             ))
         return copies
 
-    def next_indices(b_, i_):
-        # first live (b, i) at or after candidate (b_, i_)
-        return jax.lax.cond(
-            i_ * bk < live_len(b_),
-            lambda: (jnp.int32(b_), jnp.int32(i_)),
-            lambda: (jnp.int32(b_ + 1), jnp.int32(0)),
-        )
+    entry_cnt = cnt_ref[0]
 
-    @pl.when(i * bk < length)
-    def _run():
-        buf = buf_idx_ref[0]
+    @pl.when(init_ref[0] == 1)
+    def _first():  # the very first cell starts its own block-0 DMA
+        for c in page_dma(entry_cnt % 2, b, 0):
+            c.start()
 
-        @pl.when(init_ref[0] == 1)
-        def _first():  # the very first live cell starts its own DMA
-            for c in page_dma(buf, b, i):
+    init_ref[0] = 0
+    cnt_ref[0] = entry_cnt + n_live
+
+    # hoisted out of the block loop: expand q block-diagonally ([H, H_kv*D],
+    # head h nonzero only in its own kv group's lane slice) so ONE matmul
+    # contracts every group at once — a per-group loop of tiny [q_per_kv, D]
+    # dots costs several times the DMA time in per-instruction overhead
+    q = q_ref[0]  # [H, D]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hq, d), 0)
+    q_exp = jnp.concatenate(
+        [jnp.where(rows // q_per_kv == g, q, 0) for g in range(hkv)],
+        axis=1,
+    )  # [H, H_kv*D]
+
+    def body(i, carry):
+        m_acc, l_acc, o_acc = carry
+        slot = (entry_cnt + i) % 2
+        nslot = (entry_cnt + i + 1) % 2
+
+        @pl.when(i + 1 < n_live)
+        def _():  # next block of this sequence
+            for c in page_dma(nslot, b, i + 1):
                 c.start()
 
-        init_ref[0] = 0
-
-        @pl.when(i == 0)
-        def _init_acc():
-            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-            l_scr[...] = jnp.zeros_like(l_scr)
-            o_scr[...] = jnp.zeros_like(o_scr)
-
-        next_b, next_i = next_indices(b, i + 1)
-
-        @pl.when(next_b < batch)
-        def _prefetch():  # overlap the next cell's loads with this compute
-            nbuf = 1 - buf
-            for c in page_dma(nbuf, next_b, next_i):
+        @pl.when((i + 1 == n_live) & (b + 1 < batch))
+        def _():  # last live block: prefetch the next sequence's block 0
+            for c in page_dma(nslot, b + 1, 0):
                 c.start()
-            buf_idx_ref[0] = nbuf
 
-        for c in page_dma(buf, b, i):
+        for c in page_dma(slot, b, i):
             c.wait()
 
-        k = k_buf[buf].reshape(bk, hkv * d)
-        v = v_buf[buf].reshape(bk, hkv * d)
-        # expand q block-diagonally ([H, H_kv*D], head h nonzero only in its
-        # own kv group's lane slice) so ONE matmul contracts every group at
-        # once — a per-group loop of tiny [q_per_kv, D] dots costs several
-        # times the DMA time in per-instruction overhead
-        q = q_ref[0]  # [H, D]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (hq, d), 0)
-        q_exp = jnp.concatenate(
-            [jnp.where(rows // q_per_kv == g, q, 0) for g in range(hkv)],
-            axis=1,
-        )  # [H, H_kv*D]
+        k = k_buf[slot].reshape(bk, hkv * d)
+        v = v_buf[slot].reshape(bk, hkv * d)
         s = jax.lax.dot_general(
             q_exp, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -173,34 +160,31 @@ def _paged_kernel(
         tok = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
         s = jnp.where(tok < length, s, NEG_INF)
 
-        m_acc = m_scr[:hq, :1]
-        l_acc = l_scr[:hq, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_acc, m_cur)
         alpha = jnp.exp(m_acc - m_new)
         p = jnp.exp(s - m_new)
         l_new = alpha * l_acc + jnp.sum(p, axis=1, keepdims=True)
-        # o_exp[h] = p[h] @ v over ALL lane groups; the caller slices out
-        # group g(h)'s lanes
+        # o_exp[h] = p[h] @ v over ALL lane groups; each head's own group
+        # slice is extracted at the end
         o_blk = jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )  # [H, H_kv*D]
-        o_scr[:hq] = o_scr[:hq] * alpha + o_blk
-        m_scr[:hq, :1] = m_new
-        l_scr[:hq, :1] = l_new
+        return m_new, l_new, o_acc * alpha + o_blk
 
-        @pl.when(next_b != b)
-        def _finalize():  # last live block of this sequence
-            l = l_scr[:hq, :1]
-            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_exp = o_scr[:hq] * l_inv        # [H, H_kv*D]
-            # each head keeps only its own kv group's lane slice
-            o = jnp.zeros((hq, d), jnp.float32)
-            for g in range(hkv):
-                o = o + jnp.where(
-                    rows // q_per_kv == g, o_exp[:, g * d:(g + 1) * d], 0.0
-                )
-            o_ref[0] = o.astype(o_ref.dtype)
+    m0 = jnp.full((hq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((hq, 1), jnp.float32)
+    o0 = jnp.zeros((hq, hkv * d), jnp.float32)
+    m, l, o_exp = jax.lax.fori_loop(0, n_live, body, (m0, l0, o0))
+
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_exp = o_exp * l_inv
+    o = jnp.zeros((hq, d), jnp.float32)
+    for g in range(hkv):
+        o = o + jnp.where(
+            rows // q_per_kv == g, o_exp[:, g * d:(g + 1) * d], 0.0
+        )
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
@@ -227,21 +211,16 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
         pages_per_block=pages_per_block, page=page, sm_scale=sm_scale,
         num_kv_heads=num_kv_heads, head_dim=d, batch=b,
     )
-    n_blocks = pages_per_seq // pages_per_block
-    h8 = ((h + 7) // 8) * 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(b, n_blocks),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, h, d), lambda bi, i, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, h, d), lambda bi, *_: (bi, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, h, d), lambda bi, i, *_: (bi, 0, 0)),
+        out_specs=pl.BlockSpec((1, h, d), lambda bi, *_: (bi, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((h8, 128), jnp.float32),
-            pltpu.VMEM((h8, 128), jnp.float32),
-            pltpu.VMEM((h8, fused), jnp.float32),
             pltpu.VMEM((2, pages_per_block, page, fused), k_pages.dtype),
             pltpu.VMEM((2, pages_per_block, page, fused), v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -252,15 +231,15 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            # cross-cell DMA state (buf_idx/init flags, scratch) requires a
+            # cross-cell DMA state (slot counter, init flag) requires a
             # single sequential traversal
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(
         page_indices.reshape(-1).astype(jnp.int32),
         lengths.astype(jnp.int32),
-        jnp.zeros((1,), jnp.int32),   # buffer index (writable SMEM state)
+        jnp.zeros((1,), jnp.int32),   # block counter (writable SMEM state)
         jnp.ones((1,), jnp.int32),    # init flag
         q, k_pages, v_pages,
     )

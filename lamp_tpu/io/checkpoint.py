@@ -231,8 +231,9 @@ def save_pytree_sharded(path: str, tree: Any) -> None:
                     leaf.dtype.type(0) if hasattr(leaf, "dtype") else leaf
                 )
                 shards = getattr(leaf, "addressable_shards", None)
-                if shards is None:  # plain numpy/scalar array
-                    shards = [None]
+                if shards is None:  # plain numpy/scalar array: every process
+                    # holds the same copy; only process 0 records it
+                    shards = [None] if pidx == 0 else []
                 for sh in shards:
                     if sh is None:
                         data_arr = leaf
@@ -298,6 +299,8 @@ def load_pytree_sharded(path: str, template: Any, *,
     for sp in sorted(_glob.glob(f"{path}.shard*.json")):
         with open(sp) as f:
             sd = json.load(f)
+        if not sd["records"]:
+            continue  # that process held only replicas (0-byte blob)
         sd["blob"] = np.memmap(
             f"{path}.data.shard{sd['process']}", dtype=np.uint8, mode="r"
         )

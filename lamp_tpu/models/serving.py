@@ -239,7 +239,10 @@ class BatchServer:
             h = att.num_heads
             a = block.norm1(x)[:, 0]          # [B, D_model]
 
-            y = a @ wqkv[li]
+            y = jnp.matmul(
+                a, wqkv[li],
+                preferred_element_type=jnp.promote_types(a.dtype, jnp.float32),
+            ).astype(a.dtype)
             if bqkv is not None:
                 y = y + bqkv[li]
             nq = h * hd
@@ -359,7 +362,10 @@ class ModernBatchServer(BatchServer):
         for li, block in enumerate(model.blocks):
             a = block.norm1(x)[:, 0]
 
-            y = a @ wqkv[li]
+            y = jnp.matmul(
+                a, wqkv[li],
+                preferred_element_type=jnp.promote_types(a.dtype, jnp.float32),
+            ).astype(a.dtype)
             q = y[:, :nq].reshape(b, self.heads, hd)
             kk = y[:, nq:nq + nkv].reshape(b, self.kv_heads, hd)
             vv = y[:, nq + nkv:].reshape(b, self.kv_heads, hd)

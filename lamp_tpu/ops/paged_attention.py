@@ -59,8 +59,11 @@ def paged_attention_reference(q, k_pages, v_pages, page_indices, lengths, *,
     pos = jnp.arange(pages_per_seq * page)[None, None, :]
     s = jnp.where(pos < lengths[:, None, None], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhk,bhkd->bhd", p.astype(v.dtype), v,
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+    o = jnp.einsum("bhk,bhkd->bhd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    # no valid keys -> zero output (not the meaningless uniform-softmax mean)
+    o = jnp.where(lengths[:, None, None] > 0, o, 0.0)
+    return o.astype(q.dtype)
 
 
 def _paged_kernel(
@@ -94,9 +97,10 @@ def _paged_kernel(
     hkv = num_kv_heads
     q_per_kv = hq // hkv
 
-    # length 0 still owns block 0 so the DMA chain stays balanced (a fully
-    # masked block computes to zeros)
-    length = jnp.maximum(lengths_ref[b], 1)
+    # a length-0 sequence still walks block 0 so the DMA chain stays
+    # balanced; its output is explicitly zeroed at the end (matching the
+    # reference implementation's convention for no-valid-keys rows)
+    length = lengths_ref[b]
     n_live = jnp.clip((length + bk - 1) // bk, 1, n_blocks)
 
     def page_dma(slot, b_, block_idx):
@@ -184,6 +188,7 @@ def _paged_kernel(
         o = o + jnp.where(
             rows // q_per_kv == g, o_exp[:, g * d:(g + 1) * d], 0.0
         )
+    o = jnp.where(length > 0, o, 0.0)  # no valid keys -> zero output
     o_ref[0] = o.astype(o_ref.dtype)
 
 

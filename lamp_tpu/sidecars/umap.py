@@ -148,6 +148,8 @@ def umap_custom_knn(knn_idx: np.ndarray, knn_dists: np.ndarray, *,
     a, b = find_ab_params(spread, min_dist)
 
     emb = None
+    if init is None:  # old-signature compatibility: None -> random
+        init = "random"
     if isinstance(init, str):
         if init == "spectral":
             emb = spectral_init(rows, cols, ww, n, dim)

@@ -346,6 +346,13 @@ def epochs(*, model=None, state: Optional[TrainState] = None,
         key = jax.random.PRNGKey(0)
     if state is None:
         state = TrainState.init(model, optimizer)
+    if train_step is not None and steps_per_call > 1:
+        raise ValueError(
+            "steps_per_call > 1 stacks batches on a leading axis, which a "
+            "plain train_step will silently mis-handle; build yours with "
+            "make_chained_train_step and drive one_epoch directly, or let "
+            "epochs build the step (train_step=None)"
+        )
     if train_step is None:
         maker = (
             make_chained_train_step if steps_per_call > 1 else make_train_step

@@ -32,6 +32,19 @@ def test_paged_matches_reference():
                                rtol=2e-5)
 
 
+def test_paged_length_zero_row():
+    """A length-0 sequence (padded batch slot) yields a zero output row in
+    both kernel and reference."""
+    (q, kp, vp, idx, _), hkv = _setup()
+    lengths = jnp.asarray([0, 5, 40], jnp.int32)
+    ref = paged_attention_reference(q, kp, vp, idx, lengths, num_kv_heads=hkv)
+    out = paged_attention(q, kp, vp, idx, lengths, num_kv_heads=hkv,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    assert float(jnp.max(jnp.abs(out[0]))) == 0.0
+
+
 def test_paged_mha_no_gqa():
     args, hkv = _setup(H=2, Hkv=2)
     ref = paged_attention_reference(*args, num_kv_heads=hkv)

@@ -8,9 +8,17 @@ reference's own thresholds: mean accuracy gap < 0.1 (e2e.test.scala:313) and
 accuracy correlation r^2 > 0.3 (:314). The reference also runs extratrees on
 the same datasets (:191) — reproduced here.
 
-Datasets are synthetic stand-ins for penn-ml-benchmarks (no network in CI):
-varied sample counts, dimensionality, class counts, noise, separability.
+Runs on the REAL penn-ml-benchmarks classification datasets bundled with the
+reference checkout (datasets/penn-ml-benchmarks/classification/*.tsv.gz),
+selected with the reference's own filter (e2e.test.scala:205-209: majority
+class < 0.6, 300 < n < 20000, 5 < features < 1000, non-negative targets).
+Large datasets are subsampled to 2000 rows to fit the 1-core CI budget —
+both frameworks see identical data, so the parity comparison is unchanged.
+Falls back to synthetic stand-ins when the reference checkout is absent.
 """
+
+import gzip
+import os
 
 import numpy as np
 import pytest
@@ -21,10 +29,53 @@ HIDDEN = 64
 EPOCHS = 30
 BATCH = 64
 LR = 1e-3
+PENN_ML_DIR = "/root/reference/datasets/penn-ml-benchmarks/classification"
+MAX_ROWS = 2000
 
 
-def _datasets(n_datasets=50):
-    """Varied tabular classification problems."""
+def _load_penn_ml():
+    """Real penn-ml datasets through the reference's selection filter."""
+    out = []
+    for name in sorted(os.listdir(PENN_ML_DIR)):
+        path = os.path.join(PENN_ML_DIR, name, f"{name}.tsv.gz")
+        if not os.path.exists(path):
+            continue
+        try:
+            with gzip.open(path, "rt") as fh:
+                header = fh.readline().rstrip("\n").split("\t")
+                rows = [ln.rstrip("\n").split("\t") for ln in fh if ln.strip()]
+            cols = np.asarray(rows, dtype=np.float64)
+        except ValueError:
+            continue  # non-numeric cells
+        ti = header.index("target")
+        y_raw = cols[:, ti]
+        x = np.delete(cols, ti, axis=1)
+        n, d = x.shape
+        # the reference's filter (e2e.test.scala:205-209)
+        if not (300 < n < 20000 and 5 < d < 1000):
+            continue
+        if (y_raw < 0).any():
+            continue
+        vals, counts = np.unique(y_raw, return_counts=True)
+        if counts.max() / n >= 0.6:
+            continue
+        y = np.searchsorted(vals, y_raw).astype(np.int64)
+        classes = len(vals)
+        rng = np.random.RandomState(0)
+        perm = rng.permutation(n)
+        if n > MAX_ROWS:
+            perm = perm[:MAX_ROWS]
+            n = MAX_ROWS
+        x, y = x[perm], y[perm]
+        x = ((x - x.mean(0)) / (x.std(0) + 1e-9)).astype(np.float32)
+        split = int(0.7 * n)
+        out.append((name, x[:split], y[:split], x[split:], y[split:],
+                    classes))
+    return out
+
+
+def _synthetic_datasets(n_datasets=50):
+    """Synthetic stand-ins when the reference checkout is unavailable."""
     out = []
     rng = np.random.RandomState(7)
     for i in range(n_datasets):
@@ -44,6 +95,15 @@ def _datasets(n_datasets=50):
         out.append((f"ds{i}_n{n}_d{d}_c{classes}", x[tr], y[tr], x[te], y[te],
                     classes))
     return out
+
+
+def _datasets(limit=None):
+    if os.path.isdir(PENN_ML_DIR):
+        ds = _load_penn_ml()
+        assert len(ds) >= 20, f"only {len(ds)} penn-ml datasets passed filter"
+    else:
+        ds = _synthetic_datasets(50)
+    return ds[:limit] if limit else ds
 
 
 def _train_ours(x, y, xt, yt, classes, seed):
@@ -105,8 +165,8 @@ def _train_torch(x, y, xt, yt, classes, seed):
 
 @pytest.mark.slow
 def test_pytorch_parity_suite():
-    """Full 50-dataset battery (the reference's scale, e2e.test.scala:205)."""
-    datasets = _datasets(50)
+    """Full dataset battery (the reference's scale, e2e.test.scala:205)."""
+    datasets = _datasets()
     ours, theirs, names = [], [], []
     for name, x, y, xt, yt, classes in datasets:
         a_ours = _train_ours(x, y, xt, yt, classes, seed=0)

@@ -153,13 +153,16 @@ def minibatches_from_full(batch_size: int, features, target, *,
     n = features.shape[0]
 
     def gen():
+        # hoisted: np.asarray of a device array is a full device->host copy
+        f_host = np.asarray(features)
+        t_host = np.asarray(target)
         idx = np.arange(n)
         if rng is not None:
             rng.shuffle(idx)
         end = n - (n % batch_size) if drop_last else n
         for s in range(0, end, batch_size):
             sel = idx[s:s + batch_size]
-            yield (np.asarray(features)[sel], np.asarray(target)[sel])
+            yield (f_host[sel], t_host[sel])
 
     nb = n // batch_size if drop_last else (n + batch_size - 1) // batch_size
     return BatchStream(gen, nb)
@@ -248,7 +251,9 @@ def prefetch_to_device(stream: Iterable, *, size: int = 2,
                 else:
                     batch = jax.device_put(batch)
                 q.put(batch)
-        finally:
+        except BaseException as e:  # surface stream errors to the consumer
+            q.put(e)
+        else:
             q.put(StopIteration)
 
     t = threading.Thread(target=worker, daemon=True)
@@ -257,4 +262,6 @@ def prefetch_to_device(stream: Iterable, *, size: int = 2,
         item = q.get()
         if item is StopIteration:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -65,8 +65,15 @@ def pack_graphs(graphs: Sequence[Tuple[np.ndarray, Optional[np.ndarray],
         pool[n_off:n_off + n] = gi
         n_off += n
         e_off += e
-    # pad edges: self-loops on the last pad node (no-op for real nodes)
-    if e_off < edge_cap and n_off < node_cap:
+    # pad edges: self-loops on a pad node (no-op for real nodes). When the
+    # nodes exactly fill capacity there is no pad node to point at, so pad
+    # edges would corrupt a real node's aggregation — refuse instead.
+    if e_off < edge_cap:
+        if n_off >= node_cap:
+            raise ValueError(
+                "pad edges need at least one pad node: raise node_capacity "
+                f"above {n_off} (or lower edge_capacity to the exact count)"
+            )
         ei[e_off:] = node_cap - 1
         ej[e_off:] = node_cap - 1
     return Graph(nodes, edge_feats, ei, ej, pool)

@@ -148,7 +148,11 @@ class ByteSegmentCodec(Codec):
 
     @property
     def vocab_size(self) -> int:
-        return max(tok for _, tok in self.encoding) + 1
+        # must cover the unknown token too: unseen bytes encode to it, and a
+        # model sized without it would silently alias them onto the last
+        # real vocab entry (jnp.take clamps out-of-range ids)
+        top = max(tok for _, tok in self.encoding)
+        return max(top, self.unknown_token) + 1
 
     def encode(self, text: bytes) -> np.ndarray:
         if self._native is not None:

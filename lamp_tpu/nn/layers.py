@@ -116,6 +116,9 @@ class LayerNorm(Module):
     weight: Optional[jax.Array]
     bias: Optional[jax.Array]
     eps: float = static_field()
+    # trailing dims to normalize over; needed when elementwise=False leaves
+    # no weight to infer the normalized shape from
+    norm_ndims: int = static_field(default=1)
     __tags__ = {"weight": "LayerNorm.weight", "bias": "LayerNorm.bias"}
 
     @staticmethod
@@ -125,10 +128,10 @@ class LayerNorm(Module):
             shape = (shape,)
         w = jnp.ones(shape, dtype) if elementwise else None
         b = jnp.zeros(shape, dtype) if (elementwise and bias) else None
-        return LayerNorm(weight=w, bias=b, eps=eps)
+        return LayerNorm(weight=w, bias=b, eps=eps, norm_ndims=len(shape))
 
     def forward(self, x, *, key=None, train=False):
-        ndims = self.weight.ndim if self.weight is not None else 1
+        ndims = self.norm_ndims
         axes = tuple(range(x.ndim - ndims, x.ndim))
         sd = _stat_dtype(x)
         xf = x.astype(sd)

@@ -61,10 +61,16 @@ class RNN(Module):
         x, h = x_and_state if isinstance(x_and_state, tuple) else (x_and_state, None)
         if h is None:
             h = self.initial_state(x.shape[0], x.dtype)
-        xw = jnp.einsum("btd,dh->bth", x, self.w_ih.astype(x.dtype)) + self.b
+        xw = jnp.einsum("btd,dh->bth", x, self.w_ih.astype(x.dtype),
+                       preferred_element_type=jnp.promote_types(
+                           x.dtype, jnp.float32
+                       )).astype(x.dtype) + self.b
 
         def step(h, xt):
-            h_new = jnp.tanh(xt + jnp.dot(h, self.w_hh.astype(h.dtype)))
+            h_new = jnp.tanh(xt + jnp.dot(h, self.w_hh.astype(h.dtype),
+                         preferred_element_type=jnp.promote_types(
+                             h.dtype, jnp.float32
+                         )).astype(h.dtype))
             return h_new, h_new
 
         h_final, ys = jax.lax.scan(step, h, jnp.swapaxes(xw, 0, 1))
@@ -104,10 +110,16 @@ class GRU(Module):
         if h is None:
             h = self.initial_state(x.shape[0], x.dtype)
         H = self.hidden_size
-        xw = jnp.einsum("btd,dh->bth", x, self.w_ih.astype(x.dtype)) + self.b_ih
+        xw = jnp.einsum("btd,dh->bth", x, self.w_ih.astype(x.dtype),
+                       preferred_element_type=jnp.promote_types(
+                           x.dtype, jnp.float32
+                       )).astype(x.dtype) + self.b_ih
 
         def step(h, xt):
-            hw = jnp.dot(h, self.w_hh.astype(h.dtype)) + self.b_hh
+            hw = jnp.dot(h, self.w_hh.astype(h.dtype),
+                         preferred_element_type=jnp.promote_types(
+                             h.dtype, jnp.float32
+                         )).astype(h.dtype) + self.b_hh
             xr, xz, xn = xt[:, :H], xt[:, H:2 * H], xt[:, 2 * H:]
             hr, hz, hn = hw[:, :H], hw[:, H:2 * H], hw[:, 2 * H:]
             r = jax.nn.sigmoid(xr + hr)
@@ -165,11 +177,17 @@ class LSTM(Module):
             state = self.initial_state(x.shape[0], x.dtype)
         h, c = state
         H = self.hidden_size
-        xw = jnp.einsum("btd,dh->bth", x, self.w_ih.astype(x.dtype)) + self.b_ih
+        xw = jnp.einsum("btd,dh->bth", x, self.w_ih.astype(x.dtype),
+                       preferred_element_type=jnp.promote_types(
+                           x.dtype, jnp.float32
+                       )).astype(x.dtype) + self.b_ih
 
         def step(carry, xt):
             h, c = carry
-            hw = jnp.dot(h, self.w_hh.astype(h.dtype)) + self.b_hh
+            hw = jnp.dot(h, self.w_hh.astype(h.dtype),
+                         preferred_element_type=jnp.promote_types(
+                             h.dtype, jnp.float32
+                         )).astype(h.dtype) + self.b_hh
             g = xt + hw
             i = jax.nn.sigmoid(g[:, :H])
             f = jax.nn.sigmoid(g[:, H:2 * H])

@@ -171,13 +171,12 @@ class MultiheadAttention(Module):
                 mask = lengths_to_mask(lengths, k.shape[2])
             use_dropout = train and self.dropout > 0.0
             on_tpu = jax.default_backend() == "tpu"
-            # same eligibility gate as the reference (no mask/dropout) plus a
-            # measured length crossover: XLA's fused unflashed attention wins
-            # below ~1k kv positions on v5e; the Pallas kernel wins beyond
-            # (and is the only option once S^2 stops fitting in HBM)
-            if on_tpu and not use_dropout and k.shape[2] > 1024 and (
-                mask is None or lengths is not None
-            ):
+            # same eligibility gate as the reference (no dropout; length
+            # masks stay in-kernel) plus a measured length crossover: XLA's
+            # fused unflashed attention wins below ~1k kv positions on v5e;
+            # the Pallas kernel wins beyond (and is the only option once S^2
+            # stops fitting in HBM)
+            if on_tpu and not use_dropout and k.shape[2] > 1024:
                 o = flash_attention(q, k, v, causal=self.causal,
                                     kv_lengths=lengths)
             else:

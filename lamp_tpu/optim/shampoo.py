@@ -106,7 +106,9 @@ class Shampoo(Optimizer):
         lr = resolve_hyper(self.learning_rate, tags, params)
         wd = resolve_hyper(self.weight_decay, tags, params)
         t = state["step"] + 1
-        refresh = (t % self.update_every) == 1
+        # refresh on steps 1, 1+every, 1+2*every, ... (t % every == 1 would
+        # never fire for every == 1)
+        refresh = ((t - 1) % self.update_every) == 0
 
         def upd(p, g, st, l, w):
             gm = _as_matrix(g).astype(jnp.float32)

@@ -430,6 +430,10 @@ def run_batch_stream(state_or_model, stream, forward: Callable, *,
         if isinstance(state_or_model, TrainState)
         else state_or_model
     )
+    if prefetch:
+        from ..data.batchstream import prefetch_to_device
+
+        stream = prefetch_to_device(stream)
     outs = []
     for batch in stream:
         outs.append(forward(model, batch))

@@ -79,18 +79,74 @@ def swa_epochs(*, state: TrainState, optimizer, loss_fn,
     return state._replace(params=averaged_params), losses
 
 
+def _map_batchnorms(module, fn):
+    """Recursively rebuild ``module`` applying ``fn`` to every BatchNorm-like
+    submodule (has running stats + momentum)."""
+    import dataclasses
+
+    if dataclasses.is_dataclass(module) and not isinstance(module, type):
+        if hasattr(module, "running_mean") and hasattr(module, "momentum"):
+            return fn(module)
+        changes = {}
+        for f in dataclasses.fields(module):
+            v = getattr(module, f.name)
+            nv = _map_batchnorms(v, fn)
+            if nv is not v:
+                changes[f.name] = nv
+        return dataclasses.replace(module, **changes) if changes else module
+    if isinstance(module, tuple):
+        new = tuple(_map_batchnorms(v, fn) for v in module)
+        return new if any(a is not b for a, b in zip(new, module)) else module
+    if isinstance(module, list):
+        return [_map_batchnorms(v, fn) for v in module]
+    if isinstance(module, dict):
+        return {k: _map_batchnorms(v, fn) for k, v in module.items()}
+    return module
+
+
 def recalibrate_batchnorm(state: TrainState, stream, forward_train: Callable,
                           *, reset: bool = True):
     """Final forward pass in train mode to refresh BatchNorm running stats for
     the averaged weights (reference SWA.forwardPassAfterTraining).
 
+    ``reset=True`` discards the stale pre-SWA statistics: the first batch
+    runs with momentum 1.0 (its batch statistics REPLACE the running stats
+    outright), subsequent batches blend in with each norm's own momentum.
+    Without the reset, a short pass would only nudge the old stats by
+    ~momentum per batch.
+
     ``forward_train(model, batch) -> new_model``. Returns updated state.
     """
+    import dataclasses
+
     model = state.model
+    it = iter(stream)
     if reset:
-        # momentum-weighted stats refresh happens naturally during the pass
-        pass
-    for batch in stream:
+        momenta = []
+
+        def to_full(bn):
+            momenta.append(bn.momentum)
+            return dataclasses.replace(
+                bn,
+                running_mean=jnp.zeros_like(bn.running_mean),
+                running_var=jnp.ones_like(bn.running_var),
+                momentum=1.0,
+            )
+
+        model = _map_batchnorms(model, to_full)
+        try:
+            first = next(it)
+        except StopIteration:
+            first = None
+        if first is not None:
+            model = forward_train(model, first)
+        restore = iter(momenta)
+
+        def back(bn):
+            return dataclasses.replace(bn, momentum=next(restore))
+
+        model = _map_batchnorms(model, back)
+    for batch in it:
         model = forward_train(model, batch)
     params, rest = partition_params(model)
     return state._replace(params=params, rest=rest)

@@ -55,6 +55,22 @@ def test_shampoo_converges():
     _quadratic_convergence(optim.Shampoo(learning_rate=0.1), steps=400)
 
 
+def test_shampoo_refreshes_every_step():
+    """update_preconditioner_every=1 must actually refresh the roots (a
+    ``t % 1 == 1`` bug made it never fire)."""
+    import jax.numpy as jnp
+
+    opt = optim.Shampoo(learning_rate=0.1, update_preconditioner_every=1)
+    p = {"w": jnp.asarray([[1.0, 0.5], [0.2, 2.0]])}
+    g = {"w": jnp.asarray([[0.3, -0.1], [0.7, 0.4]])}
+    st = opt.init(p)
+    p1, st = opt.step(p, g, st)
+    linv_after_1 = np.asarray(st["stats"]["w"]["Linv"])
+    assert not np.allclose(linv_after_1, np.eye(2)), (
+        "preconditioner roots never left their identity init"
+    )
+
+
 def test_adamw_first_step_matches_hand_computed():
     """First AdamW step: update = lr * m_hat / (sqrt(v_hat) + eps) + lr*wd*p."""
     lr, wd, b1, b2, eps = 0.1, 0.01, 0.9, 0.999, 1e-8

@@ -259,6 +259,53 @@ def test_staged_loader():
     assert sorted(seen.tolist()) == list(range(64))
 
 
+def test_prefetch_propagates_stream_errors():
+    """An exception in the stream/worker thread must surface to the
+    consumer, not masquerade as a clean end-of-stream."""
+
+    def bad_stream():
+        yield np.ones((2, 2), np.float32)
+        raise RuntimeError("corrupt batch")
+
+    it = data.prefetch_to_device(bad_stream())
+    next(it)
+    with pytest.raises(RuntimeError, match="corrupt batch"):
+        next(it)
+
+
+def test_recalibrate_batchnorm_resets_stats():
+    """reset=True replaces the stale running stats with the pass's
+    statistics (first batch momentum 1.0), not a ~10% nudge."""
+    import jax
+
+    bn = nn.BatchNorm.init(3, momentum=0.1)
+    # poison the running stats far from the data distribution
+    import dataclasses
+
+    bn = dataclasses.replace(
+        bn,
+        running_mean=jnp.full((3,), 100.0),
+        running_var=jnp.full((3,), 100.0),
+    )
+    state = train.TrainState.init(bn, optim.AdamW(1e-3))
+    rng = np.random.RandomState(0)
+    batches = [jnp.asarray(rng.randn(64, 3), jnp.float32) for _ in range(3)]
+
+    def fwd(m, b):
+        _, nm = m.forward(b, train=True)
+        return nm
+
+    new_state = train.recalibrate_batchnorm(state, batches, fwd, reset=True)
+    mean = np.asarray(new_state.model.running_mean)
+    assert np.all(np.abs(mean) < 1.0), mean  # ~N(0,1) data, stale 100 gone
+
+
+def test_tokenizer_vocab_size_covers_unknown():
+    codec = data.ByteSegmentCodec.train(b"aaabbbab", 0, 8)
+    toks = codec.encode(b"axyz")  # x/y/z unseen
+    assert int(np.max(toks)) < codec.vocab_size
+
+
 def test_prefetch_to_device():
     s = data.from_function(5, lambda i: (np.full((2, 2), i, np.float32),))
     out = list(data.prefetch_to_device(s, size=2))

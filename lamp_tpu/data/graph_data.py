@@ -88,7 +88,11 @@ def small_graph_stream(graphs: List, targets: np.ndarray, graphs_per_batch: int,
     n = len(graphs)
     targets = np.asarray(targets)
     if node_capacity is None:
-        node_capacity = graphs_per_batch * max(g[0].shape[0] for g in graphs)
+        # +1 pad node: pad edges self-loop on it (pack_graphs refuses to
+        # point pad edges at a real node)
+        node_capacity = graphs_per_batch * max(
+            g[0].shape[0] for g in graphs
+        ) + 1
     if edge_capacity is None:
         edge_capacity = graphs_per_batch * max(max(len(g[2]), 1) for g in graphs)
 

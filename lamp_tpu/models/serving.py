@@ -27,7 +27,7 @@ import numpy as np
 from ..nn.lm import LanguageModelModule
 from ..ops.paged_attention import paged_attention
 
-__all__ = ["BatchServer", "ModernBatchServer"]
+__all__ = ["BatchServer", "ModernBatchServer", "SpeculativeDecoder"]
 
 
 class BatchServer:
@@ -89,6 +89,7 @@ class BatchServer:
         # compiled program as constants
         self._extras = self._precompute_extras(model)
         self._step_fn = jax.jit(self._decode_step, donate_argnums=(1, 2))
+        self._chunk_fn = jax.jit(self._decode_chunk, donate_argnums=(1, 2))
         self._prefill_fn = jax.jit(self._prefill_seq, donate_argnums=(1, 2))
 
     def _precompute_extras(self, model):
@@ -274,6 +275,59 @@ class BatchServer:
         )[:, 0]
         return logits, tuple(k_pages), tuple(v_pages)
 
+    def _decode_chunk(self, model, k_pages, v_pages, tokens, page_idx,
+                      lengths, token_pages, token_slots, extras):
+        """Process M tokens per sequence in ONE call (chunked decode): write
+        all their K/V, then attend with per-token causality by treating each
+        of the B·M tokens as a pseudo-sequence sharing its sequence's page
+        table with length = position + 1. tokens/token_pages/token_slots are
+        [B, M]; returns (logits [B, M, V], pools).
+
+        Used for speculative-decoding verification and chunked prefill."""
+        b, m = tokens.shape
+        wqkv, bqkv = extras
+        k_pages = list(k_pages)
+        v_pages = list(v_pages)
+        pos = lengths[:, None] + jnp.arange(m)[None, :]  # [B, M]
+        x = model.token_embedding(tokens) + jnp.take(
+            model.position_embedding.weight, pos, axis=0
+        )
+        hd = self.head_dim
+        plen = (pos + 1).reshape(-1)                     # [B*M]
+        pidx = jnp.repeat(page_idx, m, axis=0)           # [B*M, P]
+        for li, block in enumerate(model.encoder.blocks):
+            att = block.attention
+            h = att.num_heads
+            a = block.norm1(x)                           # [B, M, D]
+            y = jnp.matmul(
+                a, wqkv[li],
+                preferred_element_type=jnp.promote_types(a.dtype, jnp.float32),
+            ).astype(a.dtype)
+            if bqkv is not None:
+                y = y + bqkv[li]
+            nq = h * hd
+            q = y[..., :nq].reshape(b, m, h, hd)
+            kk = y[..., nq:2 * nq]
+            vv = y[..., 2 * nq:]
+            k_pages[li] = k_pages[li].at[token_pages, token_slots].set(kk)
+            v_pages[li] = v_pages[li].at[token_pages, token_slots].set(vv)
+            o = paged_attention(
+                q.reshape(b * m, h, hd), k_pages[li], v_pages[li], pidx,
+                plen, num_kv_heads=self.kv_heads,
+            ).reshape(b, m, h * hd)
+            ow = o @ att.w_o.weight
+            if att.w_o.bias is not None:
+                ow = ow + att.w_o.bias
+            x = x + ow * block.scale1
+            mm = block.w2(block.activation(block.w1(block.norm2(x))))
+            x = x + mm * block.scale2
+        x = model.final_norm(x)
+        w = model.token_embedding.weight
+        logits = jnp.einsum(
+            "bmd,vd->bmv", x, w, preferred_element_type=jnp.float32
+        )
+        return logits, tuple(k_pages), tuple(v_pages)
+
     def _advance(self, seq_ids, tokens):
         """Write tokens' KV + return logits; bumps lengths."""
         slots = [self._alloc_slot(s) for s in seq_ids]
@@ -287,6 +341,40 @@ class BatchServer:
         for s in seq_ids:
             self.seq_len[s] += 1
         return logits
+
+    def advance_chunk(self, seq_ids, tokens):
+        """Process M tokens per sequence in one jitted call; returns logits
+        [B, M, V]. Token j's logits predict token j+1 (causal within the
+        chunk). Bumps lengths by M."""
+        tokens = np.asarray(tokens, np.int32)
+        b, m = tokens.shape
+        lens0 = jnp.asarray(
+            [self.seq_len[s] for s in seq_ids], jnp.int32
+        )
+        tp = np.zeros((b, m), np.int32)
+        ts = np.zeros((b, m), np.int32)
+        for i, s in enumerate(seq_ids):
+            for j in range(m):
+                tp[i, j], ts[i, j] = self._alloc_slot(s)
+                self.seq_len[s] += 1
+        # page table AFTER allocation (a chunk may open new pages)
+        idx, _ = self._views(seq_ids)
+        logits, self.k_pages, self.v_pages = self._chunk_fn(
+            self.model, self.k_pages, self.v_pages, jnp.asarray(tokens), idx,
+            lens0, jnp.asarray(tp), jnp.asarray(ts), self._extras,
+        )
+        return logits
+
+    def rewind(self, seq_id, n: int) -> None:
+        """Drop the last ``n`` tokens' KV (speculative-decoding rollback).
+        The rows are simply forgotten: lengths mask them and their slots are
+        reused on the next advance."""
+        self.seq_len[seq_id] -= n
+        assert self.seq_len[seq_id] >= 0
+        keep = -(-self.seq_len[seq_id] // self.page_size)
+        pages = self.seq_pages[seq_id]
+        while len(pages) > keep:
+            self.free_pages.append(pages.pop())
 
     # -- decode ----------------------------------------------------------
     def step(self) -> Dict:
@@ -395,6 +483,61 @@ class ModernBatchServer(BatchServer):
             )[:, 0]
         return logits, tuple(k_pages), tuple(v_pages)
 
+    def _decode_chunk(self, model, k_pages, v_pages, tokens, page_idx,
+                      lengths, token_pages, token_slots, extras):
+        b, m = tokens.shape
+        wqkv, _ = extras
+        k_pages = list(k_pages)
+        v_pages = list(v_pages)
+        pos = lengths[:, None] + jnp.arange(m)[None, :]  # [B, M]
+        x = model.token_embedding(tokens)                # [B, M, D]
+        hd = self.head_dim
+        c = jnp.take(model.rope_cos, pos, axis=0).astype(jnp.float32)
+        s = jnp.take(model.rope_sin, pos, axis=0).astype(jnp.float32)
+        c = c[:, :, None, :]  # [B, M, 1, hd/2] broadcasting over heads
+        s = s[:, :, None, :]
+
+        def rot(t):
+            acc = t.astype(jnp.float32)
+            t1, t2 = jnp.split(acc, 2, axis=-1)
+            return jnp.concatenate(
+                [t1 * c - t2 * s, t2 * c + t1 * s], axis=-1
+            ).astype(t.dtype)
+
+        nq = self.heads * hd
+        nkv = self.kv_heads * hd
+        plen = (pos + 1).reshape(-1)
+        pidx = jnp.repeat(page_idx, m, axis=0)
+        for li, block in enumerate(model.blocks):
+            a = block.norm1(x)
+            y = jnp.matmul(
+                a, wqkv[li],
+                preferred_element_type=jnp.promote_types(a.dtype, jnp.float32),
+            ).astype(a.dtype)
+            q = rot(y[..., :nq].reshape(b, m, self.heads, hd))
+            kk = rot(y[..., nq:nq + nkv].reshape(b, m, self.kv_heads, hd))
+            vv = y[..., nq + nkv:]
+            k_pages[li] = k_pages[li].at[token_pages, token_slots].set(
+                kk.reshape(b, m, -1)
+            )
+            v_pages[li] = v_pages[li].at[token_pages, token_slots].set(vv)
+            o = paged_attention(
+                q.reshape(b * m, self.heads, hd), k_pages[li], v_pages[li],
+                pidx, plen, num_kv_heads=self.kv_heads,
+            ).reshape(b, m, -1)
+            x = x + (o @ block.w_o.weight)
+            mm, _ = block.mlp.forward(block.norm2(x))
+            x = x + mm
+        x = model.final_norm(x)
+        if model.lm_head is not None:
+            logits = model.lm_head(x).astype(jnp.float32)
+        else:
+            w = model.token_embedding.weight
+            logits = jnp.einsum(
+                "bmd,vd->bmv", x, w, preferred_element_type=jnp.float32
+            )
+        return logits, tuple(k_pages), tuple(v_pages)
+
     def _prefill_seq(self, model, k_pages, v_pages, tokens, token_pages,
                      token_slots):
         from ..nn.modern import apply_rope
@@ -433,3 +576,93 @@ class ModernBatchServer(BatchServer):
         return tuple(k_pages), tuple(v_pages)
 
 
+
+class SpeculativeDecoder:
+    """Greedy speculative decoding over the paged servers: a small DRAFT
+    model proposes ``k-1`` tokens autoregressively, the TARGET model scores
+    all ``k`` positions in ONE chunked decode call, and the longest agreeing
+    prefix is accepted (+1 corrected token from the target). The emitted
+    stream is IDENTICAL to target-only greedy decoding — the draft only
+    changes how many target forward passes each token costs.
+
+    Rejected tokens' K/V are dropped with :meth:`BatchServer.rewind` (their
+    page slots are simply reused). Both servers must be fed the same
+    prompts via :meth:`add`.
+    """
+
+    def __init__(self, target_model, draft_model, *, k: int = 4,
+                 page_size: int = 64, total_pages: int = 512,
+                 server_cls=None):
+        if server_cls is None:
+            server_cls = (
+                BatchServer if hasattr(target_model, "encoder")
+                else ModernBatchServer
+            )
+        self.k = k
+        self.target = server_cls(
+            target_model, page_size=page_size, total_pages=total_pages
+        )
+        self.draft = server_cls(
+            draft_model, page_size=page_size, total_pages=total_pages
+        )
+
+    def add(self, seq_id, prompt_tokens) -> None:
+        self.target.add(seq_id, prompt_tokens)
+        self.draft.add(seq_id, prompt_tokens)
+
+    def remove(self, seq_id) -> None:
+        self.target.remove(seq_id)
+        self.draft.remove(seq_id)
+
+    @property
+    def active(self):
+        return self.target.active
+
+    def step(self) -> Dict:
+        """One speculative round; returns {seq_id: [emitted tokens]} (1 to
+        ``k`` tokens per sequence)."""
+        seq_ids = self.active
+        if not seq_ids:
+            return {}
+        k = self.k
+        b = len(seq_ids)
+        # 1. draft proposes: inputs p0 (pending token), d1, ..., d_{k-2};
+        #    outputs d1..d_{k-1}
+        proposals = np.zeros((b, k), np.int64)
+        proposals[:, 0] = [self.target.last_token[s] for s in seq_ids]
+        for j in range(1, k):
+            logits = self.draft._advance(
+                seq_ids, jnp.asarray(proposals[:, j - 1], jnp.int32)
+            )
+            proposals[:, j] = np.asarray(jnp.argmax(logits, -1))
+        # 2. target verifies all k positions at once
+        tlogits = self.target.advance_chunk(seq_ids, proposals)
+        t_next = np.asarray(jnp.argmax(tlogits, -1))  # [B, k]: t1..tk
+        out = {}
+        for i, s in enumerate(seq_ids):
+            # accept draft tokens while they match the target's greedy choice
+            emitted = []
+            for j in range(1, k):
+                if proposals[i, j] == t_next[i, j - 1]:
+                    emitted.append(int(proposals[i, j]))
+                else:
+                    break
+            # +1: the target's own token at the first mismatch (or position k)
+            emitted.append(int(t_next[i, len(emitted)]))
+            n_emit = len(emitted)
+            # 3. roll back both servers to the accepted history
+            #    target wrote k rows, draft wrote k-1; each needs
+            #    old_len + n_emit rows (the newest token stays pending)
+            self.target.rewind(s, k - n_emit)
+            if n_emit == k:
+                # draft never processed d_{k-1} (== t_{k-1}); feed it so the
+                # draft's history matches before the next round
+                self.draft._advance(
+                    [s], jnp.asarray([int(proposals[i, k - 1])], jnp.int32)
+                )
+            else:
+                self.draft.rewind(s, (k - 1) - n_emit)
+            self.target.last_token[s] = emitted[-1]
+            self.draft.last_token[s] = emitted[-1]
+            out[s] = emitted
+        return out

@@ -98,3 +98,89 @@ def test_modern_serving_decodes():
     toks = [s.step() for _ in range(4)]
     assert all(set(t) == {"a", "b"} for t in toks)
     assert all(0 <= v < 19 for t in toks for v in t.values())
+
+
+def test_chunked_decode_matches_sequential():
+    """advance_chunk over M tokens equals M sequential single-token
+    advances (logits and KV state)."""
+    import jax
+
+    model = _model()
+    prompt = [1, 5, 2, 9]
+    extra = [11, 3, 7]
+
+    seq_server = BatchServer(model, page_size=8, total_pages=32)
+    seq_server.add("a", prompt)
+    seq_logits = [
+        np.asarray(seq_server._advance(["a"], jnp.asarray([t], jnp.int32))[0])
+        for t in [prompt[-1]] + extra[:-1]
+    ]
+
+    chunk_server = BatchServer(model, page_size=8, total_pages=32)
+    chunk_server.add("a", prompt)
+    chunk = np.asarray([[prompt[-1]] + extra[:-1]], np.int32)  # [1, 3]
+    clogits = np.asarray(chunk_server.advance_chunk(["a"], chunk)[0])
+    for j in range(chunk.shape[1]):
+        np.testing.assert_allclose(
+            clogits[j], seq_logits[j], atol=5e-3, rtol=5e-3,
+            err_msg=f"chunk position {j}",
+        )
+    assert chunk_server.seq_len["a"] == seq_server.seq_len["a"]
+
+
+def test_chunked_decode_crosses_page_boundary():
+    """Chunks that open new pages mid-chunk attend correctly."""
+    model = _model()
+    prompt = list(range(1, 8))  # 7 tokens, page_size 8 -> chunk crosses
+    s1 = BatchServer(model, page_size=8, total_pages=32)
+    s1.add("a", prompt)
+    chunk = np.asarray([[prompt[-1], 9, 10, 11, 12]], np.int32)
+    clogits = np.asarray(s1.advance_chunk(["a"], chunk)[0])
+
+    s2 = BatchServer(model, page_size=8, total_pages=32)
+    s2.add("a", prompt)
+    for j, t in enumerate(chunk[0]):
+        ref = np.asarray(s2._advance(["a"], jnp.asarray([t], jnp.int32))[0])
+        np.testing.assert_allclose(clogits[j], ref, atol=5e-3, rtol=5e-3,
+                                   err_msg=f"position {j}")
+
+
+def test_rewind_reuses_slots():
+    model = _model()
+    s = BatchServer(model, page_size=8, total_pages=32)
+    s.add("a", [1, 2, 3])
+    base_len = s.seq_len["a"]
+    s.advance_chunk(["a"], np.asarray([[3, 4, 5, 6]], np.int32))
+    s.rewind("a", 3)
+    assert s.seq_len["a"] == base_len + 1
+    # decoding continues from the rewound state
+    out = s.step()
+    assert isinstance(out["a"], int)
+
+
+def test_speculative_matches_plain_greedy():
+    """Speculative decoding emits exactly the target-only greedy stream —
+    with a disagreeing draft (rejections + corrections) and with a perfect
+    draft (the all-accepted fast path)."""
+    from lamp_tpu.models.serving import SpeculativeDecoder
+
+    target = _model()
+    draft = nn.LanguageModelModule.init(
+        vocab_size=23, context_length=32, num_blocks=1, embed_dim=16,
+        attention_heads=2, key=jax.random.PRNGKey(7),
+    )
+    prompt = [1, 5, 2, 9]
+    n_tokens = 10
+
+    plain = BatchServer(target, page_size=8, total_pages=64)
+    plain.add("x", prompt)
+    expected = [plain.step()["x"] for _ in range(n_tokens)]
+
+    for d in (draft, target):
+        spec = SpeculativeDecoder(d and target, d, k=3, page_size=8,
+                                  total_pages=64)
+        spec.add("x", prompt)
+        got = []
+        while len(got) < n_tokens:
+            got.extend(spec.step()["x"])
+        assert got[:n_tokens] == expected, (d is target, got, expected)

@@ -6,6 +6,7 @@ from .profiling import (
     live_buffer_report,
     measure_time,
     model_memory_report,
+    profile_trace,
 )
 
 __all__ = [
@@ -18,6 +19,7 @@ __all__ = [
     "measure_time",
     "live_buffer_report",
     "BufferLogger",
+    "profile_trace",
     "model_memory_report",
     "device_memory_stats",
     "Peek",

@@ -32,7 +32,30 @@ __all__ = [
     "model_memory_report",
     "device_memory_stats",
     "Peek",
+    "profile_trace",
 ]
+
+
+class profile_trace:
+    """Context manager writing a jax.profiler trace (XPlane/TensorBoard) —
+    the TPU-native analogue of the reference's nsight profiling setup
+    (Dockerfile:5 installs nsight-compute/nsight-systems).
+
+        with profile_trace("/tmp/trace"):
+            train_step(...)
+        # then: tensorboard --logdir /tmp/trace
+    """
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+
+    def __enter__(self):
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        jax.profiler.stop_trace()
+        return False
 
 
 def measure_time(fn, *args, sync: bool = True, **kwargs):

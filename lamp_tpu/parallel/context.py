@@ -26,39 +26,63 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["ring_attention", "make_ring_attention"]
 
 
-def _local_attend(q, k, v, sm_scale, q_start, kv_start, causal):
+def _local_attend(q, k, v, sm_scale, q_start, kv_start, causal,
+                  q_chunk: Optional[int] = None):
     """Partial attention of local q against one kv block; returns
-    (out_unnormalized, m, l) online-softmax statistics. All f32 stats."""
-    acc = jnp.float32
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=acc)
-    s = s * sm_scale
-    if causal:
-        sq = q.shape[2]
-        skv = k.shape[2]
-        qpos = q_start + jnp.arange(sq)[:, None]
-        kpos = kv_start + jnp.arange(skv)[None, :]
-        s = jnp.where(kpos <= qpos, s, jnp.finfo(jnp.float32).min * 0.7)
-    m = jnp.max(s, axis=-1)                       # [B,H,Sq]
-    p = jnp.exp(s - m[..., None])
-    l = jnp.sum(p, axis=-1)                       # [B,H,Sq]
-    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
-                   preferred_element_type=acc)
+    (out_unnormalized, m, l) online-softmax statistics. All f32 stats.
+
+    ``q_chunk`` bounds the materialized score matrix to
+    [B, H, q_chunk, Skv] by mapping over query chunks (lax.map = scan, so
+    it stays differentiable) — without it the [Sq_local, Skv_local] scores
+    grow quadratically with the per-device shard."""
+
+    def attend(q, q_start):
+        acc = jnp.float32
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=acc)
+        s = s * sm_scale
+        if causal:
+            sq = q.shape[2]
+            skv = k.shape[2]
+            qpos = q_start + jnp.arange(sq)[:, None]
+            kpos = kv_start + jnp.arange(skv)[None, :]
+            s = jnp.where(kpos <= qpos, s, jnp.finfo(jnp.float32).min * 0.7)
+        m = jnp.max(s, axis=-1)                       # [B,H,Sq]
+        p = jnp.exp(s - m[..., None])
+        l = jnp.sum(p, axis=-1)                       # [B,H,Sq]
+        o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                       preferred_element_type=acc)
+        return o, m, l
+
+    sq = q.shape[2]
+    if q_chunk is None or sq <= q_chunk or sq % q_chunk != 0:
+        return attend(q, q_start)
+    n = sq // q_chunk
+    b, h, _, d = q.shape
+    qs = jnp.moveaxis(q.reshape(b, h, n, q_chunk, d), 2, 0)  # [n,B,H,c,d]
+    starts = q_start + q_chunk * jnp.arange(n)
+    o, m, l = jax.lax.map(lambda args: attend(*args), (qs, starts))
+    o = jnp.moveaxis(o, 0, 2).reshape(b, h, sq, d)
+    m = jnp.moveaxis(m, 0, 2).reshape(b, h, sq)
+    l = jnp.moveaxis(l, 0, 2).reshape(b, h, sq)
     return o, m, l
 
 
 def ring_attention(q, k, v, *, axis_name: str, n_devices: int,
-                   causal: bool = False, sm_scale: Optional[float] = None):
+                   causal: bool = False, sm_scale: Optional[float] = None,
+                   q_chunk: Optional[int] = None):
     """Ring attention inside a shard_map: q/k/v are the LOCAL sequence shards
     [B, H, S/N, D]; returns the local output shard. ``n_devices`` is the
-    (static) ring size, i.e. the mesh axis size."""
+    (static) ring size, i.e. the mesh axis size. ``q_chunk`` bounds per-step
+    score memory (see _local_attend)."""
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     return _ring_attention_impl(q, k, v, axis_name, n_devices, causal,
-                                sm_scale)
+                                sm_scale, q_chunk)
 
 
 def _ring_attention_impl(q, k, v, axis_name: str, n_devices: int,
-                         causal: bool, sm_scale: float):
+                         causal: bool, sm_scale: float,
+                         q_chunk: Optional[int] = None):
     my = jax.lax.axis_index(axis_name)
     chunk = k.shape[2]
     q_start = my * chunk
@@ -74,7 +98,7 @@ def _ring_attention_impl(q, k, v, axis_name: str, n_devices: int,
         src = (my - i) % n_devices
         kv_start = src * chunk
         o_i, m_i, l_i = _local_attend(q, k_blk, v_blk, sm_scale, q_start,
-                                      kv_start, causal)
+                                      kv_start, causal, q_chunk)
         m_new = jnp.maximum(m_acc, m_i)
         alpha = jnp.exp(jnp.where(jnp.isinf(m_acc), -jnp.inf, m_acc) - m_new)
         alpha = jnp.where(jnp.isinf(m_acc) & jnp.isinf(m_new), 0.0, alpha)
@@ -93,7 +117,8 @@ def _ring_attention_impl(q, k, v, axis_name: str, n_devices: int,
 
 
 def make_ring_attention(mesh: Mesh, axis: str = "sp", *, causal: bool = False,
-                        sm_scale: Optional[float] = None):
+                        sm_scale: Optional[float] = None,
+                        q_chunk: Optional[int] = None):
     """Build a jitted ring-attention function over ``mesh``: takes GLOBAL
     [B, H, S, D] q/k/v (S sharded over ``axis``) and returns the global
     output with the same sharding."""
@@ -106,7 +131,7 @@ def make_ring_attention(mesh: Mesh, axis: str = "sp", *, causal: bool = False,
         scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
         inner = functools.partial(
             _ring_attention_impl, axis_name=axis, n_devices=n, causal=causal,
-            sm_scale=scale,
+            sm_scale=scale, q_chunk=q_chunk,
         )
         return shard_map(
             lambda a, b_, c: inner(a, b_, c),

@@ -174,6 +174,36 @@ def test_ring_attention_matches_full():
         )
 
 
+def test_ring_attention_q_chunked():
+    """q_chunk bounds per-step score memory without changing the result,
+    forward and backward."""
+    from lamp_tpu.ops.attention import mha_reference
+
+    mesh = parallel.make_mesh({"sp": 8})
+    B, H, S, D = 1, 2, 128, 16
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, S, D), jnp.float32) for kk in keys)
+    ring = parallel.make_ring_attention(mesh, "sp", causal=True, q_chunk=8)
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, None, "sp", None)
+    )
+    qs, ks, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    out = ring(qs, ks, vs)
+    ref = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+    g1 = jax.grad(lambda a, b, c: jnp.sum(jnp.square(ring(a, b, c))),
+                  argnums=(0, 1, 2))(qs, ks, vs)
+    g2 = jax.grad(
+        lambda a, b, c: jnp.sum(jnp.square(mha_reference(a, b, c, causal=True))),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4)
+
+
 def test_ring_attention_differentiable():
     mesh = parallel.make_mesh({"sp": 8})
     B, H, S, D = 1, 2, 32, 8

@@ -32,12 +32,14 @@ def _local_attend(q, k, v, sm_scale, q_start, kv_start, causal,
     (out_unnormalized, m, l) online-softmax statistics. All f32 stats.
 
     ``q_chunk`` bounds the materialized score matrix to
-    [B, H, q_chunk, Skv] by mapping over query chunks (lax.map = scan, so
-    it stays differentiable) — without it the [Sq_local, Skv_local] scores
-    grow quadratically with the per-device shard."""
+    [B, H, q_chunk, Skv] by mapping over query chunks; each chunk is
+    rematerialized on the backward pass (jax.checkpoint) — without that the
+    scan would stack every chunk's score residuals and rebuild the very
+    O(Sq·Skv) memory the chunking exists to avoid. Non-divisible lengths
+    are padded up (padded rows are sliced off)."""
+    acc = jnp.promote_types(q.dtype, jnp.float32)
 
     def attend(q, q_start):
-        acc = jnp.float32
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=acc)
         s = s * sm_scale
         if causal:
@@ -54,16 +56,21 @@ def _local_attend(q, k, v, sm_scale, q_start, kv_start, causal,
         return o, m, l
 
     sq = q.shape[2]
-    if q_chunk is None or sq <= q_chunk or sq % q_chunk != 0:
+    if q_chunk is None or sq <= q_chunk:
         return attend(q, q_start)
-    n = sq // q_chunk
     b, h, _, d = q.shape
+    pad = (-sq) % q_chunk
+    if pad:  # padded rows' outputs are sliced off below (so their
+        # cotangents are zero — they never affect dk/dv either)
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    n = (sq + pad) // q_chunk
     qs = jnp.moveaxis(q.reshape(b, h, n, q_chunk, d), 2, 0)  # [n,B,H,c,d]
     starts = q_start + q_chunk * jnp.arange(n)
-    o, m, l = jax.lax.map(lambda args: attend(*args), (qs, starts))
-    o = jnp.moveaxis(o, 0, 2).reshape(b, h, sq, d)
-    m = jnp.moveaxis(m, 0, 2).reshape(b, h, sq)
-    l = jnp.moveaxis(l, 0, 2).reshape(b, h, sq)
+    chunk_fn = jax.checkpoint(lambda args: attend(*args))
+    o, m, l = jax.lax.map(chunk_fn, (qs, starts))
+    o = jnp.moveaxis(o, 0, 2).reshape(b, h, sq + pad, d)[:, :, :sq]
+    m = jnp.moveaxis(m, 0, 2).reshape(b, h, sq + pad)[:, :, :sq]
+    l = jnp.moveaxis(l, 0, 2).reshape(b, h, sq + pad)[:, :, :sq]
     return o, m, l
 
 

@@ -183,7 +183,8 @@ def test_ring_attention_q_chunked():
     B, H, S, D = 1, 2, 128, 16
     keys = jax.random.split(jax.random.PRNGKey(3), 3)
     q, k, v = (jax.random.normal(kk, (B, H, S, D), jnp.float32) for kk in keys)
-    ring = parallel.make_ring_attention(mesh, "sp", causal=True, q_chunk=8)
+    # q_chunk=6 does NOT divide the 16-token local shard: exercises padding
+    ring = parallel.make_ring_attention(mesh, "sp", causal=True, q_chunk=6)
     spec = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, None, "sp", None)
     )

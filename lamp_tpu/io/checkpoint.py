@@ -148,6 +148,8 @@ def save_pytree(path: str, tree: Any) -> None:
             arrays.append(leaf)
         metas.append(meta)
     descriptors = write_tensor_blob(path + ".data", arrays)
+    if not _is_writer_process():
+        return  # process-0-only IO (the gather already happened above)
     doc = {
         "version": 1,
         "treedef": str(treedef),
@@ -394,6 +396,8 @@ def save_loop_state(path: str, *, model, optimizer_state, epoch: int,
         "lr_state": lr_state,
         "extra": extra,
     }
+    if not _is_writer_process():
+        return
     dirn = os.path.dirname(os.path.abspath(path))
     fd, tmp = tempfile.mkstemp(dir=dirn)
     with os.fdopen(fd, "w") as f:

@@ -97,13 +97,14 @@ class _Exporter:
 
     def add_initializer(self, arr, hint="const") -> str:
         arr = np.asarray(arr)
+        # dedup by the full key, not its hash — a hash collision would
+        # silently alias two different constants
         key = (arr.shape, str(arr.dtype), arr.tobytes())
-        h = hash(key)
-        if h in self.initializer_names:
-            return self.initializer_names[h]
+        if key in self.initializer_names:
+            return self.initializer_names[key]
         name = self.fresh(hint)
         self.graph.initializer.append(_tensor_proto(name, arr))
-        self.initializer_names[h] = name
+        self.initializer_names[key] = name
         return name
 
     def node(self, op_type: str, inputs: Sequence[str], n_out: int = 1,
@@ -497,10 +498,18 @@ def _emit_eqn(ex: _Exporter, eqn) -> List[str]:
         # recognize the jnp.take(..., axis=a) pattern
         dn = p["dimension_numbers"]
         operand = eqn.invars[0].aval
+        sizes = tuple(p["slice_sizes"])
+        full_rows = all(
+            sizes[dim] == operand.shape[dim]
+            for dim in range(operand.ndim)
+            if dim not in dn.start_index_map
+        )
         if (
             len(dn.start_index_map) == 1
             and len(dn.collapsed_slice_dims) == 1
             and dn.collapsed_slice_dims[0] == dn.start_index_map[0]
+            and full_rows  # ONNX Gather returns FULL rows; partial
+                           # slice_sizes would silently widen the result
         ):
             axis = dn.start_index_map[0]
             # indices var has trailing singleton dim; drop it
@@ -518,7 +527,8 @@ def _emit_eqn(ex: _Exporter, eqn) -> List[str]:
 
     if prim == "cumsum":
         ax = ex.add_initializer(np.asarray(p["axis"], np.int64))
-        return ex.node("CumSum", [ins[0], ax])
+        return ex.node("CumSum", [ins[0], ax],
+                       reverse=int(bool(p.get("reverse", False))))
 
     if prim == "rem":
         return ex.node("Mod", ins, fmod=1)

@@ -190,7 +190,11 @@ def _run_graph(graph: pb.GraphProto, outer_env: Dict[str, np.ndarray],
         elif op == "Clip":
             out = [np.clip(ins[0], ins[1], ins[2])]
         elif op == "CumSum":
-            out = [np.cumsum(ins[0], axis=int(ins[1]))]
+            ax = int(ins[1])
+            if a.get("reverse", 0):
+                out = [np.flip(np.cumsum(np.flip(ins[0], ax), axis=ax), ax)]
+            else:
+                out = [np.cumsum(ins[0], axis=ax)]
         elif op == "Mod":
             out = [np.fmod(ins[0], ins[1])]
         elif op == "Scan":

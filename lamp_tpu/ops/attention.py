@@ -140,11 +140,10 @@ def _fwd_kernel(lim_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _fwd(q, k, v, limits, sm_scale, causal, block_q, block_k, kv_len,
-         heads, interpret, save_residuals=True):
+         q_offset, heads, interpret, save_residuals=True):
     bh, sq, d = q.shape
     skv = k.shape[1]
     grid = (bh, sq // block_q, skv // block_k)
-    q_offset = skv - sq if causal else 0
     has_len = limits is not None
 
     base = functools.partial(
@@ -406,13 +405,13 @@ def _bwd_fused_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd_fused(sm_scale, causal, block_q, block_k, kv_len, heads, interpret,
+def _bwd_fused(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
+           interpret,
                res, g):
     q, k, v, lengths, o, lse = res
     bh, sq, d = q.shape
     skv = k.shape[1]
     do = g
-    q_offset = skv - sq if causal else 0
     has_len = lengths is not None
     n_kv = skv // block_k
 
@@ -489,25 +488,25 @@ def _bwd_fused(sm_scale, causal, block_q, block_k, kv_len, heads, interpret,
 _FUSED_BWD_SLAB_BYTES = 1024 * 1024 * 1024
 
 
-def _bwd(sm_scale, causal, block_q, block_k, kv_len, heads, interpret,
-         res, g):
+def _bwd(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
+         interpret, res, g):
     q, k, v, lengths, o, lse = res
     n_kv = k.shape[1] // block_k
     slab = n_kv * q.size * q.dtype.itemsize
     if slab <= _FUSED_BWD_SLAB_BYTES:
-        return _bwd_fused(sm_scale, causal, block_q, block_k, kv_len, heads,
-                          interpret, res, g)
-    return _bwd_split(sm_scale, causal, block_q, block_k, kv_len, heads,
-                      interpret, res, g)
+        return _bwd_fused(sm_scale, causal, block_q, block_k, kv_len,
+                          q_offset, heads, interpret, res, g)
+    return _bwd_split(sm_scale, causal, block_q, block_k, kv_len, q_offset,
+                      heads, interpret, res, g)
 
 
-def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, heads, interpret,
+def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
+           interpret,
                res, g):
     q, k, v, lengths, o, lse = res
     bh, sq, d = q.shape
     skv = k.shape[1]
     do = g
-    q_offset = skv - sq if causal else 0
     has_len = lengths is not None
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
@@ -608,18 +607,18 @@ def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, heads, interpret,
     return dq, dk, dv, dlen
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _flash(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
-           heads, interpret):
+           q_offset, heads, interpret):
     o, _ = _fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
-                heads, interpret, save_residuals=False)
+                q_offset, heads, interpret, save_residuals=False)
     return o
 
 
 def _flash_fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
-               heads, interpret):
+               q_offset, heads, interpret):
     o, lse = _fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k,
-                  kv_len, heads, interpret)
+                  kv_len, q_offset, heads, interpret)
     return o, (q, k, v, lengths, o, lse)
 
 
@@ -681,8 +680,11 @@ def flash_attention(q, k, v, *, causal: bool = False,
             limits = jnp.pad(limits, ((0, 0), (0, sq_p - sq)))
         limits = limits[:, None, :]  # [B, 1, Sq]: Mosaic wants >=2 tiled dims
 
+    # diagonal alignment from the UNPADDED lengths: padding q and kv by
+    # different amounts must not shift the causal diagonal
+    q_offset = skv - sq if causal else 0
     o = _flash(qr, kr, vr, limits, sm_scale, causal, block_q_eff,
-               block_k_eff, skv, h, interpret)
+               block_k_eff, skv, q_offset, h, interpret)
     return o[:, :sq, :].reshape(b, h, sq, d)
 
 

@@ -37,12 +37,19 @@ __all__ = [
 
 
 def euclidean_distance(a, b):
-    """Pairwise L2 distance matrix [N, M] (reference EuclideanDistance)."""
+    """Pairwise L2 distance matrix [N, M] (reference EuclideanDistance).
+
+    The sqrt is masked at exactly-zero distances (identical rows / the
+    self-distance diagonal) so gradients stay finite there (subgradient 0
+    instead of 0·inf = NaN)."""
     acc = jnp.promote_types(a.dtype, jnp.float32)
     a2 = jnp.sum(jnp.square(a.astype(acc)), axis=1, keepdims=True)
     b2 = jnp.sum(jnp.square(b.astype(acc)), axis=1, keepdims=True)
     d2 = a2 + b2.T - 2 * jnp.dot(a, b.T, preferred_element_type=acc)
-    return jnp.sqrt(jnp.maximum(d2, 0.0)).astype(a.dtype)
+    d2 = jnp.maximum(d2, 0.0)
+    pos = d2 > 0
+    d = jnp.sqrt(jnp.where(pos, d2, 1.0))
+    return jnp.where(pos, d, 0.0).astype(a.dtype)
 
 
 def capped_shifted_negative_exponential(x, *, shift: float, cap: float):

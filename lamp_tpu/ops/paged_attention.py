@@ -250,6 +250,12 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
     )
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _pool_append(k_pages, v_pages, k, v, pg, slot):
+    return (k_pages.at[pg, slot].set(k.astype(k_pages.dtype)),
+            v_pages.at[pg, slot].set(v.astype(v_pages.dtype)))
+
+
 class PagedKVCache:
     """Host-side page-pool manager for batch serving.
 
@@ -288,8 +294,12 @@ class PagedKVCache:
             self.seq_pages[seq_id].append(self.free_pages.pop())
         pg = self.seq_pages[seq_id][pos // self.page_size]
         slot = pos % self.page_size
-        self.k_pages = self.k_pages.at[pg, slot].set(k.reshape(-1))
-        self.v_pages = self.v_pages.at[pg, slot].set(v.reshape(-1))
+        # jitted with donated pools: the scatter updates in place instead of
+        # copying the whole pool per appended token
+        self.k_pages, self.v_pages = _pool_append(
+            self.k_pages, self.v_pages, k.reshape(-1), v.reshape(-1),
+            jnp.asarray(pg, jnp.int32), jnp.asarray(slot, jnp.int32),
+        )
         self.seq_len[seq_id] = pos + 1
 
     def batch_views(self, seq_ids):

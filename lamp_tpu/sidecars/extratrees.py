@@ -69,8 +69,11 @@ def _build_tree(x, y, *, num_classes, k, min_leaf, rng, classification,
         value.append(None)
         return len(feature) - 1
 
-    def build(idx, depth):
-        node = new_node()
+    def grow(node, idx, depth):
+        """Split ``node`` (already allocated) or make it a leaf; returns
+        [(child_node, child_idx, child_depth), ...] work items. Driven by an
+        explicit stack below — recursion would blow Python's frame limit on
+        the deep chains uniform-random thresholds can produce."""
         ys = y[idx]
         pure = (
             (classification and len(np.unique(ys)) == 1)
@@ -78,7 +81,7 @@ def _build_tree(x, y, *, num_classes, k, min_leaf, rng, classification,
         )
         if len(idx) < max(2 * min_leaf, 2) or pure or depth >= max_depth:
             value[node] = leaf_value(idx)
-            return node
+            return []
 
         feats = rng.choice(x.shape[1], size=min(k, x.shape[1]), replace=False)
         best = None  # (score, feat, thr, mask)
@@ -103,20 +106,25 @@ def _build_tree(x, y, *, num_classes, k, min_leaf, rng, classification,
                 best = (score, f, thr, mask)
         if best is None:
             value[node] = leaf_value(idx)
-            return node
+            return []
         _, f, thr, mask = best
         feature[node] = int(f)
         threshold[node] = float(thr)
-        li = build(idx[mask], depth + 1)
-        ri = build(idx[~mask], depth + 1)
+        li = new_node()
+        ri = new_node()
         left[node] = li
         right[node] = ri
         value[node] = np.zeros(
             num_classes if classification else 1, np.float64
         )
-        return node
+        # right pushed first so the left child pops first — preserves the
+        # recursive version's left-first DFS rng consumption order
+        return [(ri, idx[~mask], depth + 1), (li, idx[mask], depth + 1)]
 
-    build(np.arange(x.shape[0]), 0)
+    stack = [(new_node(), np.arange(x.shape[0]), 0)]
+    while stack:
+        node, idx, depth = stack.pop()
+        stack.extend(grow(node, idx, depth))
     c = num_classes if classification else 1
     return _Tree(
         np.asarray(feature, np.int32),

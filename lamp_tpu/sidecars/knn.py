@@ -45,6 +45,19 @@ def jaccard_distance(a, b):
     return 1.0 - inter / jnp.maximum(union, 1e-12)
 
 
+@functools.lru_cache(maxsize=None)
+def _top_k_fn(distance: Callable, k: int):
+    # cached per (distance, k) so repeated knn_search calls reuse the
+    # compiled program instead of re-jitting a fresh closure every call
+    @jax.jit
+    def top(qb, corpus):
+        d = distance(qb, corpus)
+        _, idx = jax.lax.top_k(-d, k)
+        return idx
+
+    return top
+
+
 def knn_search(query, corpus, k: int, *,
                distance: Callable = squared_euclidean_distance,
                batch_size: int = 4096):
@@ -52,17 +65,12 @@ def knn_search(query, corpus, k: int, *,
     (reference knnSearch + minibatched variant, knn/package.scala:60-80)."""
     query = jnp.asarray(query)
     corpus = jnp.asarray(corpus)
-
-    @jax.jit
-    def top(qb):
-        d = distance(qb, corpus)
-        _, idx = jax.lax.top_k(-d, k)
-        return idx
+    top = _top_k_fn(distance, k)
 
     outs = []
     n = query.shape[0]
     for s in range(0, n, batch_size):
-        outs.append(top(query[s:s + batch_size]))
+        outs.append(top(query[s:s + batch_size], corpus))
     return jnp.concatenate(outs, axis=0)
 
 

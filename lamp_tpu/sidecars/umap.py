@@ -67,7 +67,11 @@ def _symmetrize(rows, cols, weights, n):
     for r, c, w in zip(rows, cols, weights):
         m[(int(r), int(c))] = float(w)
     out = {}
-    for (r, c), w in m.items():
+    # iterate the UNION of directed edges and their mirrors: a one-way kNN
+    # edge (r, c) must also produce (c, r) with the same symmetrized weight
+    keys = set(m) | {(c, r) for (r, c) in m}
+    for (r, c) in keys:
+        w = m.get((r, c), 0.0)
         wt = m.get((c, r), 0.0)
         out[(r, c)] = w + wt - w * wt
     rr, cc, ww = [], [], []

@@ -28,6 +28,41 @@ def test_flash_matches_reference_forward(causal, shape):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_flash_causal_decode_shapes():
+    """sq != skv with UNEQUAL padding amounts must keep the causal diagonal
+    aligned to the end of the unpadded kv sequence (a padded-shape offset
+    shifted it), forward and backward."""
+    b, h, d = 1, 2, 32
+    for sq, skv in [(7, 100), (8, 101), (33, 96)]:
+        keys = jax.random.split(jax.random.PRNGKey(sq * 1000 + skv), 3)
+        q = _rand(keys[0], (b, h, sq, d))
+        k = _rand(keys[1], (b, h, skv, d))
+        v = _rand(keys[2], (b, h, skv, d))
+        out = flash_attention(q, k, v, causal=True, interpret=True,
+                              block_q=32, block_k=64)
+        ref = mha_reference(q, k, v, causal=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5,
+            err_msg=f"sq={sq} skv={skv}",
+        )
+
+        gf = jax.grad(
+            lambda q, k, v: jnp.sum(jnp.square(flash_attention(
+                q, k, v, causal=True, interpret=True, block_q=32, block_k=64
+            ))), argnums=(0, 1, 2),
+        )(q, k, v)
+        gr = jax.grad(
+            lambda q, k, v: jnp.sum(jnp.square(mha_reference(
+                q, k, v, causal=True
+            ))), argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b_, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-4,
+                err_msg=f"sq={sq} skv={skv} grad {name}",
+            )
+
+
 def test_flash_non_multiple_seq_len():
     b, h, s, d = 1, 2, 100, 32  # 100 not a multiple of any block
     keys = jax.random.split(jax.random.PRNGKey(1), 3)

@@ -578,12 +578,20 @@ class ModernBatchServer(BatchServer):
 
 
 class SpeculativeDecoder:
-    """Greedy speculative decoding over the paged servers: a small DRAFT
-    model proposes ``k-1`` tokens autoregressively, the TARGET model scores
-    all ``k`` positions in ONE chunked decode call, and the longest agreeing
-    prefix is accepted (+1 corrected token from the target). The emitted
-    stream is IDENTICAL to target-only greedy decoding — the draft only
-    changes how many target forward passes each token costs.
+    """Speculative decoding over the paged servers: a small DRAFT model
+    proposes ``k-1`` tokens autoregressively, the TARGET model scores all
+    ``k`` positions in ONE chunked decode call.
+
+    ``temperature == 0`` (default): greedy — the longest draft prefix
+    agreeing with the target's argmax is accepted (+1 corrected token); the
+    emitted stream is IDENTICAL to target-only greedy decoding.
+
+    ``temperature > 0``: rejection sampling (Leviathan et al.) — draft
+    token d_j is accepted with probability min(1, p_j(d_j)/q_j(d_j)); on
+    rejection a replacement is drawn from normalize(max(0, p_j - q_j)); if
+    all proposals are accepted a bonus token is drawn from p_k. The emitted
+    tokens are distributed EXACTLY as target-only sampling at that
+    temperature.
 
     Rejected tokens' K/V are dropped with :meth:`BatchServer.rewind` (their
     page slots are simply reused). Both servers must be fed the same
@@ -592,6 +600,7 @@ class SpeculativeDecoder:
 
     def __init__(self, target_model, draft_model, *, k: int = 4,
                  page_size: int = 64, total_pages: int = 512,
+                 temperature: float = 0.0, seed: int = 0,
                  server_cls=None):
         if server_cls is None:
             server_cls = (
@@ -599,6 +608,8 @@ class SpeculativeDecoder:
                 else ModernBatchServer
             )
         self.k = k
+        self.temperature = temperature
+        self.rng = np.random.default_rng(seed)
         self.target = server_cls(
             target_model, page_size=page_size, total_pages=total_pages
         )
@@ -618,6 +629,13 @@ class SpeculativeDecoder:
     def active(self):
         return self.target.active
 
+    @staticmethod
+    def _softmax(logits, temperature):
+        z = logits / temperature
+        z = z - z.max(axis=-1, keepdims=True)
+        e = np.exp(z)
+        return e / e.sum(axis=-1, keepdims=True)
+
     def step(self) -> Dict:
         """One speculative round; returns {seq_id: [emitted tokens]} (1 to
         ``k`` tokens per sequence)."""
@@ -626,29 +644,63 @@ class SpeculativeDecoder:
             return {}
         k = self.k
         b = len(seq_ids)
+        sampling = self.temperature > 0
         # 1. draft proposes: inputs p0 (pending token), d1, ..., d_{k-2};
         #    outputs d1..d_{k-1}
         proposals = np.zeros((b, k), np.int64)
         proposals[:, 0] = [self.target.last_token[s] for s in seq_ids]
+        q_dists = []  # [k-1] entries of [B, V] draft distributions
         for j in range(1, k):
             logits = self.draft._advance(
                 seq_ids, jnp.asarray(proposals[:, j - 1], jnp.int32)
             )
-            proposals[:, j] = np.asarray(jnp.argmax(logits, -1))
+            if sampling:
+                q = self._softmax(np.asarray(logits, np.float64),
+                                  self.temperature)
+                q_dists.append(q)
+                for i in range(b):
+                    proposals[i, j] = self.rng.choice(q.shape[1], p=q[i])
+            else:
+                proposals[:, j] = np.asarray(jnp.argmax(logits, -1))
         # 2. target verifies all k positions at once
         tlogits = self.target.advance_chunk(seq_ids, proposals)
+        if sampling:
+            p_dists = self._softmax(
+                np.asarray(tlogits, np.float64), self.temperature
+            )  # [B, k, V]
         t_next = np.asarray(jnp.argmax(tlogits, -1))  # [B, k]: t1..tk
         out = {}
         for i, s in enumerate(seq_ids):
-            # accept draft tokens while they match the target's greedy choice
             emitted = []
-            for j in range(1, k):
-                if proposals[i, j] == t_next[i, j - 1]:
-                    emitted.append(int(proposals[i, j]))
-                else:
-                    break
-            # +1: the target's own token at the first mismatch (or position k)
-            emitted.append(int(t_next[i, len(emitted)]))
+            if sampling:
+                # rejection sampling: accept d_j w.p. min(1, p/q); replace
+                # from the normalized positive residual on rejection
+                for j in range(1, k):
+                    d = int(proposals[i, j])
+                    p_j = p_dists[i, j - 1]
+                    q_j = q_dists[j - 1][i]
+                    if self.rng.uniform() < min(
+                        1.0, p_j[d] / max(q_j[d], 1e-30)
+                    ):
+                        emitted.append(d)
+                    else:
+                        resid = np.maximum(p_j - q_j, 0.0)
+                        tot = resid.sum()
+                        dist = resid / tot if tot > 0 else p_j
+                        emitted.append(int(self.rng.choice(len(dist), p=dist)))
+                        break
+                else:  # all accepted: bonus token from the target
+                    pk = p_dists[i, k - 1]
+                    emitted.append(int(self.rng.choice(len(pk), p=pk)))
+            else:
+                # greedy: accept while the draft matches the target's argmax
+                for j in range(1, k):
+                    if proposals[i, j] == t_next[i, j - 1]:
+                        emitted.append(int(proposals[i, j]))
+                    else:
+                        break
+                # +1: the target's token at the first mismatch (or position k)
+                emitted.append(int(t_next[i, len(emitted)]))
             n_emit = len(emitted)
             # 3. roll back both servers to the accepted history
             #    target wrote k rows, draft wrote k-1; each needs

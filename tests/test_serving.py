@@ -158,6 +158,33 @@ def test_rewind_reuses_slots():
     assert isinstance(out["a"], int)
 
 
+def test_speculative_sampling_mode():
+    """temperature > 0 rejection-sampling path: emits 1..k tokens per round
+    with consistent KV bookkeeping across both servers."""
+    from lamp_tpu.models.serving import SpeculativeDecoder
+
+    target = _model()
+    draft = nn.LanguageModelModule.init(
+        vocab_size=23, context_length=32, num_blocks=1, embed_dim=16,
+        attention_heads=2, key=jax.random.PRNGKey(7),
+    )
+    spec = SpeculativeDecoder(target, draft, k=3, page_size=8,
+                              total_pages=64, temperature=0.8, seed=1)
+    spec.add("x", [1, 5, 2, 9])
+    total = 0
+    for _ in range(4):
+        before_t = spec.target.seq_len["x"]
+        before_d = spec.draft.seq_len["x"]
+        assert before_t == before_d
+        toks = spec.step()["x"]
+        assert 1 <= len(toks) <= 3
+        assert all(0 <= t < 23 for t in toks)
+        assert spec.target.seq_len["x"] == before_t + len(toks)
+        assert spec.draft.seq_len["x"] == before_d + len(toks)
+        total += len(toks)
+    assert total >= 4
+
+
 def test_speculative_matches_plain_greedy():
     """Speculative decoding emits exactly the target-only greedy stream —
     with a disagreeing draft (rejections + corrections) and with a perfect

@@ -6,6 +6,7 @@ from .checkpoint import (
     read_safetensors,
     read_tensor_blob,
     save_loop_state,
+    AsyncCheckpointer,
     save_pytree,
     write_safetensors,
     write_tensor_blob,
@@ -15,6 +16,7 @@ __all__ = [
     "write_tensor_blob",
     "read_tensor_blob",
     "save_pytree",
+    "AsyncCheckpointer",
     "load_pytree",
     "save_loop_state",
     "load_loop_state",

@@ -35,6 +35,7 @@ __all__ = [
     "load_loop_state",
     "read_safetensors",
     "write_safetensors",
+    "AsyncCheckpointer",
 ]
 
 _ALIGN = 8
@@ -353,6 +354,9 @@ def load_pytree_sharded(path: str, template: Any, *,
     return treedef.unflatten(out)
 
 
+_BG_CHECKPOINTER = None
+
+
 def save_loop_state(path: str, *, model, optimizer_state, epoch: int,
                     last_validation_loss=None, min_validation_loss=None,
                     min_validation_model=None, learning_curve=None,
@@ -361,26 +365,37 @@ def save_loop_state(path: str, *, model, optimizer_state, epoch: int,
     """Persist full training-loop state (reference SimpleLoopState,
     data/LoopState.scala:4-29 + StateIO.stateToFile).
 
-    ``background=True`` runs the host-side serialization on a daemon thread
-    so training continues while the checkpoint writes (jax arrays are
-    immutable, so snapshotting the references is safe; the device->host
-    gather happens on the writer thread).
+    ``background=True`` routes through a module-global
+    :class:`AsyncCheckpointer`: array leaves are snapshotted with an
+    on-device copy first (the caller's buffers may be donated away by the
+    next train step), then a daemon thread performs the device→host gather
+    and file IO. Consecutive background saves serialize, and a failed write
+    re-raises on the next save.
     """
     if background:
-        import threading
+        global _BG_CHECKPOINTER
+        if _BG_CHECKPOINTER is None:
+            _BG_CHECKPOINTER = AsyncCheckpointer()
+        payload = {
+            "model": model,
+            "optimizer_state": optimizer_state,
+            "min_validation_model": min_validation_model,
+        }
+        meta_kwargs = dict(
+            epoch=epoch, last_validation_loss=last_validation_loss,
+            min_validation_loss=min_validation_loss,
+            learning_curve=learning_curve, lr_state=lr_state, extra=extra,
+        )
 
-        threading.Thread(
-            target=save_loop_state,
-            kwargs=dict(
-                path=path, model=model, optimizer_state=optimizer_state,
-                epoch=epoch, last_validation_loss=last_validation_loss,
-                min_validation_loss=min_validation_loss,
-                min_validation_model=min_validation_model,
-                learning_curve=learning_curve, lr_state=lr_state,
-                extra=extra, background=False,
-            ),
-            daemon=True,
-        ).start()
+        def write(p, snap):
+            save_loop_state(
+                p, model=snap["model"],
+                optimizer_state=snap["optimizer_state"],
+                min_validation_model=snap["min_validation_model"],
+                background=False, **meta_kwargs,
+            )
+
+        _BG_CHECKPOINTER.save(path, payload, save_fn=write)
         return
     state = {
         "model": model,
@@ -497,3 +512,63 @@ def write_safetensors(path: str, tensors: Dict[str, Any],
         for pdata in payloads:
             f.write(pdata)
     os.replace(tmp, path)
+
+
+class AsyncCheckpointer:
+    """Background-thread checkpoint writes that do not stall the train loop.
+
+    ``save`` snapshots every array leaf with an on-device copy (a cheap
+    async XLA copy — the original buffers may be donated away by the next
+    train step), then hands the snapshot to a writer thread that performs
+    the device→host readback and the file IO. The main thread keeps
+    dispatching steps; XLA overlaps the readback DMA with compute.
+
+    At most one write is in flight: a new ``save`` first waits for the
+    previous one (and re-raises its error, so failures are not silent).
+    The reference has no async path — its checkpoint callback blocks the
+    loop (StateIO.scala:262-300); this is the TPU-idiomatic upgrade, same
+    on-disk format.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._exc = None
+
+    def _snapshot(self, tree):
+        def copy(x):
+            if isinstance(x, jax.Array):
+                return jnp.copy(x)
+            return x
+
+        return jax.tree_util.tree_map(
+            copy, tree, is_leaf=lambda x: x is None
+        )
+
+    def save(self, path: str, tree: Any, *, save_fn=None) -> None:
+        """Queue an asynchronous ``save_fn(path, snapshot)`` (default
+        :func:`save_pytree`). Returns as soon as the device-side copies are
+        dispatched."""
+        import threading
+
+        self.wait()
+        fn = save_fn or save_pytree
+        snapshot = self._snapshot(tree)
+
+        def worker():
+            try:
+                fn(path, snapshot)
+            except BaseException as e:  # surfaced by the next wait()/save()
+                self._exc = e
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) finishes; re-raise its
+        error."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc

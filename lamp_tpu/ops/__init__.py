@@ -5,8 +5,12 @@ from .fused_adamw import AdamWStochastic, fused_adamw_update
 from .paged_attention import PagedKVCache, paged_attention, paged_attention_reference
 from .quantization import (
     QuantizedLinear,
+    QuantizedLinearInt4,
+    dequantize_int4,
     dequantize_int8,
+    int4_matmul,
     int8_matmul,
+    quantize_int4,
     quantize_int8,
     quantize_int8_stochastic,
     quantize_model,
@@ -38,6 +42,10 @@ __all__ = [
     "QuantizedLinear",
     "quantize_model",
     "quantize_int8_stochastic",
+    "quantize_int4",
+    "dequantize_int4",
+    "int4_matmul",
+    "QuantizedLinearInt4",
     "paged_attention",
     "paged_attention_reference",
     "PagedKVCache",

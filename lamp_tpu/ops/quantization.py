@@ -31,6 +31,10 @@ __all__ = [
     "QuantizedLinear",
     "quantize_model",
     "quantize_int8_stochastic",
+    "quantize_int4",
+    "dequantize_int4",
+    "int4_matmul",
+    "QuantizedLinearInt4",
 ]
 
 
@@ -91,11 +95,17 @@ class QuantizedLinear(Module):
         return y.astype(x.dtype), self
 
 
-def quantize_model(model):
-    """Replace every Linear in a module tree with a QuantizedLinear."""
+def quantize_model(model, *, bits: int = 8, group_size: int = 128):
+    """Replace every Linear in a module tree with a quantized equivalent
+    (``bits=8``: per-channel int8; ``bits=4``: nibble-packed group-wise
+    int4 — the decode-bandwidth option)."""
+    if bits not in (4, 8):
+        raise ValueError("bits must be 4 or 8")
 
     def swap(node):
         if isinstance(node, Linear):
+            if bits == 4:
+                return QuantizedLinearInt4.from_linear(node, group_size)
             return QuantizedLinear.from_linear(node)
         return node
 
@@ -157,3 +167,91 @@ def quantize_int8_stochastic(x, *, seed: int = 0,
         interpret=interpret,
     )(seed_arr, x)
     return vals, scales[:, :1]
+
+
+# ---------------------------------------------------------------------------
+# Int4 weight-only quantization (serving: decode is HBM-bandwidth bound on
+# weights, so nibble-packed weights cut the per-token weight traffic 4x vs
+# bf16 / 2x vs int8)
+# ---------------------------------------------------------------------------
+
+
+def quantize_int4(w, *, group_size: int = 128):
+    """Group-wise absmax int4 quantization of a weight matrix.
+
+    ``w``: [K, N] float. Returns (packed uint8 [K//2, N], scales f32
+    [K/group_size, N]) where row 2i sits in the low nibble and row 2i+1 in
+    the high nibble of packed row i; values are offset-binary (stored
+    v+8 ∈ [0,15], v ∈ [-8,7]). Scales are per (K-group, output-channel) —
+    the finer granularity int4 needs to stay accurate.
+    """
+    k, n = w.shape
+    if k % 2:
+        raise ValueError("K must be even for nibble packing")
+    if k % group_size:
+        raise ValueError(f"K={k} not divisible by group_size={group_size}")
+    wf = w.astype(jnp.float32).reshape(k // group_size, group_size, n)
+    absmax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)
+    scales = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scales), -8, 7).astype(jnp.int8)
+    q = q.reshape(k, n)
+    u = (q + 8).astype(jnp.uint8)
+    packed = (u[0::2, :] | (u[1::2, :] << 4)).astype(jnp.uint8)
+    return packed, scales[:, 0, :]
+
+
+def dequantize_int4(packed, scales, *, dtype=jnp.bfloat16):
+    """Inverse of :func:`quantize_int4` -> [K, N] ``dtype``."""
+    k2, n = packed.shape
+    k = 2 * k2
+    group_size = k // scales.shape[0]
+    lo = (packed & 0x0F).astype(jnp.int8) - 8
+    hi = (packed >> 4).astype(jnp.int8) - 8
+    vals = jnp.stack([lo, hi], axis=1).reshape(k, n).astype(jnp.float32)
+    s = jnp.repeat(scales, group_size, axis=0)
+    return (vals * s).astype(dtype)
+
+
+def int4_matmul(x, w_packed, w_scales, *, out_dtype=None):
+    """y = x @ dequant_int4(w). The dequant is elementwise on the weight
+    tile; XLA fuses it with the matmul's operand load, so HBM sees only the
+    nibble-packed bytes."""
+    out_dtype = out_dtype or x.dtype
+    w = dequantize_int4(w_packed, w_scales,
+                        dtype=x.dtype if x.dtype == jnp.bfloat16
+                        else jnp.float32)
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    return jnp.dot(x, w, preferred_element_type=acc).astype(out_dtype)
+
+
+class QuantizedLinearInt4(Module):
+    """Serving replacement for :class:`Linear` with nibble-packed int4
+    weights and per-group scales."""
+
+    w_packed: jnp.ndarray   # [K//2, N] uint8
+    w_scales: jnp.ndarray   # [K/group, N] f32
+    bias: Optional[jnp.ndarray]
+    __tags__ = {"w_packed": "QuantizedLinearInt4.weight",
+                "bias": "QuantizedLinearInt4.bias"}
+
+    @staticmethod
+    def from_linear(linear: Linear,
+                    group_size: int = 128) -> "QuantizedLinearInt4":
+        k = linear.weight.shape[0]
+        g = group_size
+        while k % g or k % 2:
+            if k % 2:
+                raise ValueError("odd input dim cannot be nibble-packed")
+            g //= 2
+            if g < 2:
+                g = 2
+                break
+        packed, scales = quantize_int4(linear.weight, group_size=g)
+        return QuantizedLinearInt4(w_packed=packed, w_scales=scales,
+                                   bias=linear.bias)
+
+    def forward(self, x, *, key=None, train=False):
+        y = int4_matmul(x, self.w_packed, self.w_scales)
+        if self.bias is not None:
+            y = y + self.bias
+        return y.astype(x.dtype), self

@@ -2,7 +2,7 @@
 
 from .base import Optimizer, resolve_hyper, apply_updates
 from .clip import clip_by_global_norm, clip_by_value, global_norm
-from .optimizers import SGDW, AdamW, Lamb, RAdam, Yogi
+from .optimizers import SGDW, Adafactor, AdamW, Lamb, Lion, RAdam, Yogi
 from .shampoo import Shampoo
 from . import schedules
 
@@ -19,5 +19,7 @@ __all__ = [
     "RAdam",
     "Yogi",
     "Shampoo",
+    "Lion",
+    "Adafactor",
     "schedules",
 ]

@@ -1,4 +1,4 @@
-"""Optimizers: SGDW, AdamW, RAdam, Yogi, Lamb.
+"""Optimizers: SGDW, AdamW, RAdam, Yogi, Lamb, Lion, Adafactor.
 
 Capability parity with the reference suite
 (reference: lamp-core/src/main/scala/lamp/nn/{SGD,AdamW,RAdam,Yogi}.scala),
@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .base import Hyper, Optimizer, resolve_hyper
 
-__all__ = ["SGDW", "AdamW", "RAdam", "Yogi", "Lamb"]
+__all__ = ["SGDW", "AdamW", "RAdam", "Yogi", "Lamb", "Lion", "Adafactor"]
 
 
 def _is_none(x):
@@ -329,3 +329,166 @@ class Lamb(Optimizer):
 
         new_params = _map(upd, params, new_mt, new_vt, lr, wd)
         return new_params, {"step": t, "mt": new_mt, "vt": new_vt}
+
+
+class Lion(Optimizer):
+    """Lion (Chen et al. 2023, "Symbolic Discovery of Optimization
+    Algorithms"): sign-of-interpolated-momentum updates. Beyond reference
+    parity — one f32 momentum buffer per param (half Adam's state) and a
+    sign update that is robust in bf16, which makes it a natural fit for
+    memory-tight TPU training.
+    """
+
+    def __init__(self, learning_rate: Hyper = 1e-4, beta1: float = 0.9,
+                 beta2: float = 0.99, weight_decay: Hyper = 0.0, tags=None):
+        self.learning_rate = learning_rate
+        self.beta1, self.beta2 = beta1, beta2
+        self.weight_decay = weight_decay
+        self.tags = tags
+
+    def init(self, params):
+        return {"mt": _map(lambda p: jnp.zeros(p.shape, jnp.float32), params)}
+
+    def step(self, params, grads, state, lr_factor=1.0):
+        tags = self.tags if self.tags is not None else _map(lambda p: "", params)
+        lr = resolve_hyper(self.learning_rate, tags, params)
+        wd = resolve_hyper(self.weight_decay, tags, params)
+        b1, b2 = self.beta1, self.beta2
+
+        def upd(p, m, g, l, w):
+            pf = _f32(p)
+            direction = jnp.sign(b1 * m + (1 - b1) * _f32(g))
+            return (
+                pf - lr_factor * l * (direction + w * pf)
+            ).astype(p.dtype)
+
+        new_params = _map(upd, params, state["mt"], grads, lr, wd)
+        new_mt = _map(
+            lambda m, g: b2 * m + (1 - b2) * _f32(g), state["mt"], grads
+        )
+        return new_params, {"mt": new_mt}
+
+
+class Adafactor(Optimizer):
+    """Adafactor (Shazeer & Stern 2018): sublinear-memory second moments.
+
+    Beyond reference parity; the TPU-native large-model optimizer (used by
+    T5/PaLM-era training). For params with ndim >= 2 the second moment is
+    stored FACTORED — a row ema (mean over the last axis) and a column ema
+    (mean over the second-to-last axis) whose outer product reconstructs the
+    full moment — so optimizer state is O(n+m) instead of O(nm) per matrix.
+    Vectors/scalars keep a full second moment. Includes the paper's
+    update-RMS clipping (d=1.0), relative step sizes
+    (min(1e-2, 1/sqrt(t)) · max(eps2, RMS(p)) when ``learning_rate`` is
+    None), and the t^-0.8 decay schedule for beta2.
+    """
+
+    def __init__(self, learning_rate: Optional[Hyper] = None,
+                 weight_decay: Hyper = 0.0, beta1: Optional[float] = None,
+                 eps1: float = 1e-30, eps2: float = 1e-3,
+                 clip_threshold: float = 1.0, decay_exponent: float = 0.8,
+                 tags=None):
+        self.learning_rate = learning_rate
+        self.weight_decay = weight_decay
+        self.beta1 = beta1
+        self.eps1, self.eps2 = eps1, eps2
+        self.clip_threshold = clip_threshold
+        self.decay_exponent = decay_exponent
+        self.tags = tags
+
+    @staticmethod
+    def _factored(p) -> bool:
+        return p.ndim >= 2
+
+    def init(self, params):
+        def vr(p):
+            return (jnp.zeros(p.shape[:-1], jnp.float32)
+                    if self._factored(p) else None)
+
+        def vc(p):
+            return (jnp.zeros(p.shape[:-2] + p.shape[-1:], jnp.float32)
+                    if self._factored(p) else None)
+
+        def vfull(p):
+            return (None if self._factored(p)
+                    else jnp.zeros(p.shape, jnp.float32))
+
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "vr": _map(vr, params),
+            "vc": _map(vc, params),
+            "v": _map(vfull, params),
+            "mt": (_map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+                   if self.beta1 is not None else None),
+        }
+
+    def step(self, params, grads, state, lr_factor=1.0):
+        tags = self.tags if self.tags is not None else _map(lambda p: "", params)
+        lr = resolve_hyper(
+            self.learning_rate if self.learning_rate is not None else 0.0,
+            tags, params,
+        )
+        wd = resolve_hyper(self.weight_decay, tags, params)
+        t = state["step"] + 1
+        tf = t.astype(jnp.float32)
+        beta2t = 1.0 - tf ** (-self.decay_exponent)
+        eps1, eps2 = self.eps1, self.eps2
+        relative = self.learning_rate is None
+
+        def rms(x):
+            return jnp.sqrt(jnp.mean(jnp.square(x)))
+
+        def upd(p, g, vr, vc, v, m, l, w):
+            if p is None:
+                return None
+            pf, gf = _f32(p), _f32(g)
+            g2 = jnp.square(gf) + eps1
+            if vr is not None:
+                vr_n = beta2t * vr + (1 - beta2t) * jnp.mean(g2, axis=-1)
+                vc_n = beta2t * vc + (1 - beta2t) * jnp.mean(g2, axis=-2)
+                # reconstruct: vhat = vr ⊗ vc / mean(vr); rsqrt applied as
+                # two rank-1 factors (paper eq. 4's normalized outer product)
+                row = jax.lax.rsqrt(
+                    vr_n / jnp.mean(vr_n, axis=-1, keepdims=True)
+                )
+                col = jax.lax.rsqrt(vc_n)
+                u = gf * row[..., :, None] * col[..., None, :]
+                v_n = None
+            else:
+                v_n = beta2t * v + (1 - beta2t) * g2
+                u = gf * jax.lax.rsqrt(v_n)
+                vr_n = vc_n = None
+            u = u / jnp.maximum(1.0, rms(u) / self.clip_threshold)
+            if m is not None:
+                u = self.beta1 * m + (1 - self.beta1) * u
+                m_n = u
+            else:
+                m_n = None
+            if relative:
+                alpha = jnp.minimum(1e-2, 1.0 / jnp.sqrt(tf)) * jnp.maximum(
+                    eps2, rms(pf)
+                )
+            else:
+                alpha = l
+            alpha = lr_factor * alpha
+            new_p = (pf - alpha * u - alpha * w * pf).astype(p.dtype)
+            return new_p, vr_n, vc_n, v_n, m_n
+
+        mt = state["mt"] if self.beta1 is not None \
+            else _map(lambda p: None, params)
+        packed = jax.tree_util.tree_map(
+            upd, params, grads, state["vr"], state["vc"], state["v"], mt,
+            lr, wd, is_leaf=_is_none,
+        )
+
+        def pick(i):
+            return jax.tree_util.tree_map(
+                lambda p, tup: None if tup is None else tup[i],
+                params, packed, is_leaf=_is_none,
+            )
+
+        new_state = {
+            "step": t, "vr": pick(1), "vc": pick(2), "v": pick(3),
+            "mt": pick(4) if self.beta1 is not None else None,
+        }
+        return pick(0), new_state

@@ -10,6 +10,12 @@ from .mesh import (
     replicate,
     shard_tree,
 )
+from .collective_matmul import (
+    allgather_matmul,
+    make_allgather_matmul,
+    make_matmul_reducescatter,
+    matmul_reducescatter,
+)
 from .context import make_ring_attention, ring_attention
 from .pipeline import (
     make_interleaved_pipelined_forward,
@@ -43,4 +49,8 @@ __all__ = [
     "make_pipelined_lm_forward",
     "make_pipelined_lm_loss_fn",
     "stack_lm_blocks",
+    "allgather_matmul",
+    "matmul_reducescatter",
+    "make_allgather_matmul",
+    "make_matmul_reducescatter",
 ]

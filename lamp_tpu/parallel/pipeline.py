@@ -28,44 +28,88 @@ __all__ = [
 ]
 
 
+def _pvary(tree, axis_name):
+    """Mark arrays device-varying along ``axis_name`` (idempotent: leaves
+    that are already varying pass through)."""
+    def one(x):
+        try:
+            if axis_name in jax.typeof(x).vma:
+                return x
+        except (AttributeError, TypeError):
+            pass
+        try:
+            return jax.lax.pcast(x, (axis_name,), to="varying")
+        except AttributeError:  # older jax: pvary only
+            return jax.lax.pvary(x, (axis_name,))
+
+    return jax.tree_util.tree_map(one, tree)
+
+
 def pipeline_apply(stage_params, microbatches, stage_fn: Callable, *,
-                   axis_name: str, n_stages: int):
+                   axis_name: str, n_stages: int,
+                   overlap_sends: bool = False):
     """Run inside shard_map. ``stage_params``: this stage's local stack of
     block params [L_local, ...] (pytree). ``microbatches``: [M, ...] — the
     same array on every device (only stage 0's injections matter).
     ``stage_fn(stage_params, x) -> y`` applies the local blocks.
 
+    ``overlap_sends=True`` double-buffers the inter-stage transfer: each tick
+    ppermutes the PREVIOUS tick's output while computing the current one, so
+    the collective-permute has no data dependence on the tick's compute and
+    XLA's latency-hiding scheduler runs it concurrently over ICI. A hop then
+    takes two ticks (fill/drain bubble 2(S-1) instead of S-1 ticks) but each
+    tick costs max(T_compute, T_comm) instead of T_compute + T_comm — the
+    right trade whenever M >> S.
+
     Returns [M, ...] outputs, valid on every device (masked psum broadcast).
     """
     idx = jax.lax.axis_index(axis_name)
     m = microbatches.shape[0]
-    ticks = m + n_stages - 1
+    hop = 2 if overlap_sends else 1
+    ticks = m + hop * (n_stages - 1)
     perm = [(i, i + 1) for i in range(n_stages - 1)]
 
     outputs0 = jnp.zeros(microbatches.shape, microbatches.dtype)
     recv0 = jnp.zeros(microbatches.shape[1:], microbatches.dtype)
     # the carries become device-varying after the first tick (ppermute /
     # per-stage writes); mark the initial values as varying to match
-    try:
-        outputs0 = jax.lax.pvary(outputs0, (axis_name,))
-        recv0 = jax.lax.pvary(recv0, (axis_name,))
-    except AttributeError:
-        outputs0 = jax.lax.pcast(outputs0, (axis_name,), to="varying")
-        recv0 = jax.lax.pcast(recv0, (axis_name,), to="varying")
+    outputs0, recv0 = _pvary((outputs0, recv0), axis_name)
 
-    def tick(carry, t):
-        outputs, recv = carry
-        inject = microbatches[jnp.clip(t, 0, m - 1)]
-        x_in = jnp.where(idx == 0, inject, recv)
-        y = stage_fn(stage_params, x_in)
-        nxt = jax.lax.ppermute(y, axis_name, perm)
-        out_t = t - (n_stages - 1)
+    def write_out(outputs, y, t):
+        out_t = t - hop * (n_stages - 1)
         updated = outputs.at[jnp.clip(out_t, 0, m - 1)].set(y)
         write = (out_t >= 0) & (idx == n_stages - 1)
-        outputs = jnp.where(write, updated, outputs)
-        return (outputs, nxt), None
+        return jnp.where(write, updated, outputs)
 
-    (outputs, _), _ = jax.lax.scan(tick, (outputs0, recv0), jnp.arange(ticks))
+    if overlap_sends:
+        def tick(carry, t):
+            outputs, recv, pending = carry
+            # send last tick's output first — independent of this tick's
+            # stage_fn, so the permute overlaps the compute
+            nxt = jax.lax.ppermute(pending, axis_name, perm)
+            inject = microbatches[jnp.clip(t, 0, m - 1)]
+            x_in = jnp.where(idx == 0, inject, recv)
+            y = stage_fn(stage_params, x_in)
+            outputs = write_out(outputs, y, t)
+            return (outputs, nxt, y), None
+
+        pending0 = _pvary(jnp.zeros_like(recv0), axis_name)
+        (outputs, _, _), _ = jax.lax.scan(
+            tick, (outputs0, recv0, pending0), jnp.arange(ticks)
+        )
+    else:
+        def tick(carry, t):
+            outputs, recv = carry
+            inject = microbatches[jnp.clip(t, 0, m - 1)]
+            x_in = jnp.where(idx == 0, inject, recv)
+            y = stage_fn(stage_params, x_in)
+            nxt = jax.lax.ppermute(y, axis_name, perm)
+            outputs = write_out(outputs, y, t)
+            return (outputs, nxt), None
+
+        (outputs, _), _ = jax.lax.scan(
+            tick, (outputs0, recv0), jnp.arange(ticks)
+        )
     # broadcast the last stage's outputs to every device
     mask = (idx == n_stages - 1).astype(outputs.dtype)
     return jax.lax.psum(outputs * mask, axis_name)
@@ -73,7 +117,8 @@ def pipeline_apply(stage_params, microbatches, stage_fn: Callable, *,
 
 def pipeline_apply_interleaved(chunk_params, microbatches, chunk_fn: Callable,
                                *, axis_name: str, n_stages: int,
-                               n_virtual: int, extras=None):
+                               n_virtual: int, extras=None,
+                               overlap_sends: bool = False):
     """Interleaved (circular) pipeline schedule — the Megatron "virtual
     stages" idea, expressed differentiably.
 
@@ -97,12 +142,16 @@ def pipeline_apply_interleaved(chunk_params, microbatches, chunk_fn: Callable,
     m = microbatches.shape[0]
     s, v = n_stages, n_virtual
     total_age = s * v
+    # with overlapped sends a hop takes 2 ticks; injection groups widen to
+    # 2S microbatches (the two tick-parity streams keep every device busy)
+    hop = 2 if overlap_sends else 1
 
-    # static injection schedule: groups of S microbatches; group g's
-    # injections occupy device-0 ticks g·S·v + j (device 0 is busy with the
-    # circulating passes of group g until then)
-    enter = np.array([(i // s) * s * v + (i % s) for i in range(m)])
-    ticks = int(enter[-1]) + total_age + 1
+    # static injection schedule: groups of hop·S microbatches; group g's
+    # injections occupy device-0 ticks g·hop·S·v + j (device 0 is busy with
+    # the circulating passes of group g until then)
+    gsz = hop * s
+    enter = np.array([(i // gsz) * gsz * v + (i % gsz) for i in range(m)])
+    ticks = int(enter[-1]) + hop * total_age + 1
     inject_sched = np.full((ticks,), -1, np.int32)
     inject_sched[enter] = np.arange(m)
     inject_sched = jnp.asarray(inject_sched)
@@ -113,17 +162,9 @@ def pipeline_apply_interleaved(chunk_params, microbatches, chunk_fn: Callable,
     h0 = jnp.zeros(microbatches.shape[1:], microbatches.dtype)
     age0 = jnp.full((), -1, jnp.int32)
     mb0 = jnp.zeros((), jnp.int32)
-    try:
-        outputs0, h0, age0, mb0 = jax.lax.pvary(
-            (outputs0, h0, age0, mb0), (axis_name,)
-        )
-    except AttributeError:
-        outputs0, h0, age0, mb0 = jax.lax.pcast(
-            (outputs0, h0, age0, mb0), (axis_name,), to="varying"
-        )
+    outputs0, h0, age0, mb0 = _pvary((outputs0, h0, age0, mb0), axis_name)
 
-    def tick(carry, t):
-        outputs, h, age, mb = carry
+    def compute(outputs, h, age, mb, t):
         # 1. capture finished activations (only device 0 can receive
         #    age == S·v: the last chunk lives on device S-1)
         done = (age == total_age) & (idx == 0)
@@ -147,15 +188,32 @@ def pipeline_apply_interleaved(chunk_params, microbatches, chunk_fn: Callable,
             else chunk_fn(p_c, x_in, extras)
         y = jnp.where(valid, y, jnp.zeros_like(y))
         age_out = jnp.where(valid, age_in + 1, -1)
-        # 4. pass along the ring (device S-1 wraps to device 0)
-        h_n, age_n, mb_n = jax.lax.ppermute(
-            (y, age_out, mb_in), axis_name, perm
-        )
-        return (outputs, h_n, age_n, mb_n), None
+        return outputs, (y, age_out, mb_in)
 
-    (outputs, _, _, _), _ = jax.lax.scan(
-        tick, (outputs0, h0, age0, mb0), jnp.arange(ticks)
-    )
+    if overlap_sends:
+        def tick(carry, t):
+            outputs, recv, pending = carry
+            # send last tick's output first — no data dependence on this
+            # tick's chunk_fn, so the permute overlaps the compute
+            nxt = jax.lax.ppermute(pending, axis_name, perm)
+            outputs, out_msg = compute(outputs, *recv, t)
+            return (outputs, nxt, out_msg), None
+
+        pending0 = (_pvary(jnp.zeros_like(h0), axis_name), age0, mb0)
+        (outputs, _, _), _ = jax.lax.scan(
+            tick, (outputs0, (h0, age0, mb0), pending0), jnp.arange(ticks)
+        )
+    else:
+        def tick(carry, t):
+            outputs, h, age, mb = carry
+            outputs, out_msg = compute(outputs, h, age, mb, t)
+            # 4. pass along the ring (device S-1 wraps to device 0)
+            h_n, age_n, mb_n = jax.lax.ppermute(out_msg, axis_name, perm)
+            return (outputs, h_n, age_n, mb_n), None
+
+        (outputs, _, _, _), _ = jax.lax.scan(
+            tick, (outputs0, h0, age0, mb0), jnp.arange(ticks)
+        )
     # captures all happened on device 0; broadcast
     mask = (idx == 0).astype(outputs.dtype)
     return jax.lax.psum(outputs * mask, axis_name)
@@ -163,14 +221,17 @@ def pipeline_apply_interleaved(chunk_params, microbatches, chunk_fn: Callable,
 
 def make_interleaved_pipelined_forward(mesh: Mesh, chunk_fn: Callable, *,
                                        axis: str = "pp", n_virtual: int = 2,
-                                       has_extras: bool = False):
+                                       has_extras: bool = False,
+                                       overlap_sends: bool = False):
     """Wrap :func:`pipeline_apply_interleaved` in shard_map over ``mesh``.
 
     Takes GLOBAL stacked block params [L, ...] (L divisible by S·n_virtual)
     and microbatches [M, ...]; returns [M, ...]. ``chunk_fn(params, x)``
     applies one chunk of L / (S·n_virtual) blocks. With ``has_extras`` the
     returned fn takes a third replicated pytree forwarded to
-    ``chunk_fn(params, x, extras)`` (e.g. RoPE tables).
+    ``chunk_fn(params, x, extras)`` (e.g. RoPE tables). ``overlap_sends``
+    double-buffers the ring transfer so the ICI permute overlaps chunk
+    compute (see :func:`pipeline_apply`).
     """
     from jax.experimental.shard_map import shard_map
 
@@ -196,7 +257,7 @@ def make_interleaved_pipelined_forward(mesh: Mesh, chunk_fn: Callable, *,
             )
             return pipeline_apply_interleaved(
                 local, mbs, chunk_fn, axis_name=axis, n_stages=s,
-                n_virtual=v, extras=ext,
+                n_virtual=v, extras=ext, overlap_sends=overlap_sends,
             )
 
         return shard_map(
@@ -219,7 +280,8 @@ def stack_lm_blocks(lm):
 
 def make_pipelined_lm_forward(mesh: Mesh, *, axis: str = "pp",
                               n_virtual: int = 1, n_microbatches: int = 1,
-                              modern: bool = False):
+                              modern: bool = False,
+                              overlap_sends: bool = False):
     """Pipeline an LM's block stack over the ``axis`` mesh dimension:
     embeddings, final norm and logits run replicated (cheap); the L blocks
     are split into S·n_virtual chunks flowing through the interleaved
@@ -252,7 +314,8 @@ def make_pipelined_lm_forward(mesh: Mesh, *, axis: str = "pp",
             return y
 
     piped = make_interleaved_pipelined_forward(
-        mesh, chunk_fn, axis=axis, n_virtual=v, has_extras=modern
+        mesh, chunk_fn, axis=axis, n_virtual=v, has_extras=modern,
+        overlap_sends=overlap_sends,
     )
 
     def fn(lm, tokens):
@@ -283,7 +346,8 @@ def make_pipelined_lm_forward(mesh: Mesh, *, axis: str = "pp",
 def make_pipelined_lm_loss_fn(mesh: Mesh, *, axis: str = "pp",
                               n_virtual: int = 1, n_microbatches: int = 1,
                               modern: bool = False,
-                              ignore_index: int = -100):
+                              ignore_index: int = -100,
+                              overlap_sends: bool = False):
     """Loss function for PIPELINE-PARALLEL LM TRAINING, composable with
     ``train.make_train_step`` / ``train.epochs``: the forward runs through
     the interleaved pipeline (jax reverses it for the backward pipeline),
@@ -293,7 +357,7 @@ def make_pipelined_lm_loss_fn(mesh: Mesh, *, axis: str = "pp",
     """
     piped = make_pipelined_lm_forward(
         mesh, axis=axis, n_virtual=n_virtual, n_microbatches=n_microbatches,
-        modern=modern,
+        modern=modern, overlap_sends=overlap_sends,
     )
 
     def loss_fn(model, batch, key, train_mode):
@@ -311,7 +375,7 @@ def make_pipelined_lm_loss_fn(mesh: Mesh, *, axis: str = "pp",
 
 
 def make_pipelined_forward(mesh: Mesh, stage_fn: Callable, *,
-                           axis: str = "pp"):
+                           axis: str = "pp", overlap_sends: bool = False):
     """Wrap :func:`pipeline_apply` in shard_map over ``mesh``.
 
     Takes GLOBAL stacked block params [L, ...] (L divisible by the pp axis
@@ -328,7 +392,8 @@ def make_pipelined_forward(mesh: Mesh, stage_fn: Callable, *,
         )
         return shard_map(
             functools.partial(
-                pipeline_apply, stage_fn=stage_fn, axis_name=axis, n_stages=n
+                pipeline_apply, stage_fn=stage_fn, axis_name=axis,
+                n_stages=n, overlap_sends=overlap_sends,
             ),
             mesh=mesh,
             in_specs=(param_specs, P()),

@@ -85,7 +85,12 @@ def knn_search_nn_descent(data, k: int, *, n_iters: int = 12,
 
     TPU-shaped: each sweep is a fixed-shape jitted program over row
     minibatches; candidate dedup is a sort + adjacent-equality mask (no
-    dynamic shapes). Returns (indices [N,k], distances [N,k]) with squared
+    dynamic shapes). Reverse edges (j proposes itself to each of its
+    neighbours — the other half of Dong et al.'s local join) are sampled
+    into a fixed [N, k] table by random-slot scatter, and the expansion
+    walks neighbours of the forward∪reverse union (4k² candidates/row),
+    which lifts recall sharply at small k where forward-only expansion
+    starves. Returns (indices [N,k], distances [N,k]) with squared
     euclidean distances, sorted ascending. Stops early when fewer than
     ``tol``·N·k neighbour entries changed in a sweep.
     """
@@ -115,11 +120,20 @@ def knn_search_nn_descent(data, k: int, *, n_iters: int = 12,
         negd, pos = jax.lax.top_k(-ds, k_eff)
         return jnp.take_along_axis(cs, pos, axis=1), -negd
 
+    rows_col = jnp.tile(jnp.arange(n)[:, None], (1, k_eff))
+    sources = jnp.repeat(jnp.arange(n), k_eff)
+
     dists = None
     for _ in range(n_iters):
-        key, rk = jax.random.split(key)
+        key, rk, sk = jax.random.split(key, 3)
         rand = jax.random.randint(rk, (n, n_random), 0, n)
-        expanded = idx[idx].reshape(n, k_eff * k_eff)
+        # reverse-edge sample: every edge (j → idx[j,c]) proposes j as a
+        # candidate of idx[j,c]; random slots, collisions drop edges. The
+        # self-id fill is inert (refine masks cand == row with inf).
+        slots = jax.random.randint(sk, (n * k_eff,), 0, k_eff)
+        rev = rows_col.at[idx.reshape(-1), slots].set(sources)
+        union = jnp.concatenate([idx, rev], axis=1)
+        expanded = union[union].reshape(n, 4 * k_eff * k_eff)
         cand = jnp.concatenate([idx, expanded, rand], axis=1)
         new_idx, new_d = [], []
         rows_all = jnp.arange(n)

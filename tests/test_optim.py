@@ -51,6 +51,71 @@ def test_lamb_converges():
     _quadratic_convergence(optim.Lamb(learning_rate=0.05))
 
 
+def test_lion_converges():
+    _quadratic_convergence(optim.Lion(learning_rate=0.02), steps=400)
+
+
+def test_adafactor_converges():
+    # fixed LR mode on a vector param (full second moment path)
+    _quadratic_convergence(optim.Adafactor(learning_rate=0.1), steps=400)
+
+
+def test_lion_first_step_matches_hand_computed():
+    """Step 1 from zero momentum: update = sign((1-b1)·g); m1 = (1-b2)·g."""
+    params = {"w": jnp.array([1.0, -2.0, 0.5])}
+    g = {"w": jnp.array([0.5, -0.1, 0.0])}
+    lr, wd = 0.1, 0.1
+    opt = optim.Lion(learning_rate=lr, beta1=0.9, beta2=0.99,
+                     weight_decay=wd)
+    state = opt.init(params)
+    new_params, state = opt.step(params, g, state)
+    w = np.array([1.0, -2.0, 0.5])
+    expect = w - lr * (np.sign(0.1 * np.array([0.5, -0.1, 0.0])) + wd * w)
+    np.testing.assert_allclose(np.asarray(new_params["w"]), expect, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state["mt"]["w"]), 0.01 * np.array([0.5, -0.1, 0.0]),
+        atol=1e-7,
+    )
+
+
+def test_adafactor_factored_state_shapes():
+    """Matrices get O(n+m) factored second moments; vectors a full one."""
+    params = {"w": jnp.zeros((6, 4)), "b": jnp.zeros((4,))}
+    opt = optim.Adafactor()
+    state = opt.init(params)
+    assert state["vr"]["w"].shape == (6,)
+    assert state["vc"]["w"].shape == (4,)
+    assert state["v"]["w"] is None
+    assert state["vr"]["b"] is None
+    assert state["v"]["b"].shape == (4,)
+
+
+def test_adafactor_trains_linear_regression():
+    """Relative-step mode (learning_rate=None) fits a small least squares
+    problem through matrix (factored) and bias (full) params."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(64, 5).astype(np.float32))
+    w_true = jnp.asarray(rng.randn(5, 3).astype(np.float32))
+    y = x @ w_true + 0.3
+    # NOT zero-init: Adafactor's relative step is proportional to RMS(p),
+    # so all-zero params would move at the eps2 floor only
+    params = {
+        "w": jnp.asarray(rng.randn(5, 3).astype(np.float32)) * 0.5,
+        "b": jnp.asarray(rng.randn(3).astype(np.float32)) * 0.5,
+    }
+
+    def loss_fn(p):
+        return jnp.mean(jnp.square(x @ p["w"] + p["b"] - y))
+
+    opt = optim.Adafactor(beta1=0.9)
+    state = opt.init(params)
+    l0 = float(loss_fn(params))
+    for _ in range(600):
+        g = jax.grad(loss_fn)(params)
+        params, state = opt.step(params, g, state)
+    assert float(loss_fn(params)) < 0.05 * l0, float(loss_fn(params))
+
+
 def test_shampoo_converges():
     _quadratic_convergence(optim.Shampoo(learning_rate=0.1), steps=400)
 

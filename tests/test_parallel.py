@@ -251,8 +251,10 @@ def test_parallel_run_batch_stream():
     assert len(outs) == 3 and outs[0].shape == (16, 2)
 
 
-def test_pipeline_matches_sequential():
-    """GPipe over 8 stages must equal sequential block application."""
+@pytest.mark.parametrize("overlap", [False, True])
+def test_pipeline_matches_sequential(overlap):
+    """GPipe over 8 stages must equal sequential block application — with
+    and without double-buffered (compute-overlapped) sends."""
     mesh = parallel.make_mesh({"pp": 8})
     L, M, B, D = 8, 4, 2, 16
     keys = jax.random.split(jax.random.PRNGKey(0), L)
@@ -268,7 +270,8 @@ def test_pipeline_matches_sequential():
         y, _ = jax.lax.scan(body, x, w_stack)
         return y
 
-    piped = parallel.make_pipelined_forward(mesh, stage_fn, axis="pp")
+    piped = parallel.make_pipelined_forward(mesh, stage_fn, axis="pp",
+                                            overlap_sends=overlap)
     out = piped(ws, mbs)
 
     # sequential reference
@@ -315,11 +318,13 @@ def test_pipeline_differentiable():
                                rtol=1e-4)
 
 
-@pytest.mark.parametrize("m", [4, 6])
-def test_interleaved_pipeline_matches_sequential(m):
+@pytest.mark.parametrize("m,overlap", [(4, False), (6, False), (6, True),
+                                       (9, True)])
+def test_interleaved_pipeline_matches_sequential(m, overlap):
     """The interleaved (circular / 1F1B-style) schedule with v virtual
     chunks per stage must equal sequential block application, including for
-    microbatch counts that are not a multiple of the stage count."""
+    microbatch counts that are not a multiple of the stage count and with
+    double-buffered (compute-overlapped) sends."""
     mesh = parallel.make_mesh({"pp": 4}, devices=jax.devices()[:4])
     L, B, D = 8, 2, 16  # 4 stages x 2 virtual chunks x 1 block per chunk
     keys = jax.random.split(jax.random.PRNGKey(0), L)
@@ -335,7 +340,7 @@ def test_interleaved_pipeline_matches_sequential(m):
         return y
 
     piped = parallel.make_interleaved_pipelined_forward(
-        mesh, chunk_fn, axis="pp", n_virtual=2
+        mesh, chunk_fn, axis="pp", n_virtual=2, overlap_sends=overlap
     )
     out = piped(ws, mbs)
 
@@ -348,7 +353,8 @@ def test_interleaved_pipeline_matches_sequential(m):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-def test_interleaved_pipeline_differentiable():
+@pytest.mark.parametrize("overlap", [False, True])
+def test_interleaved_pipeline_differentiable(overlap):
     mesh = parallel.make_mesh({"pp": 4}, devices=jax.devices()[:4])
     L, M, B, D = 8, 4, 2, 8
     keys = jax.random.split(jax.random.PRNGKey(0), L)
@@ -364,7 +370,7 @@ def test_interleaved_pipeline_differentiable():
         return y
 
     piped = parallel.make_interleaved_pipelined_forward(
-        mesh, chunk_fn, axis="pp", n_virtual=2
+        mesh, chunk_fn, axis="pp", n_virtual=2, overlap_sends=overlap
     )
 
     def loss_piped(ws):
@@ -515,3 +521,60 @@ def test_moe_expert_parallel():
     # aux loss finite and positive
     aux = moe.load_balancing_loss(x)
     assert float(aux) > 0
+
+
+def test_allgather_matmul_matches_dense():
+    """Ring all-gather-matmul == all_gather(x) @ w, bf16 and f32."""
+    mesh = parallel.make_mesh({"tp": 8})
+    m, k, p = 32, 16, 24
+    x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, p), jnp.float32)
+    fn = parallel.make_allgather_matmul(mesh, axis="tp")
+    out = fn(x, w)
+    ref = x @ w
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    out16 = fn(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+    assert out16.dtype == jnp.float32  # f32 accumulation
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(ref),
+                               atol=0.15, rtol=0.05)
+
+
+def test_matmul_reducescatter_matches_dense():
+    """Ring matmul-reduce-scatter == psum_scatter of the sharded matmul."""
+    mesh = parallel.make_mesh({"tp": 8})
+    m, k, p = 32, 64, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, p), jnp.float32)
+    fn = parallel.make_matmul_reducescatter(mesh, axis="tp")
+    out = fn(x, w)
+    ref = x @ w
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_collective_matmul_composed_mlp():
+    """Column-parallel then row-parallel (the Megatron MLP pattern) through
+    the two ring primitives reproduces the dense two-layer product."""
+    mesh = parallel.make_mesh({"tp": 8})
+    m, d, h = 16, 32, 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (m, d), jnp.float32)
+    w1 = jax.random.normal(jax.random.PRNGKey(1), (d, h), jnp.float32) * 0.3
+    w2 = jax.random.normal(jax.random.PRNGKey(2), (h, d), jnp.float32) * 0.3
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def mlp(xl, w1l, w2l):
+        hcol = parallel.allgather_matmul(xl, w1l, axis_name="tp")
+        hcol = jax.nn.relu(hcol)
+        return parallel.matmul_reducescatter(hcol, w2l, axis_name="tp")
+
+    fn = jax.jit(shard_map(
+        mlp, mesh=mesh,
+        in_specs=(P("tp", None), P(None, "tp"), P("tp", None)),
+        out_specs=P("tp", None),
+    ))
+    out = fn(x, w1, w2)
+    ref = jax.nn.relu(x @ w1) @ w2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)

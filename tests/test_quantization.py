@@ -76,3 +76,50 @@ def test_stochastic_quantizer_unbiased():
     back = v.astype(np.float32) * np.asarray(scales)
     # unbiased: the mean approximates the true value despite sub-ULP rounding
     np.testing.assert_allclose(back.mean(), 0.3, rtol=0.005)
+
+
+def test_int4_roundtrip_exact_on_grid():
+    """Values already on the int4 grid survive the pack/unpack round trip
+    exactly."""
+    rng = np.random.RandomState(0)
+    # [-7, 7]: absmax maps to ±7 codes, so these are exactly representable
+    grid = rng.randint(-7, 8, (64, 16)).astype(np.float32)
+    scales = np.abs(rng.randn(1, 16)).astype(np.float32) + 0.1
+    w = jnp.asarray(grid * scales)
+    packed, s = ops.quantize_int4(w, group_size=64)
+    assert packed.shape == (32, 16) and packed.dtype == jnp.uint8
+    back = np.asarray(ops.dequantize_int4(packed, s, dtype=jnp.float32))
+    np.testing.assert_allclose(back, np.asarray(w), rtol=2e-3, atol=1e-4)
+
+
+def test_int4_matmul_close_to_float():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(8, 128).astype(np.float32))
+    w = jnp.asarray(rng.randn(128, 32).astype(np.float32))
+    packed, s = ops.quantize_int4(w, group_size=32)
+    y_q = np.asarray(ops.int4_matmul(x, packed, s))
+    y_f = np.asarray(x @ w)
+    cos = (y_q * y_f).sum() / (
+        np.linalg.norm(y_q) * np.linalg.norm(y_f) + 1e-9
+    )
+    assert cos > 0.99, cos
+
+
+def test_int4_model_surgery_and_generation():
+    from lamp_tpu import data
+
+    model = nn.LanguageModelModule.init(
+        vocab_size=17, context_length=12, num_blocks=1, embed_dim=16,
+        attention_heads=2, key=jax.random.PRNGKey(0),
+    )
+    qmodel = ops.quantize_model(model, bits=4)
+    assert isinstance(
+        qmodel.encoder.blocks[0].attention.w_q, ops.QuantizedLinearInt4
+    )
+    prefix = np.array([[1, 2, 3]])
+    out_q = data.autoregressive_inference(qmodel, prefix, length=4,
+                                          temperature=0)
+    assert out_q.min() >= 0 and out_q.max() < 17
+    # packed weights really are half-size uint8
+    wq = qmodel.encoder.blocks[0].attention.w_q.w_packed
+    assert wq.dtype == jnp.uint8 and wq.shape[0] == 8

@@ -99,6 +99,20 @@ def test_nn_descent_recall():
     assert not (approx == np.arange(len(x))[:, None]).any()
 
 
+def test_nn_descent_low_k_recall():
+    """Reverse-edge candidate sampling keeps recall high at very low k,
+    where forward-only expansion starves (round-2 backlog item)."""
+    x, _ = _blobs(n_per=150, dim=8, centers=((0,) * 8, (6,) * 8, (3,) * 8))
+    k = 3
+    exact = np.asarray(sidecars.knn_search(x, x, k + 1))[:, 1:]
+    approx, _ = sidecars.knn_search_nn_descent(x, k, n_iters=10)
+    approx = np.asarray(approx)
+    recall = np.mean([
+        len(set(approx[i]) & set(exact[i])) / k for i in range(len(x))
+    ])
+    assert recall > 0.85, recall
+
+
 def test_spectral_init_separates_components():
     """Spectral init places two disconnected graph components apart."""
     # two 4-cliques, disjoint

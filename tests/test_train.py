@@ -352,6 +352,44 @@ def test_tensor_blob_bf16_and_alignment():
         )
 
 
+def test_async_checkpointer_survives_donation(tmp_path):
+    """AsyncCheckpointer snapshots with device copies, so the checkpoint is
+    intact even when the caller's buffers are donated away immediately
+    after ``save`` (the train-step donation pattern)."""
+    from lamp_tpu import io as lio2
+
+    ck = lio2.AsyncCheckpointer()
+    x = jnp.arange(16, dtype=jnp.float32)
+    tree = {"w": x, "step": 7}
+    path = str(tmp_path / "async_ckpt")
+    ck.save(path, tree)
+    # donate x away: after this dispatch the original buffer is invalid
+    bump = jax.jit(lambda a: a + 1.0, donate_argnums=(0,))
+    x2 = bump(x)
+    ck.wait()
+    loaded = lio2.load_pytree(path, {"w": x2, "step": 0})
+    np.testing.assert_array_equal(
+        np.asarray(loaded["w"]), np.arange(16, dtype=np.float32)
+    )
+    assert loaded["step"] == 7
+
+
+def test_async_checkpointer_propagates_errors(tmp_path):
+    from lamp_tpu import io as lio2
+
+    ck = lio2.AsyncCheckpointer()
+
+    def boom(path, tree):
+        raise RuntimeError("disk full")
+
+    ck.save(str(tmp_path / "x"), {"a": jnp.zeros(2)}, save_fn=boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        ck.wait()
+    # the error is consumed; the checkpointer is reusable
+    ck.save(str(tmp_path / "y"), {"a": jnp.zeros(2)})
+    ck.wait()
+
+
 def test_background_checkpoint(tmp_path):
     import time
 

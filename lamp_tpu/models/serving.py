@@ -18,7 +18,7 @@ the paged kernel attends over history + self.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +45,10 @@ class BatchServer:
 
     def __init__(self, model, *, page_size: int = 64,
                  total_pages: int = 512, temperature: float = 0.0,
-                 seed: int = 0):
+                 seed: int = 0, quantize_bits: Optional[int] = None):
+        if quantize_bits not in (None, 4, 8):
+            raise ValueError("quantize_bits must be None, 4 or 8")
+        self.quantize_bits = quantize_bits
         self.model = model
         self._introspect(model)
         self.page_size = page_size
@@ -92,7 +95,41 @@ class BatchServer:
         self._chunk_fn = jax.jit(self._decode_chunk, donate_argnums=(1, 2))
         self._prefill_fn = jax.jit(self._prefill_seq, donate_argnums=(1, 2))
 
+    def _quantize_weight(self, w):
+        """Weight entry for the decode path: plain array (no quantization)
+        or a (values, scales) pair — uint8 nibble-packed int4 with per-group
+        scales, or int8 with per-channel scales. Decode is HBM-bandwidth
+        bound on weights at low batch, so packed weights cut the per-token
+        weight traffic 4x (int4) / 2x (int8) vs bf16."""
+        if not self.quantize_bits:
+            return w
+        from ..ops.quantization import (
+            int4_group_size, quantize_int4, quantize_int8,
+        )
+
+        if self.quantize_bits == 8:
+            return quantize_int8(w, axis=0)
+        return quantize_int4(w, group_size=int4_group_size(w.shape[0]))
+
+    @staticmethod
+    def _mm(a, w, out_dtype=None):
+        """Matmul against a weight entry (see :meth:`_quantize_weight`)."""
+        out_dtype = out_dtype or a.dtype
+        if isinstance(w, tuple):
+            from ..ops.quantization import int4_matmul, int8_matmul
+
+            vals, scales = w
+            if vals.dtype == jnp.uint8:
+                return int4_matmul(a, vals, scales, out_dtype=out_dtype)
+            return int8_matmul(a, vals, scales, out_dtype=out_dtype)
+        acc = jnp.promote_types(a.dtype, jnp.float32)
+        return jnp.matmul(a, w, preferred_element_type=acc).astype(out_dtype)
+
     def _precompute_extras(self, model):
+        if self.quantize_bits:
+            raise ValueError(
+                "quantize_bits is supported on ModernBatchServer"
+            )
         ws, bs = [], []
         any_bias = False
         for block in model.encoder.blocks:
@@ -415,18 +452,34 @@ class ModernBatchServer(BatchServer):
         self.head_dim = d_model // self.heads
 
     def _precompute_extras(self, model):
-        ws = tuple(
-            jnp.concatenate(
+        """All decode-path weights ride in extras (jit args, not closure
+        constants): fused per-layer QKV, attention out-projection, the three
+        SwiGLU matrices, and the logits matrix. With ``quantize_bits`` each
+        entry is a packed (values, scales) pair (see :meth:`_quantize_weight`)
+        — the unquantized entries are references, not copies."""
+        q = self._quantize_weight
+        wqkv = tuple(
+            q(jnp.concatenate(
                 [blk.w_q.weight, blk.w_k.weight, blk.w_v.weight], axis=1
-            )
+            ))
             for blk in model.blocks
         )
-        return (ws, None)
+        wo = tuple(q(blk.w_o.weight) for blk in model.blocks)
+        w1 = tuple(q(blk.mlp.w1.weight) for blk in model.blocks)
+        w3 = tuple(q(blk.mlp.w3.weight) for blk in model.blocks)
+        w2 = tuple(q(blk.mlp.w2.weight) for blk in model.blocks)
+        if model.lm_head is not None:
+            lmh = q(model.lm_head.weight)
+        else:
+            # tied embedding: logits = x @ E^T; the packed transpose copy
+            # costs V*D/2 bytes, the gather-side embedding stays bf16
+            lmh = q(model.token_embedding.weight.T)
+        return (wqkv, wo, w1, w3, w2, lmh)
 
     def _decode_step(self, model, k_pages, v_pages, tokens, page_idx, lengths,
                      token_pages, token_slots, extras):
         b = tokens.shape[0]
-        wqkv, _ = extras
+        wqkv, wo, w1, w3, w2, lmh = extras
         k_pages = list(k_pages)
         v_pages = list(v_pages)
         x = model.token_embedding(tokens[:, None])  # [B, 1, D]
@@ -450,10 +503,7 @@ class ModernBatchServer(BatchServer):
         for li, block in enumerate(model.blocks):
             a = block.norm1(x)[:, 0]
 
-            y = jnp.matmul(
-                a, wqkv[li],
-                preferred_element_type=jnp.promote_types(a.dtype, jnp.float32),
-            ).astype(a.dtype)
+            y = self._mm(a, wqkv[li])
             q = y[:, :nq].reshape(b, self.heads, hd)
             kk = y[:, nq:nq + nkv].reshape(b, self.kv_heads, hd)
             vv = y[:, nq + nkv:].reshape(b, self.kv_heads, hd)
@@ -470,23 +520,18 @@ class ModernBatchServer(BatchServer):
                 q, k_pages[li], v_pages[li], page_idx, lengths + 1,
                 num_kv_heads=self.kv_heads,
             )
-            x = x + (o.reshape(b, 1, -1) @ block.w_o.weight)
-            m, _ = block.mlp.forward(block.norm2(x))
-            x = x + m
+            x = x + self._mm(o.reshape(b, 1, -1), wo[li])
+            h = block.norm2(x)
+            gate = jax.nn.silu(self._mm(h, w1[li])) * self._mm(h, w3[li])
+            x = x + self._mm(gate, w2[li])
         x = model.final_norm(x)
-        if model.lm_head is not None:
-            logits = model.lm_head(x)[:, 0].astype(jnp.float32)
-        else:
-            w = model.token_embedding.weight
-            logits = jnp.einsum(
-                "btd,vd->btv", x, w, preferred_element_type=jnp.float32
-            )[:, 0]
+        logits = self._mm(x, lmh, out_dtype=jnp.float32)[:, 0]
         return logits, tuple(k_pages), tuple(v_pages)
 
     def _decode_chunk(self, model, k_pages, v_pages, tokens, page_idx,
                       lengths, token_pages, token_slots, extras):
         b, m = tokens.shape
-        wqkv, _ = extras
+        wqkv, wo, w1, w3, w2, lmh = extras
         k_pages = list(k_pages)
         v_pages = list(v_pages)
         pos = lengths[:, None] + jnp.arange(m)[None, :]  # [B, M]
@@ -510,10 +555,7 @@ class ModernBatchServer(BatchServer):
         pidx = jnp.repeat(page_idx, m, axis=0)
         for li, block in enumerate(model.blocks):
             a = block.norm1(x)
-            y = jnp.matmul(
-                a, wqkv[li],
-                preferred_element_type=jnp.promote_types(a.dtype, jnp.float32),
-            ).astype(a.dtype)
+            y = self._mm(a, wqkv[li])
             q = rot(y[..., :nq].reshape(b, m, self.heads, hd))
             kk = rot(y[..., nq:nq + nkv].reshape(b, m, self.kv_heads, hd))
             vv = y[..., nq + nkv:]
@@ -525,17 +567,12 @@ class ModernBatchServer(BatchServer):
                 q.reshape(b * m, self.heads, hd), k_pages[li], v_pages[li],
                 pidx, plen, num_kv_heads=self.kv_heads,
             ).reshape(b, m, -1)
-            x = x + (o @ block.w_o.weight)
-            mm, _ = block.mlp.forward(block.norm2(x))
-            x = x + mm
+            x = x + self._mm(o, wo[li])
+            h = block.norm2(x)
+            gate = jax.nn.silu(self._mm(h, w1[li])) * self._mm(h, w3[li])
+            x = x + self._mm(gate, w2[li])
         x = model.final_norm(x)
-        if model.lm_head is not None:
-            logits = model.lm_head(x).astype(jnp.float32)
-        else:
-            w = model.token_embedding.weight
-            logits = jnp.einsum(
-                "bmd,vd->bmv", x, w, preferred_element_type=jnp.float32
-            )
+        logits = self._mm(x, lmh, out_dtype=jnp.float32)
         return logits, tuple(k_pages), tuple(v_pages)
 
     def _prefill_seq(self, model, k_pages, v_pages, tokens, token_pages,

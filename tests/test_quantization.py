@@ -86,7 +86,7 @@ def test_int4_roundtrip_exact_on_grid():
     grid = rng.randint(-7, 8, (64, 16)).astype(np.float32)
     scales = np.abs(rng.randn(1, 16)).astype(np.float32) + 0.1
     w = jnp.asarray(grid * scales)
-    packed, s = ops.quantize_int4(w, group_size=64)
+    packed, s = ops.quantize_int4(w, group_size=32)
     assert packed.shape == (32, 16) and packed.dtype == jnp.uint8
     back = np.asarray(ops.dequantize_int4(packed, s, dtype=jnp.float32))
     np.testing.assert_allclose(back, np.asarray(w), rtol=2e-3, atol=1e-4)
@@ -123,3 +123,28 @@ def test_int4_model_surgery_and_generation():
     # packed weights really are half-size uint8
     wq = qmodel.encoder.blocks[0].attention.w_q.w_packed
     assert wq.dtype == jnp.uint8 and wq.shape[0] == 8
+
+
+def test_int4_fused_kernel_matches_dequant_reference():
+    """The fused Pallas dequant-matmul (kernel-eligible shapes: N%128,
+    group%32) equals the XLA dequantize-then-dot path, including the
+    M-padding branch."""
+    rng = np.random.RandomState(2)
+    for m, k, n, dt in ((5, 256, 128, jnp.float32), (16, 512, 256, jnp.bfloat16)):
+        w = jnp.asarray(rng.randn(k, n).astype(np.float32))
+        g = ops.int4_group_size(k)
+        assert g % 32 == 0
+        packed, s = ops.quantize_int4(w, group_size=g)
+        x = jnp.asarray(rng.randn(m, k).astype(np.float32)).astype(dt)
+        y_kernel = np.asarray(
+            ops.int4_matmul(x, packed, s, out_dtype=jnp.float32,
+                            interpret=True)
+        )
+        # exact f32 reference (the kernel applies group scales in f32 to the
+        # partial products, so it is MORE precise than a bf16 dequant-dot)
+        deq = ops.dequantize_int4(packed, s, dtype=jnp.float32)
+        y_ref = np.asarray(
+            jnp.dot(x.astype(jnp.float32), deq,
+                    preferred_element_type=jnp.float32)
+        )
+        np.testing.assert_allclose(y_kernel, y_ref, atol=1e-3, rtol=1e-3)

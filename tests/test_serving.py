@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lamp_tpu import nn
 from lamp_tpu.models.serving import BatchServer
@@ -211,3 +212,87 @@ def test_speculative_matches_plain_greedy():
         while len(got) < n_tokens:
             got.extend(spec.step()["x"])
         assert got[:n_tokens] == expected, (d is target, got, expected)
+
+
+def test_modern_serving_quantized_decode():
+    """int4/int8 weight-only decode: logits stay close to the float server
+    (cosine), tokens valid; base server rejects the flag."""
+    from lamp_tpu.models.serving import BatchServer, ModernBatchServer
+
+    model = nn.ModernLM.init(
+        vocab_size=19, context_length=32, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(0),
+    )
+    prompt = [1, 4, 7, 2, 9]
+    ref = ModernBatchServer(model, page_size=8, total_pages=32)
+    ref.add("a", prompt)
+    ref_logits = np.asarray(
+        ref._advance(["a"], jnp.asarray([prompt[-1]], jnp.int32))[0]
+    )
+    qs = ModernBatchServer(model, page_size=8, total_pages=32,
+                           quantize_bits=8)
+    qs.add("a", prompt)
+    ql = np.asarray(
+        qs._advance(["a"], jnp.asarray([prompt[-1]], jnp.int32))[0]
+    )
+    cos = float(
+        (ql * ref_logits).sum()
+        / (np.linalg.norm(ql) * np.linalg.norm(ref_logits) + 1e-9)
+    )
+    assert cos > 0.98, cos
+    toks = qs.step()
+    assert 0 <= toks["a"] < 19
+
+    with pytest.raises(ValueError):
+        BatchServer(_model(), page_size=8, total_pages=32, quantize_bits=4)
+
+
+def test_modern_serving_int4_matches_dequantized_reference():
+    """The packed int4 decode must equal a float server whose weights are
+    the dequantized int4 values — isolates the packed-path correctness from
+    inherent 4-bit quantization noise (~10% weight RMS on a Gaussian)."""
+    import dataclasses
+
+    from lamp_tpu import ops
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    model = nn.ModernLM.init(
+        vocab_size=19, context_length=32, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(0), tied=False,
+    )
+
+    def deq(w):
+        g = ops.int4_group_size(w.shape[0])
+        p, s = ops.quantize_int4(w, group_size=g)
+        return ops.dequantize_int4(p, s, dtype=w.dtype)
+
+    def deq_lin(lin):
+        return dataclasses.replace(lin, weight=deq(lin.weight))
+
+    blocks = tuple(
+        dataclasses.replace(
+            b, w_q=deq_lin(b.w_q), w_k=deq_lin(b.w_k), w_v=deq_lin(b.w_v),
+            w_o=deq_lin(b.w_o),
+            mlp=dataclasses.replace(
+                b.mlp, w1=deq_lin(b.mlp.w1), w3=deq_lin(b.mlp.w3),
+                w2=deq_lin(b.mlp.w2),
+            ),
+        )
+        for b in model.blocks
+    )
+    deq_model = dataclasses.replace(
+        model, blocks=blocks, lm_head=deq_lin(model.lm_head)
+    )
+
+    # single-token prompt: no prefill, so BOTH servers build their KV purely
+    # through the (quantized vs dequantized-float) decode path
+    ref = ModernBatchServer(deq_model, page_size=8, total_pages=32)
+    ref.add("a", [1])
+    qs = ModernBatchServer(model, page_size=8, total_pages=32,
+                           quantize_bits=4)
+    qs.add("a", [1])
+    for t in (1, 5, 7, 2):
+        tok = jnp.asarray([t], jnp.int32)
+        rl = np.asarray(ref._advance(["a"], tok)[0])
+        ql = np.asarray(qs._advance(["a"], tok)[0])
+        np.testing.assert_allclose(ql, rl, atol=2e-3, rtol=2e-3)

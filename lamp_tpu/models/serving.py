@@ -436,6 +436,75 @@ class BatchServer:
             out[s] = t
         return out
 
+    def _decode_many(self, model, k_pages, v_pages, tokens0, page_idx,
+                     lens0, token_pages, token_slots, extras, key, n: int):
+        """``n`` decode steps fused into ONE program: lax.scan over the
+        single-token step with on-device (greedy or temperature) sampling
+        feeding each step's output token into the next. Amortizes the
+        per-dispatch host/runtime latency over n tokens — the multi-step
+        scheduling idea; between the n steps no requests can join or
+        leave (the standard multi-step tradeoff)."""
+        temp = self.temperature
+
+        def body(carry, i):
+            tok, kp, vp, k_ = carry
+            logits, kp, vp = self._decode_step(
+                model, kp, vp, tok, page_idx, lens0 + i,
+                token_pages[:, i], token_slots[:, i], extras,
+            )
+            if temp <= 0:
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                k_, sub = jax.random.split(k_)
+                nxt = jax.random.categorical(
+                    sub, logits / temp, -1
+                ).astype(jnp.int32)
+            return (nxt, kp, vp, k_), nxt
+
+        (_, k_pages, v_pages, _), toks = jax.lax.scan(
+            body, (tokens0, k_pages, v_pages, key), jnp.arange(n)
+        )
+        return toks, k_pages, v_pages
+
+    def step_many(self, n: int) -> Dict:
+        """Decode ``n`` tokens for every active request in ONE dispatched
+        program (sampling stays on device); returns {seq_id: [tok, ...]}.
+        Compiles once per (batch-size, n) pair."""
+        seq_ids = self.active
+        if not seq_ids:
+            return {}
+        b = len(seq_ids)
+        lens0 = jnp.asarray([self.seq_len[s] for s in seq_ids], jnp.int32)
+        tokens0 = jnp.asarray(
+            [self.last_token[s] for s in seq_ids], jnp.int32
+        )
+        tp = np.zeros((b, n), np.int32)
+        ts = np.zeros((b, n), np.int32)
+        for i, s in enumerate(seq_ids):
+            for j in range(n):
+                tp[i, j], ts[i, j] = self._alloc_slot(s)
+                self.seq_len[s] += 1
+        # page table AFTER allocation (later steps may open new pages; the
+        # per-step live length keeps unwritten slots out of attention)
+        idx, _ = self._views(seq_ids)
+        if not hasattr(self, "_many_fn"):
+            self._many_fn = jax.jit(
+                self._decode_many, donate_argnums=(1, 2),
+                static_argnames=("n",),
+            )
+        self.key, sub = jax.random.split(self.key)
+        toks, self.k_pages, self.v_pages = self._many_fn(
+            self.model, self.k_pages, self.v_pages, tokens0, idx, lens0,
+            jnp.asarray(tp), jnp.asarray(ts), self._extras, sub, n=n,
+        )
+        toks_host = np.asarray(toks)  # [n, B]
+        out = {}
+        for i, s in enumerate(seq_ids):
+            seq_toks = [int(t) for t in toks_host[:, i]]
+            self.last_token[s] = seq_toks[-1]
+            out[s] = seq_toks
+        return out
+
 
 class ModernBatchServer(BatchServer):
     """Paged-KV batch decode for :class:`lamp_tpu.nn.ModernLM` (RoPE + GQA +

@@ -296,3 +296,49 @@ def test_modern_serving_int4_matches_dequantized_reference():
         rl = np.asarray(ref._advance(["a"], tok)[0])
         ql = np.asarray(qs._advance(["a"], tok)[0])
         np.testing.assert_allclose(ql, rl, atol=2e-3, rtol=2e-3)
+
+
+def test_step_many_matches_sequential_steps():
+    """step_many(n) (n fused greedy decode steps in one program, on-device
+    argmax feeding the next step) emits exactly the same tokens as n
+    sequential step() calls."""
+    from lamp_tpu.models.serving import BatchServer, ModernBatchServer
+
+    model = _model()
+    a = BatchServer(model, page_size=8, total_pages=32)
+    b = BatchServer(model, page_size=8, total_pages=32)
+    for s in (a, b):
+        s.add("x", [1, 5, 2])
+        s.add("y", [9, 4])
+    seq = [a.step() for _ in range(4)]
+    many = b.step_many(4)
+    for sid in ("x", "y"):
+        assert [st[sid] for st in seq] == many[sid], sid
+    # lengths advanced identically; further decoding still agrees
+    assert a.seq_len == b.seq_len
+    assert a.step() == {k: v[0] for k, v in b.step_many(1).items()}
+
+    mm = nn.ModernLM.init(
+        vocab_size=19, context_length=32, num_blocks=1, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(0),
+    )
+    ma = ModernBatchServer(mm, page_size=8, total_pages=32)
+    mb = ModernBatchServer(mm, page_size=8, total_pages=32)
+    ma.add("x", [1, 5]); mb.add("x", [1, 5])
+    seq = [ma.step() for _ in range(3)]
+    many = mb.step_many(3)
+    assert [st["x"] for st in seq] == many["x"]
+
+
+def test_step_many_sampling_mode():
+    """temperature>0 step_many: on-device categorical sampling, tokens in
+    range, lengths bumped by n."""
+    model = _model()
+    s = BatchServer(model, page_size=8, total_pages=32, temperature=0.8,
+                    seed=3)
+    s.add("x", [1, 5, 2])
+    before = s.seq_len["x"]
+    out = s.step_many(3)
+    assert len(out["x"]) == 3
+    assert all(0 <= t < 23 for t in out["x"])
+    assert s.seq_len["x"] == before + 3

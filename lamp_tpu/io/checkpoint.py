@@ -272,8 +272,12 @@ def save_pytree_sharded(path: str, tree: Any) -> None:
     os.replace(tmp, f"{path}.shard{pidx}.json")
 
     if pidx == 0:
+        try:
+            nproc = jax.process_count()
+        except Exception:
+            nproc = 1
         doc = {"version": 1, "sharded": True, "treedef": str(treedef),
-               "leaves": metas}
+               "processes": nproc, "leaves": metas}
         fd, tmp = tempfile.mkstemp(dir=dirn)
         with os.fdopen(fd, "w") as f:
             json.dump(doc, f)
@@ -298,8 +302,18 @@ def load_pytree_sharded(path: str, template: Any, *,
             f"checkpoint has {len(doc['leaves'])} leaves, template has "
             f"{len(t_leaves)}"
         )
+    # read exactly the shard set this save wrote ("processes" in the main
+    # doc) — a bare glob would also pick up STALE higher-numbered shard
+    # files left by an earlier save with more processes and silently
+    # overwrite regions with old values (last-write-wins assembly)
+    if "processes" in doc:
+        shard_paths = [
+            f"{path}.shard{p}.json" for p in range(doc["processes"])
+        ]
+    else:  # pre-"processes" checkpoints: best-effort glob
+        shard_paths = sorted(_glob.glob(f"{path}.shard*.json"))
     shard_docs = []
-    for sp in sorted(_glob.glob(f"{path}.shard*.json")):
+    for sp in shard_paths:
         with open(sp) as f:
             sd = json.load(f)
         if not sd["records"]:

@@ -221,7 +221,12 @@ class BatchServer:
             v_pages[li] = v_pages[li].at[token_pages, token_slots].set(v_rows)
             o = mha_reference(q, kk, vv, causal=True)
             o = o.transpose(0, 2, 1, 3).reshape(1, t, -1)
-            ow = o @ att.w_o.weight
+            ow = jnp.matmul(
+                o, att.w_o.weight,
+                preferred_element_type=jnp.promote_types(
+                    o.dtype, jnp.float32
+                ),
+            ).astype(o.dtype)
             if att.w_o.bias is not None:
                 ow = ow + att.w_o.bias
             x = x + ow * block.scale1
@@ -299,7 +304,12 @@ class BatchServer:
                 num_kv_heads=self.kv_heads,
             )
             o = o.reshape(b, 1, h * self.head_dim)
-            ow = o @ att.w_o.weight
+            ow = jnp.matmul(
+                o, att.w_o.weight,
+                preferred_element_type=jnp.promote_types(
+                    o.dtype, jnp.float32
+                ),
+            ).astype(o.dtype)
             if att.w_o.bias is not None:
                 ow = ow + att.w_o.bias
             x = x + ow * block.scale1
@@ -352,7 +362,12 @@ class BatchServer:
                 q.reshape(b * m, h, hd), k_pages[li], v_pages[li], pidx,
                 plen, num_kv_heads=self.kv_heads,
             ).reshape(b, m, h * hd)
-            ow = o @ att.w_o.weight
+            ow = jnp.matmul(
+                o, att.w_o.weight,
+                preferred_element_type=jnp.promote_types(
+                    o.dtype, jnp.float32
+                ),
+            ).astype(o.dtype)
             if att.w_o.bias is not None:
                 ow = ow + att.w_o.bias
             x = x + ow * block.scale1

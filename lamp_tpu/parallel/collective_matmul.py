@@ -35,17 +35,7 @@ def _acc_type(a, b):
     return jnp.promote_types(jnp.promote_types(a.dtype, b.dtype), jnp.float32)
 
 
-def _vary(x, axis_name):
-    """Mark ``x`` device-varying along ``axis_name`` (idempotent)."""
-    try:
-        if axis_name in jax.typeof(x).vma:
-            return x
-    except (AttributeError, TypeError):
-        pass
-    try:
-        return jax.lax.pcast(x, (axis_name,), to="varying")
-    except AttributeError:  # older jax
-        return jax.lax.pvary(x, (axis_name,))
+from ._varying import pvary_tree as _vary
 
 
 def allgather_matmul(x_local, w_local, *, axis_name: str):

@@ -28,21 +28,7 @@ __all__ = [
 ]
 
 
-def _pvary(tree, axis_name):
-    """Mark arrays device-varying along ``axis_name`` (idempotent: leaves
-    that are already varying pass through)."""
-    def one(x):
-        try:
-            if axis_name in jax.typeof(x).vma:
-                return x
-        except (AttributeError, TypeError):
-            pass
-        try:
-            return jax.lax.pcast(x, (axis_name,), to="varying")
-        except AttributeError:  # older jax: pvary only
-            return jax.lax.pvary(x, (axis_name,))
-
-    return jax.tree_util.tree_map(one, tree)
+from ._varying import pvary_tree as _pvary
 
 
 def pipeline_apply(stage_params, microbatches, stage_fn: Callable, *,

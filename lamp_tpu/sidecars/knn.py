@@ -74,6 +74,31 @@ def knn_search(query, corpus, k: int, *,
     return jnp.concatenate(outs, axis=0)
 
 
+@functools.lru_cache(maxsize=None)
+def _nn_descent_refine(k_eff: int):
+    # cached per k; data passed as an ARGUMENT (closure capture would bake
+    # the whole [N, D] dataset into the jaxpr as a constant and re-trace
+    # on every knn_search_nn_descent call)
+    @jax.jit
+    def refine(rows, cand, x_rows, data):
+        # cand: [B, C] candidate neighbour ids for these rows
+        xc = data[cand]                       # [B, C, D]
+        d = jnp.sum(jnp.square(x_rows[:, None, :] - xc), axis=-1)
+        d = jnp.where(cand == rows[:, None], jnp.inf, d)
+        # dedup: sort by candidate id, mask adjacent repeats
+        order = jnp.argsort(cand, axis=1)
+        cs = jnp.take_along_axis(cand, order, axis=1)
+        ds = jnp.take_along_axis(d, order, axis=1)
+        dup = cs[:, 1:] == cs[:, :-1]
+        ds = jnp.concatenate(
+            [ds[:, :1], jnp.where(dup, jnp.inf, ds[:, 1:])], axis=1
+        )
+        negd, pos = jax.lax.top_k(-ds, k_eff)
+        return jnp.take_along_axis(cs, pos, axis=1), -negd
+
+    return refine
+
+
 def knn_search_nn_descent(data, k: int, *, n_iters: int = 12,
                           n_random: int = 8, key=None,
                           batch_size: int = 2048, tol: float = 0.001):
@@ -103,22 +128,7 @@ def knn_search_nn_descent(data, k: int, *, n_iters: int = 12,
     key, ik = jax.random.split(key)
     idx = jax.random.randint(ik, (n, k_eff), 0, n)
 
-    @functools.partial(jax.jit, static_argnums=())
-    def refine(rows, cand, x_rows):
-        # cand: [B, C] candidate neighbour ids for these rows
-        xc = data[cand]                       # [B, C, D]
-        d = jnp.sum(jnp.square(x_rows[:, None, :] - xc), axis=-1)
-        d = jnp.where(cand == rows[:, None], jnp.inf, d)
-        # dedup: sort by candidate id, mask adjacent repeats
-        order = jnp.argsort(cand, axis=1)
-        cs = jnp.take_along_axis(cand, order, axis=1)
-        ds = jnp.take_along_axis(d, order, axis=1)
-        dup = cs[:, 1:] == cs[:, :-1]
-        ds = jnp.concatenate(
-            [ds[:, :1], jnp.where(dup, jnp.inf, ds[:, 1:])], axis=1
-        )
-        negd, pos = jax.lax.top_k(-ds, k_eff)
-        return jnp.take_along_axis(cs, pos, axis=1), -negd
+    refine = _nn_descent_refine(k_eff)
 
     rows_col = jnp.tile(jnp.arange(n)[:, None], (1, k_eff))
     sources = jnp.repeat(jnp.arange(n), k_eff)
@@ -139,7 +149,7 @@ def knn_search_nn_descent(data, k: int, *, n_iters: int = 12,
         rows_all = jnp.arange(n)
         for s in range(0, n, batch_size):
             e = min(s + batch_size, n)
-            ni, nd = refine(rows_all[s:e], cand[s:e], data[s:e])
+            ni, nd = refine(rows_all[s:e], cand[s:e], data[s:e], data)
             new_idx.append(ni)
             new_d.append(nd)
         new_idx = jnp.concatenate(new_idx, axis=0)

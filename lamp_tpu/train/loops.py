@@ -23,6 +23,7 @@ from typing import Any, Callable, Dict, Iterable, List, NamedTuple, Optional, Tu
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..nn.module import combine, partition_params
 from ..optim.base import Optimizer
@@ -252,9 +253,22 @@ def one_epoch(state: TrainState, stream, train_step, key, *, lr_factor=1.0,
     t0 = time.perf_counter()
 
     if steps_per_call > 1:
+        def shapes_of(b):
+            return tuple(
+                np.shape(leaf) for leaf in jax.tree_util.tree_leaves(b)
+            )
+
         def stacked_batches():
             buf = []
             for b in it:
+                # a ragged batch (e.g. the short drop_last=False tail of
+                # minibatches_from_full) cannot be stacked with the
+                # buffered ones — flush the uniform prefix first
+                if buf and shapes_of(b) != shapes_of(buf[0]):
+                    yield jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *buf
+                    )
+                    buf = []
                 buf.append(b)
                 if len(buf) == steps_per_call:
                     yield jax.tree_util.tree_map(

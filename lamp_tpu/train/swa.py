@@ -79,29 +79,18 @@ def swa_epochs(*, state: TrainState, optimizer, loss_fn,
     return state._replace(params=averaged_params), losses
 
 
-def _map_batchnorms(module, fn):
-    """Recursively rebuild ``module`` applying ``fn`` to every BatchNorm-like
-    submodule (has running stats + momentum)."""
-    import dataclasses
+def _is_batchnorm(node) -> bool:
+    return hasattr(node, "running_mean") and hasattr(node, "momentum")
 
-    if dataclasses.is_dataclass(module) and not isinstance(module, type):
-        if hasattr(module, "running_mean") and hasattr(module, "momentum"):
-            return fn(module)
-        changes = {}
-        for f in dataclasses.fields(module):
-            v = getattr(module, f.name)
-            nv = _map_batchnorms(v, fn)
-            if nv is not v:
-                changes[f.name] = nv
-        return dataclasses.replace(module, **changes) if changes else module
-    if isinstance(module, tuple):
-        new = tuple(_map_batchnorms(v, fn) for v in module)
-        return new if any(a is not b for a, b in zip(new, module)) else module
-    if isinstance(module, list):
-        return [_map_batchnorms(v, fn) for v in module]
-    if isinstance(module, dict):
-        return {k: _map_batchnorms(v, fn) for k, v in module.items()}
-    return module
+
+def _map_batchnorms(module, fn):
+    """Rebuild ``module`` applying ``fn`` to every BatchNorm-like submodule
+    (has running stats + momentum). Modules are registered pytrees, so this
+    is ordinary module surgery (same pattern as ops.quantize_model)."""
+    return jax.tree_util.tree_map(
+        lambda n: fn(n) if _is_batchnorm(n) else n, module,
+        is_leaf=_is_batchnorm,
+    )
 
 
 def recalibrate_batchnorm(state: TrainState, stream, forward_train: Callable,

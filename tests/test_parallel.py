@@ -578,3 +578,28 @@ def test_collective_matmul_composed_mlp():
     ref = jax.nn.relu(x @ w1) @ w2
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-3, rtol=1e-4)
+
+
+def test_sharded_checkpoint_ignores_stale_shards(tmp_path):
+    """A re-save with fewer processes must not pick up leftover shard files
+    from an earlier wider save (the main doc records its shard set)."""
+    import json
+    import os
+    import shutil
+
+    from lamp_tpu.io.checkpoint import load_pytree_sharded, save_pytree_sharded
+
+    path = str(tmp_path / "ck")
+    x = jnp.arange(32, dtype=jnp.float32)
+    save_pytree_sharded(path, {"x": x})
+    # forge a stale shard file claiming to be process 5 with OLD values
+    with open(path + ".shard0.json") as f:
+        sd = json.load(f)
+    sd["process"] = 5
+    with open(path + ".shard5.json", "w") as f:
+        json.dump(sd, f)
+    stale = (np.arange(32, dtype=np.float32) + 1000.0).tobytes()
+    with open(path + ".data.shard5", "wb") as f:
+        f.write(stale)
+    got = load_pytree_sharded(path, {"x": jnp.zeros_like(x)})
+    np.testing.assert_array_equal(np.asarray(got["x"]), np.asarray(x))

@@ -412,3 +412,20 @@ def test_background_checkpoint(tmp_path):
         optimizer_state_template=state.opt_state,
     )
     assert meta["epoch"] == 1
+
+
+def test_chained_steps_handle_ragged_tail():
+    """steps_per_call > 1 with drop_last=False: the short final batch can't
+    stack with full ones — the buffer flushes instead of crashing."""
+    x, y = _toy_classification(n=100)  # 100 = 3x32 + 4 with batch 32
+    model = nn.MLP(8, 16, 3, key=jax.random.PRNGKey(0), norm=False)
+    opt = optim.SGDW(learning_rate=0.05)
+    state = train.TrainState.init(model, opt)
+    chained = jax.jit(train.make_chained_train_step(opt, _mlp_loss))
+    stream = lambda: data.minibatches_from_full(32, x, y, drop_last=False)
+    state, loss, n, _ = train.one_epoch(
+        state, stream(), chained, jax.random.PRNGKey(1), steps_per_call=2,
+        prefetch=False,
+    )
+    assert n == 100.0
+    assert np.isfinite(loss)

@@ -32,7 +32,14 @@ __all__ = ["BatchServer", "ModernBatchServer", "SpeculativeDecoder"]
 
 class BatchServer:
     """Paged-KV batch decode for :class:`LanguageModelModule` (see
-    :class:`ModernBatchServer` for the llama-style family)."""
+    :class:`ModernBatchServer` for the llama-style family).
+
+    ``page_size`` default 128: measured on v5e (B=32, ctx 512, 12L/768d
+    GQA), 128-token pages run the paged kernel 1.7x faster than 64-token
+    pages (fewer per-page DMA issues per token); 256-token pages lose when
+    a block over-covers the live length. Tune with ``pages_per_block``
+    (block = pages_per_block * page_size tokens should track the typical
+    live context)."""
 
     def _introspect(self, model):
         block = model.encoder.blocks[0]
@@ -43,12 +50,14 @@ class BatchServer:
 
     PREFILL_BUCKET = 64
 
-    def __init__(self, model, *, page_size: int = 64,
+    def __init__(self, model, *, page_size: int = 128,
                  total_pages: int = 512, temperature: float = 0.0,
-                 seed: int = 0, quantize_bits: Optional[int] = None):
+                 seed: int = 0, quantize_bits: Optional[int] = None,
+                 pages_per_block: int = 4):
         if quantize_bits not in (None, 4, 8):
             raise ValueError("quantize_bits must be None, 4 or 8")
         self.quantize_bits = quantize_bits
+        self.pages_per_block = pages_per_block
         self.model = model
         self._introspect(model)
         self.page_size = page_size
@@ -302,6 +311,7 @@ class BatchServer:
             o = paged_attention(
                 q, k_pages[li], v_pages[li], page_idx, lengths + 1,
                 num_kv_heads=self.kv_heads,
+                pages_per_block=self.pages_per_block,
             )
             o = o.reshape(b, 1, h * self.head_dim)
             ow = jnp.matmul(
@@ -361,6 +371,7 @@ class BatchServer:
             o = paged_attention(
                 q.reshape(b * m, h, hd), k_pages[li], v_pages[li], pidx,
                 plen, num_kv_heads=self.kv_heads,
+                pages_per_block=self.pages_per_block,
             ).reshape(b, m, h * hd)
             ow = jnp.matmul(
                 o, att.w_o.weight,
@@ -603,6 +614,7 @@ class ModernBatchServer(BatchServer):
             o = paged_attention(
                 q, k_pages[li], v_pages[li], page_idx, lengths + 1,
                 num_kv_heads=self.kv_heads,
+                pages_per_block=self.pages_per_block,
             )
             x = x + self._mm(o.reshape(b, 1, -1), wo[li])
             h = block.norm2(x)
@@ -650,6 +662,7 @@ class ModernBatchServer(BatchServer):
             o = paged_attention(
                 q.reshape(b * m, self.heads, hd), k_pages[li], v_pages[li],
                 pidx, plen, num_kv_heads=self.kv_heads,
+                pages_per_block=self.pages_per_block,
             ).reshape(b, m, -1)
             x = x + self._mm(o, wo[li])
             h = block.norm2(x)
@@ -720,7 +733,7 @@ class SpeculativeDecoder:
     """
 
     def __init__(self, target_model, draft_model, *, k: int = 4,
-                 page_size: int = 64, total_pages: int = 512,
+                 page_size: int = 128, total_pages: int = 512,
                  temperature: float = 0.0, seed: int = 0,
                  server_cls=None):
         if server_cls is None:

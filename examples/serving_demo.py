@@ -51,31 +51,31 @@ def main():
         model = loaded["model"]
         print("loaded checkpoint")
 
+    from lamp_tpu.models import SamplingParams, ServingEngine
+
     server = BatchServer(model, page_size=32, total_pages=256,
-                         temperature=args.temperature)
-    outputs = {}
-    budgets = {}
+                         enable_prefix_cache=True)
+    engine = ServingEngine(server, decode_steps=8)
     for i, p in enumerate(args.prompts):
-        rid = f"req{i}"
-        server.add(rid, list(p.encode()))
-        outputs[rid] = bytearray()
-        # staggered completion lengths exercise join/leave
-        budgets[rid] = args.tokens + 10 * i
+        # staggered budgets + per-request sampling exercise join/leave and
+        # the heterogeneous on-device sampler
+        engine.submit(
+            list(p.encode()),
+            SamplingParams(temperature=args.temperature, top_p=0.95,
+                           max_tokens=args.tokens + 10 * i),
+            request_id=f"req{i}",
+        )
 
     t0 = time.perf_counter()
-    steps = 0
-    while server.active:
-        for rid, tok in server.step().items():
-            outputs[rid] += bytes([tok])
-            if len(outputs[rid]) >= budgets[rid]:
-                server.remove(rid)
-        steps += 1
+    results = engine.run()
     dt = time.perf_counter() - t0
-    total = sum(len(o) for o in outputs.values())
+    total = sum(len(o) for o in results.values())
     print(f"decoded {total} tokens in {dt:.2f}s "
-          f"({total / dt:.0f} tok/s aggregate, {steps} steps)")
+          f"({total / dt:.0f} tok/s aggregate); prefix cache "
+          f"hit/miss tokens {server.cache_hit_tokens}/"
+          f"{server.cache_miss_tokens}")
     for i, p in enumerate(args.prompts):
-        text = outputs[f"req{i}"].decode("utf-8", errors="replace")
+        text = bytes(results[f"req{i}"]).decode("utf-8", errors="replace")
         print(f"[{i}] {p!r} -> {text!r}")
 
 

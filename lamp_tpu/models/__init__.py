@@ -1,7 +1,13 @@
 """Model zoo: vision nets, KV-cached generation."""
 
 from .generate import KVCache, decode_step, generate, init_cache, prefill
-from .serving import BatchServer, ModernBatchServer
+from .sampling import SamplingParams, sample_tokens
+from .serving import (
+    BatchServer,
+    ModernBatchServer,
+    ServingEngine,
+    SpeculativeDecoder,
+)
 from .vision import ResidualBlock, lenet, resnet_cifar
 
 __all__ = [
@@ -15,4 +21,8 @@ __all__ = [
     "prefill",
     "BatchServer",
     "ModernBatchServer",
+    "ServingEngine",
+    "SpeculativeDecoder",
+    "SamplingParams",
+    "sample_tokens",
 ]

@@ -26,8 +26,12 @@ import numpy as np
 
 from ..nn.lm import LanguageModelModule
 from ..ops.paged_attention import paged_attention
+from .sampling import SamplingParams, sample_tokens
 
-__all__ = ["BatchServer", "ModernBatchServer", "SpeculativeDecoder"]
+__all__ = [
+    "BatchServer", "ModernBatchServer", "SpeculativeDecoder",
+    "ServingEngine", "SamplingParams",
+]
 
 
 class BatchServer:
@@ -53,11 +57,13 @@ class BatchServer:
     def __init__(self, model, *, page_size: int = 128,
                  total_pages: int = 512, temperature: float = 0.0,
                  seed: int = 0, quantize_bits: Optional[int] = None,
-                 pages_per_block: int = 4):
+                 pages_per_block: int = 4,
+                 enable_prefix_cache: bool = False):
         if quantize_bits not in (None, 4, 8):
             raise ValueError("quantize_bits must be None, 4 or 8")
         self.quantize_bits = quantize_bits
         self.pages_per_block = pages_per_block
+        self.enable_prefix_cache = enable_prefix_cache
         self.model = model
         self._introspect(model)
         self.page_size = page_size
@@ -93,8 +99,26 @@ class BatchServer:
         self.seq_pages: Dict = {}
         self.seq_len: Dict = {}
         self.last_token: Dict = {}
+        self.seq_params: Dict = {}
         self.temperature = temperature
         self.key = jax.random.PRNGKey(seed)
+        self._sample_fn = jax.jit(sample_tokens)
+        # prefix cache (vLLM-style): full prompt pages are content-addressed
+        # by a chain hash over page-sized token chunks; matching prefixes of
+        # later requests share the physical pages (refcounted). Pages whose
+        # refcount drops to 0 stay cached on an LRU until the allocator
+        # reclaims them. Copy-on-write protects shared pages from rewinds.
+        self._page_refs: Dict[int, int] = {}
+        self._hash_to_page: Dict[bytes, int] = {}
+        self._page_hash: Dict[int, bytes] = {}
+        from collections import OrderedDict
+
+        self._lru: "OrderedDict[int, None]" = OrderedDict()
+        self.cache_hit_tokens = 0
+        self.cache_miss_tokens = 0
+        self._copy_page_fn = jax.jit(
+            self._copy_page, donate_argnums=(0, 1)
+        )
         # serving weights are frozen: precompute fused per-layer QKV weights
         # once (one [D, (H+2H_kv)*hd] matmul per layer instead of three) and
         # pass them as jit ARGS — closure capture would bake them into the
@@ -158,15 +182,46 @@ class BatchServer:
         return (tuple(ws), tuple(bs) if any_bias else None)
 
     # -- request lifecycle --------------------------------------------------
-    def add(self, seq_id, prompt_tokens) -> None:
+    def add(self, seq_id, prompt_tokens,
+            params: Optional[SamplingParams] = None) -> None:
         """Admit a request: dense one-shot prefill of the prompt (full-matmul
-        efficiency; all K/V rows written into pages in one jitted call)."""
+        efficiency; all K/V rows written into pages in one jitted call).
+        ``params`` sets per-request sampling controls (temperature / top-k /
+        top-p); default is the server-level ``temperature``."""
         if seq_id in self.seq_pages:
             raise ValueError(f"duplicate request {seq_id}")
+        self.seq_params[seq_id] = params or SamplingParams(
+            temperature=self.temperature
+        )
         self.seq_pages[seq_id] = []
         self.seq_len[seq_id] = 0
         prompt = np.asarray(prompt_tokens).reshape(-1)
         n_prefill = len(prompt) - 1
+        matched = 0
+        hashes = []
+        if self.enable_prefix_cache and n_prefill > 0:
+            # reuse the longest cached prefix of full pages: shared physical
+            # pages, no recompute (chain hash ⇒ identical token history)
+            hashes = self._prefix_hashes(prompt[:-1])
+            pages = self.seq_pages[seq_id]
+            for h in hashes:
+                pg = self._hash_to_page.get(h)
+                if pg is None:
+                    break
+                self._incref(pg)
+                pages.append(pg)
+            matched = len(pages) * self.page_size
+            self.seq_len[seq_id] = matched
+            self.cache_hit_tokens += matched
+            self.cache_miss_tokens += n_prefill - matched
+        if matched > 0:
+            if n_prefill > matched:
+                # the suffix attends over the cached pages: chunked decode
+                # with per-token causality over the shared page table
+                self._prefill_suffix(seq_id, prompt[matched:-1])
+            self._register_pages(seq_id, hashes)
+            self.last_token[seq_id] = int(prompt[-1])
+            return
         if n_prefill > 0:
             # allocate the pages/slots for all prefill tokens
             slots = []
@@ -195,7 +250,66 @@ class BatchServer:
                 self.model, self.k_pages, self.v_pages,
                 jnp.asarray(tokens), jnp.asarray(tp), jnp.asarray(ts),
             )
+        if self.enable_prefix_cache and hashes:
+            self._register_pages(seq_id, hashes)
         self.last_token[seq_id] = int(prompt[-1])
+
+    # -- prefix cache ----------------------------------------------------
+    def _prefix_hashes(self, prompt_kv) -> List[bytes]:
+        """Chain hash per FULL page-sized chunk of the prompt's KV tokens;
+        hash i commits to all tokens up to and including chunk i."""
+        import hashlib
+
+        ps = self.page_size
+        out = []
+        h = b""
+        for i in range(len(prompt_kv) // ps):
+            chunk = np.asarray(
+                prompt_kv[i * ps:(i + 1) * ps], np.int64
+            ).tobytes()
+            h = hashlib.sha256(h + chunk).digest()
+            out.append(h)
+        return out
+
+    def _incref(self, pg: int) -> None:
+        r = self._page_refs.get(pg, 0)
+        if r == 0:
+            self._lru.pop(pg, None)  # back in active use
+        self._page_refs[pg] = r + 1
+
+    def _register_pages(self, seq_id, hashes) -> None:
+        """Content-address this request's full prompt pages so later
+        requests can share them."""
+        pages = self.seq_pages[seq_id]
+        for i, h in enumerate(hashes):
+            if i >= len(pages):
+                break
+            if h in self._hash_to_page:
+                continue
+            pg = pages[i]
+            if pg in self._page_hash:
+                continue
+            self._hash_to_page[h] = pg
+            self._page_hash[pg] = h
+
+    def _prefill_suffix(self, seq_id, suffix) -> None:
+        """Prefill the uncached tail after a prefix-cache hit: chunked
+        decode (bucketed length; pad tokens rewound afterwards)."""
+        m = len(suffix)
+        if m == 0:
+            return
+        ctx = self.model.context_length
+        start = self.seq_len[seq_id]
+        m_pad = min(
+            -(-m // self.PREFILL_BUCKET) * self.PREFILL_BUCKET, ctx - start
+        )
+        n_pad = max(m_pad, m) - m
+        toks = np.concatenate(
+            [np.asarray(suffix, np.int32), np.zeros(n_pad, np.int32)]
+        )
+        self.advance_chunk([seq_id], toks[None])
+        if n_pad:
+            self.rewind(seq_id, n_pad)
 
     def _prefill_seq(self, model, k_pages, v_pages, tokens, token_pages,
                      token_slots):
@@ -244,9 +358,15 @@ class BatchServer:
         return tuple(k_pages), tuple(v_pages)
 
     def remove(self, seq_id) -> None:
-        self.free_pages.extend(self.seq_pages.pop(seq_id))
+        pages = self.seq_pages.pop(seq_id)
+        if self.enable_prefix_cache:
+            for pg in pages:
+                self._decref(pg)
+        else:
+            self.free_pages.extend(pages)
         self.seq_len.pop(seq_id)
         self.last_token.pop(seq_id)
+        self.seq_params.pop(seq_id, None)
 
     @property
     def active(self) -> List:
@@ -254,13 +374,76 @@ class BatchServer:
 
     # -- internals ------------------------------------------------------
 
+    @staticmethod
+    def _copy_page(k_pages, v_pages, src, dst):
+        """Device-side page copy for copy-on-write (every layer's pool)."""
+        return (
+            tuple(kp.at[dst].set(kp[src]) for kp in k_pages),
+            tuple(vp.at[dst].set(vp[src]) for vp in v_pages),
+        )
+
+    @property
+    def available_pages(self) -> int:
+        """Pages the allocator can hand out: free + reclaimable cached."""
+        return len(self.free_pages) + len(self._lru)
+
+    def _take_page(self) -> int:
+        if self.free_pages:
+            return self.free_pages.pop()
+        if self._lru:  # reclaim the least-recently-used cached page
+            pg, _ = self._lru.popitem(last=False)
+            h = self._page_hash.pop(pg, None)
+            if h is not None and self._hash_to_page.get(h) == pg:
+                del self._hash_to_page[h]
+            return pg
+        raise RuntimeError("KV page pool exhausted")
+
+    def _decref(self, pg: int) -> None:
+        r = self._page_refs.get(pg, 1) - 1
+        if r > 0:
+            self._page_refs[pg] = r
+            return
+        self._page_refs.pop(pg, None)
+        if pg in self._page_hash:
+            self._lru[pg] = None  # keep the KV around, reclaimable
+            self._lru.move_to_end(pg)
+        else:
+            self.free_pages.append(pg)
+
+    def _invalidate_page(self, pg: int) -> None:
+        h = self._page_hash.pop(pg, None)
+        if h is not None and self._hash_to_page.get(h) == pg:
+            del self._hash_to_page[h]
+
     def _alloc_slot(self, seq_id) -> Tuple[int, int]:
         pos = self.seq_len[seq_id]
-        if pos % self.page_size == 0:
-            if not self.free_pages:
-                raise RuntimeError("KV page pool exhausted")
-            self.seq_pages[seq_id].append(self.free_pages.pop())
-        pg = self.seq_pages[seq_id][pos // self.page_size]
+        pages = self.seq_pages[seq_id]
+        if pos % self.page_size == 0 and pos // self.page_size == len(pages):
+            if self.enable_prefix_cache:
+                pg = self._take_page()
+                self._page_refs[pg] = 1
+            else:
+                if not self.free_pages:
+                    raise RuntimeError("KV page pool exhausted")
+                pg = self.free_pages.pop()
+            pages.append(pg)
+        pg = pages[pos // self.page_size]
+        if self.enable_prefix_cache:
+            if self._page_refs.get(pg, 1) > 1:
+                # about to write into a SHARED page (rewind landed inside a
+                # cached prefix): copy-on-write
+                new = self._take_page()
+                self._page_refs[new] = 1
+                self.k_pages, self.v_pages = self._copy_page_fn(
+                    self.k_pages, self.v_pages, pg, new
+                )
+                self._decref(pg)
+                pages[pos // self.page_size] = new
+                pg = new
+            elif pg in self._page_hash:
+                # sole owner, but the page is content-addressed: the write
+                # changes its content, so drop the cache entry
+                self._invalidate_page(pg)
         return pg, pos % self.page_size
 
     def _views(self, seq_ids):
@@ -437,21 +620,38 @@ class BatchServer:
         keep = -(-self.seq_len[seq_id] // self.page_size)
         pages = self.seq_pages[seq_id]
         while len(pages) > keep:
-            self.free_pages.append(pages.pop())
+            pg = pages.pop()
+            if self.enable_prefix_cache:
+                self._decref(pg)
+            else:
+                self.free_pages.append(pg)
+
+    def _sampling_arrays(self, seq_ids):
+        """(temperature [B], top_k [B] | None, top_p [B] | None) for the
+        active requests. The filter arrays are None (STATIC — skips the
+        [B, V] sorts in the compiled program) when no request uses them."""
+        ps = [self.seq_params[s] for s in seq_ids]
+        temps = jnp.asarray([p.temperature for p in ps], jnp.float32)
+        top_k = None
+        if any(p.top_k > 0 for p in ps):
+            top_k = jnp.asarray([p.top_k for p in ps], jnp.int32)
+        top_p = None
+        if any(p.top_p < 1.0 for p in ps):
+            top_p = jnp.asarray([p.top_p for p in ps], jnp.float32)
+        return temps, top_k, top_p
 
     # -- decode ----------------------------------------------------------
     def step(self) -> Dict:
-        """Decode one token for every active request; returns {seq_id: token}."""
+        """Decode one token for every active request; returns {seq_id: token}.
+        Sampling honours each request's :class:`SamplingParams`."""
         seq_ids = self.active
         if not seq_ids:
             return {}
         tokens = jnp.asarray([self.last_token[s] for s in seq_ids], jnp.int32)
         logits = self._advance(seq_ids, tokens)
-        if self.temperature <= 0:
-            nxt = jnp.argmax(logits, axis=-1)
-        else:
-            self.key, sub = jax.random.split(self.key)
-            nxt = jax.random.categorical(sub, logits / self.temperature, -1)
+        temps, top_k, top_p = self._sampling_arrays(seq_ids)
+        self.key, sub = jax.random.split(self.key)
+        nxt = self._sample_fn(logits, sub, temps, top_k, top_p)
         # ONE device->host transfer for the whole batch (per-element int()
         # would pay a full round trip per sequence)
         nxt_host = np.asarray(nxt)
@@ -463,14 +663,14 @@ class BatchServer:
         return out
 
     def _decode_many(self, model, k_pages, v_pages, tokens0, page_idx,
-                     lens0, token_pages, token_slots, extras, key, n: int):
+                     lens0, token_pages, token_slots, extras, key,
+                     temps, top_k, top_p, n: int):
         """``n`` decode steps fused into ONE program: lax.scan over the
-        single-token step with on-device (greedy or temperature) sampling
-        feeding each step's output token into the next. Amortizes the
-        per-dispatch host/runtime latency over n tokens — the multi-step
-        scheduling idea; between the n steps no requests can join or
-        leave (the standard multi-step tradeoff)."""
-        temp = self.temperature
+        single-token step with on-device per-request sampling (temperature /
+        top-k / top-p) feeding each step's output token into the next.
+        Amortizes the per-dispatch host/runtime latency over n tokens — the
+        multi-step scheduling idea; between the n steps no requests can join
+        or leave (the standard multi-step tradeoff)."""
 
         def body(carry, i):
             tok, kp, vp, k_ = carry
@@ -478,13 +678,8 @@ class BatchServer:
                 model, kp, vp, tok, page_idx, lens0 + i,
                 token_pages[:, i], token_slots[:, i], extras,
             )
-            if temp <= 0:
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            else:
-                k_, sub = jax.random.split(k_)
-                nxt = jax.random.categorical(
-                    sub, logits / temp, -1
-                ).astype(jnp.int32)
+            k_, sub = jax.random.split(k_)
+            nxt = sample_tokens(logits, sub, temps, top_k, top_p)
             return (nxt, kp, vp, k_), nxt
 
         (_, k_pages, v_pages, _), toks = jax.lax.scan(
@@ -518,10 +713,12 @@ class BatchServer:
                 self._decode_many, donate_argnums=(1, 2),
                 static_argnames=("n",),
             )
+        temps, top_k, top_p = self._sampling_arrays(seq_ids)
         self.key, sub = jax.random.split(self.key)
         toks, self.k_pages, self.v_pages = self._many_fn(
             self.model, self.k_pages, self.v_pages, tokens0, idx, lens0,
-            jnp.asarray(tp), jnp.asarray(ts), self._extras, sub, n=n,
+            jnp.asarray(tp), jnp.asarray(ts), self._extras, sub,
+            temps, top_k, top_p, n=n,
         )
         toks_host = np.asarray(toks)  # [n, B]
         out = {}
@@ -709,6 +906,143 @@ class ModernBatchServer(BatchServer):
             x = x + m
         return tuple(k_pages), tuple(v_pages)
 
+
+
+class ServingEngine:
+    """Continuous-batching scheduler over a :class:`BatchServer` /
+    :class:`ModernBatchServer`.
+
+    Requests are submitted with per-request :class:`SamplingParams`
+    (temperature / top-k / top-p / ``max_tokens`` / ``stop_tokens``) and
+    queue until KV pages are available; each :meth:`step` admits what fits
+    (conservative worst-case page reservation, so the pool can never be
+    exhausted mid-flight), decodes a chunk of tokens for the whole batch in
+    one fused dispatch (``step_many``), applies stop conditions, and retires
+    finished requests — freeing their pages for the queue. The serving-layer
+    counterpart of the training loop; the reference has no serving layer at
+    all (SURVEY.md §1).
+
+    Set ``max_tokens`` on requests for throughput: admission reserves
+    ``ceil((prompt + max_new) / page_size)`` pages per request, so unbounded
+    requests reserve a full context window each.
+
+    Usage:
+        engine = ServingEngine(server, decode_steps=8)
+        engine.submit(prompt, SamplingParams(max_tokens=64), request_id="a")
+        results = engine.run()          # {"a": [tok, ...], ...}
+    """
+
+    def __init__(self, server: BatchServer, *, decode_steps: int = 8,
+                 max_batch: int = 64):
+        self.server = server
+        self.decode_steps = decode_steps
+        self.max_batch = max_batch
+        from collections import deque
+
+        self.pending = deque()       # (rid, prompt list, params)
+        self.generated: Dict = {}    # rid -> [tokens so far]
+        self.results: Dict = {}      # rid -> finished token list
+        self._reserve: Dict = {}     # rid -> worst-case total pages
+        self._max_new: Dict = {}     # rid -> decode budget
+        self._next_id = 0
+
+    def submit(self, prompt_tokens, params: Optional[SamplingParams] = None,
+               request_id=None):
+        """Queue a request; returns its id. Decoding starts once pages are
+        available (see :meth:`step`)."""
+        rid = request_id if request_id is not None else f"req{self._next_id}"
+        self._next_id += 1
+        prompt = [int(t) for t in np.asarray(prompt_tokens).reshape(-1)]
+        if not prompt:
+            raise ValueError("empty prompt")
+        ctx = self.server.model.context_length
+        if len(prompt) > ctx:
+            raise ValueError(f"prompt longer than context ({len(prompt)} > {ctx})")
+        self.pending.append((rid, prompt, params or SamplingParams()))
+        return rid
+
+    def _budget(self, prompt_len: int, params: SamplingParams) -> int:
+        """Decode-token budget for a request (stop at the context edge: the
+        last processable position is context_length - 1)."""
+        cap = self.server.model.context_length - prompt_len + 1
+        if params.max_tokens is not None:
+            cap = min(cap, params.max_tokens)
+        return max(cap, 1)
+
+    def _pages_for(self, prompt_len: int, max_new: int) -> int:
+        total_rows = prompt_len - 1 + max_new  # KV rows ever written
+        return -(-max(total_rows, 1) // self.server.page_size)
+
+    def _admit(self) -> None:
+        s = self.server
+        # pages still owed to requests already in flight
+        owed = sum(
+            self._reserve[r] - len(s.seq_pages[r]) for r in s.seq_pages
+        )
+        while self.pending and len(s.seq_pages) < self.max_batch:
+            rid, prompt, params = self.pending[0]
+            max_new = self._budget(len(prompt), params)
+            need = self._pages_for(len(prompt), max_new)
+            if s.available_pages < owed + need:
+                break
+            self.pending.popleft()
+            s.add(rid, prompt, params)
+            self.generated[rid] = []
+            self._reserve[rid] = need
+            self._max_new[rid] = max_new
+            owed += need - len(s.seq_pages[rid])
+
+    def step(self) -> Dict:
+        """Admit + decode one chunk; returns {rid: tokens} for requests that
+        FINISHED this step (stop token, max_tokens, or context edge)."""
+        self._admit()
+        s = self.server
+        active = s.active
+        if not active:
+            return {}
+        # never decode past the shortest remaining budget (avoids wasted
+        # tokens and keeps the page reservation exact)
+        n = min(
+            [self.decode_steps]
+            + [self._max_new[r] - len(self.generated[r]) for r in active]
+        )
+        if n <= 1:
+            chunk = {r: [t] for r, t in s.step().items()}
+        else:
+            chunk = s.step_many(n)
+        finished = {}
+        for rid, toks in chunk.items():
+            g = self.generated[rid]
+            params = s.seq_params[rid]
+            done = False
+            for t in toks:
+                if t in params.stop_tokens:
+                    done = True
+                    break  # stop token is not emitted
+                g.append(t)
+                if len(g) >= self._max_new[rid]:
+                    done = True
+                    break
+            if done:
+                finished[rid] = g
+        for rid in finished:
+            s.remove(rid)
+            self.results[rid] = self.generated.pop(rid)
+            self._reserve.pop(rid)
+            self._max_new.pop(rid)
+        return finished
+
+    def run(self) -> Dict:
+        """Drain the queue; returns {rid: token list} for every request."""
+        while self.pending or self.server.seq_pages:
+            before = len(self.results)
+            self.step()
+            if len(self.results) == before and not self.server.seq_pages:
+                raise RuntimeError(
+                    "scheduler stalled: pending requests cannot be admitted "
+                    "(page pool too small for the largest request)"
+                )
+        return dict(self.results)
 
 
 class SpeculativeDecoder:

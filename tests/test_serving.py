@@ -342,3 +342,221 @@ def test_step_many_sampling_mode():
     assert len(out["x"]) == 3
     assert all(0 <= t < 23 for t in out["x"])
     assert s.seq_len["x"] == before + 3
+
+
+# -- per-request sampling + continuous-batching engine -----------------------
+
+def test_sample_tokens_semantics():
+    """Batched per-row sampler: greedy rows, top-k=1 == greedy, tiny top-p
+    == greedy, filters restrict support."""
+    from lamp_tpu.models.sampling import sample_tokens
+
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(6, 40).astype(np.float32) * 3)
+    key = jax.random.PRNGKey(7)
+    greedy = np.asarray(jnp.argmax(logits, -1))
+
+    # temperature 0 rows are greedy even alongside hot rows
+    temps = jnp.asarray([0.0, 1.0, 0.0, 2.0, 0.0, 1.0], jnp.float32)
+    out = np.asarray(sample_tokens(logits, key, temps))
+    assert out[0] == greedy[0] and out[2] == greedy[2] and out[4] == greedy[4]
+
+    # top_k=1 forces the argmax whatever the temperature
+    out = np.asarray(sample_tokens(
+        logits, key, jnp.full((6,), 5.0),
+        top_k=jnp.full((6,), 1, jnp.int32),
+    ))
+    np.testing.assert_array_equal(out, greedy)
+
+    # tiny top_p keeps only the head of the distribution
+    out = np.asarray(sample_tokens(
+        logits, key, jnp.full((6,), 5.0),
+        top_p=jnp.full((6,), 1e-6, jnp.float32),
+    ))
+    np.testing.assert_array_equal(out, greedy)
+
+    # top_k=3 restricts the support to each row's 3 best tokens
+    top3 = np.argsort(-np.asarray(logits), axis=-1)[:, :3]
+    for trial in range(20):
+        out = np.asarray(sample_tokens(
+            logits, jax.random.PRNGKey(trial), jnp.full((6,), 3.0),
+            top_k=jnp.full((6,), 3, jnp.int32),
+        ))
+        for i in range(6):
+            assert out[i] in top3[i]
+
+    # per-row mix: row0 top_k=1 (greedy), row1 unrestricted hot sampling
+    l2 = jnp.asarray(rng.randn(2, 40).astype(np.float32))
+    seen = set()
+    for trial in range(25):
+        out = np.asarray(sample_tokens(
+            l2, jax.random.PRNGKey(trial), jnp.asarray([1.0, 3.0]),
+            top_k=jnp.asarray([1, 0], jnp.int32),
+        ))
+        assert out[0] == int(jnp.argmax(l2[0]))
+        seen.add(int(out[1]))
+    assert len(seen) > 3  # hot row actually samples
+
+
+def test_per_request_sampling_params():
+    """Requests with different SamplingParams decode independently: a greedy
+    request inside a hot batch emits exactly the solo-greedy stream."""
+    from lamp_tpu.models.serving import SamplingParams
+
+    model = _model()
+    solo = BatchServer(model, page_size=8, total_pages=32)
+    solo.add("g", [1, 2, 3])
+    want = [solo.step()["g"] for _ in range(4)]
+
+    s = BatchServer(model, page_size=8, total_pages=64, seed=5)
+    s.add("g", [1, 2, 3], SamplingParams(temperature=0.0))
+    s.add("h", [9, 8, 7], SamplingParams(temperature=1.5, top_k=10))
+    got = [s.step() for _ in range(4)]
+    assert [st["g"] for st in got] == want
+    assert all(0 <= st["h"] < 23 for st in got)
+
+    # same through the fused multi-step path
+    s2 = BatchServer(model, page_size=8, total_pages=64, seed=5)
+    s2.add("g", [1, 2, 3], SamplingParams(temperature=0.0))
+    s2.add("h", [9, 8, 7], SamplingParams(temperature=1.5, top_p=0.9))
+    many = s2.step_many(4)
+    assert many["g"] == want
+
+
+def test_serving_engine_continuous_batching():
+    """Engine drains a queue bigger than the page pool allows concurrently:
+    admission waits for pages, stop tokens and max_tokens terminate, results
+    match direct greedy decoding."""
+    from lamp_tpu.models.serving import SamplingParams, ServingEngine
+
+    model = _model()
+
+    # direct greedy reference for one prompt
+    direct = BatchServer(model, page_size=8, total_pages=32)
+    direct.add("r", [1, 2, 3])
+    want = [direct.step()["r"] for _ in range(6)]
+
+    server = BatchServer(model, page_size=8, total_pages=16)
+    engine = ServingEngine(server, decode_steps=3)
+    rids = []
+    for i in range(5):
+        rids.append(engine.submit(
+            [1, 2, 3], SamplingParams(max_tokens=6), request_id=f"q{i}"
+        ))
+    results = engine.run()
+    assert set(results) == set(rids)
+    for rid in rids:
+        assert results[rid] == want
+
+    # stop token terminates early and is not emitted
+    stop_tok = want[2]
+    server2 = BatchServer(model, page_size=8, total_pages=16)
+    engine2 = ServingEngine(server2, decode_steps=4)
+    rid = engine2.submit([1, 2, 3], SamplingParams(
+        max_tokens=6, stop_tokens=(stop_tok,)
+    ))
+    results2 = engine2.run()
+    assert results2[rid] == want[:2]
+
+    # pages freed: the pool is fully returned after run()
+    assert len(server.free_pages) == server.total_pages - 1
+    assert not server.seq_pages
+
+
+def test_serving_engine_oversized_request_stalls():
+    from lamp_tpu.models.serving import SamplingParams, ServingEngine
+
+    model = _model()
+    server = BatchServer(model, page_size=8, total_pages=2)
+    engine = ServingEngine(server)
+    engine.submit(list(range(1, 20)), SamplingParams(max_tokens=30))
+    with pytest.raises(RuntimeError, match="stalled"):
+        engine.run()
+
+
+# -- prefix caching ----------------------------------------------------------
+
+def test_prefix_cache_full_hit_and_partial_hit():
+    """Shared prompt prefixes reuse physical pages; decode is identical to
+    an uncached server, including after a partial hit (suffix prefill)."""
+    model = _model()
+    prompt = list(range(1, 18))  # 16 KV rows = 2 full pages at page_size 8
+
+    def reference_stream(p, steps=4):
+        b = BatchServer(model, page_size=8, total_pages=32)
+        b.add("r", p)
+        return [b.step()["r"] for _ in range(steps)]
+
+    s = BatchServer(model, page_size=8, total_pages=64,
+                    enable_prefix_cache=True)
+    s.add("a", prompt)
+    assert s.cache_hit_tokens == 0
+    s.add("b", prompt[:-1] + [9])       # same 16 KV rows, different pending
+    assert s.cache_hit_tokens == 16     # full-page hit
+    assert s.seq_pages["a"][:2] == s.seq_pages["b"][:2]
+    assert s._page_refs[s.seq_pages["a"][0]] == 2
+
+    prompt_c = prompt[:16] + [4, 7, 6]  # 18 KV rows: 2 cached + 2 fresh
+    s.add("c", prompt_c)
+    assert s.cache_hit_tokens == 32
+    assert s.cache_miss_tokens == 16 + 2  # a's cold prefill + c's suffix
+
+    want_a = reference_stream(prompt)
+    want_b = reference_stream(prompt[:-1] + [9])
+    want_c = reference_stream(prompt_c)
+    out = [s.step() for _ in range(4)]
+    assert [o["a"] for o in out] == want_a
+    assert [o["b"] for o in out] == want_b
+    assert [o["c"] for o in out] == want_c
+
+
+def test_prefix_cache_survives_removal_and_evicts_under_pressure():
+    model = _model()
+    prompt = list(range(1, 18))
+    s = BatchServer(model, page_size=8, total_pages=8,
+                    enable_prefix_cache=True)
+    s.add("a", prompt)
+    s.step()
+    s.remove("a")
+    # pages retained in the reclaimable cache, not freed outright
+    assert len(s._lru) == 2
+    s.add("b", prompt)  # hit straight from the LRU
+    assert s.cache_hit_tokens == 16
+    assert not s._lru
+    s.remove("b")
+    # allocation pressure reclaims cached pages: distinct prompts that
+    # together exceed the pool still decode fine
+    s.add("c", list(range(30, 47)))
+    s.add("d", [2] * 9)
+    s.step()
+    s.remove("c")
+    s.remove("d")
+    # pool fully recoverable: free + cached-reclaimable == all usable pages
+    assert s.available_pages == s.total_pages - 1
+
+
+def test_prefix_cache_copy_on_write_on_rewind():
+    """Rewinding into a shared page then advancing must not corrupt the
+    other sequence's cached KV (copy-on-write)."""
+    model = _model()
+    prompt = list(range(1, 18))  # 16 KV rows, exactly 2 pages
+    ref = BatchServer(model, page_size=8, total_pages=32)
+    ref.add("r", prompt)
+    want = [ref.step()["r"] for _ in range(4)]
+
+    s = BatchServer(model, page_size=8, total_pages=32,
+                    enable_prefix_cache=True)
+    s.add("a", prompt)
+    s.add("b", prompt)
+    shared = s.seq_pages["b"][1]
+    # rewind b one token INTO the shared second page, then advance with a
+    # different token -> must trigger COW, leaving a's page untouched
+    s.rewind("b", 1)
+    s.last_token["b"] = 3
+    s._advance(["b"], jnp.asarray([3], jnp.int32))
+    assert s.seq_pages["b"][1] != shared          # b got its own copy
+    assert s.seq_pages["a"][1] == shared
+    assert s._page_refs[shared] == 1
+    # a still decodes the reference stream
+    out = [s.step()["a"] for _ in range(4)]
+    assert out == want

@@ -1,6 +1,7 @@
 """Module system, layers, losses."""
 
 from .module import (
+    Frozen,
     Module,
     buffer_field,
     combine,
@@ -49,6 +50,7 @@ from .transformer import (
     positional_embedding_vaswani,
 )
 from .lm import LanguageModelInput, LanguageModelLoss, LanguageModelModule, lm_loss
+from .lora import LoRALinear, lora_inject, lora_merge, lora_parameter_count
 from .bert import (
     BertEncoder,
     BertPretrainInput,
@@ -77,6 +79,11 @@ from .modern import (
 from . import init, losses
 
 __all__ = [
+    "Frozen",
+    "LoRALinear",
+    "lora_inject",
+    "lora_merge",
+    "lora_parameter_count",
     "Module",
     "static_field",
     "buffer_field",

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "Module",
+    "Frozen",
     "static_field",
     "buffer_field",
     "field",
@@ -164,6 +165,36 @@ class Module:
             else:
                 parts.append(f"{f.name}={v!r}")
         return f"{type(self).__name__}({', '.join(parts)})"
+
+
+class Frozen(Module):
+    """Wrap a module to exclude ALL its leaves from training.
+
+    The wrapped module's arrays become buffers (checkpointed, moved across
+    devices, but masked out of gradients and optimizer state). Forward
+    delegates unchanged. Typical use: freezing embeddings/norms alongside
+    LoRA adapters, or feature extractors under a trainable head.
+
+        model = model.replace(token_embedding=nn.Frozen(model.token_embedding))
+    """
+
+    inner: Module = buffer_field()
+
+    def forward(self, *args, **kwargs):
+        out = self.inner.forward(*args, **kwargs)
+        if (
+            isinstance(out, tuple) and len(out) == 2
+            and isinstance(out[1], Module)
+        ):
+            return out[0], self.replace(inner=out[1])
+        return out
+
+    def __getattr__(self, name):
+        # delegate attribute access (weights, hyperparams) to the wrapped
+        # module; only called when normal lookup fails
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return getattr(object.__getattribute__(self, "inner"), name)
 
 
 def _buffer_paths(module) -> set:

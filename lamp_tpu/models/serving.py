@@ -53,6 +53,7 @@ class BatchServer:
         self.head_dim = block.attention.w_q.weight.shape[1] // self.heads
 
     PREFILL_BUCKET = 64
+    _tp = 1  # tensor-parallel degree; >1 only on ModernBatchServer(mesh=...)
 
     def __init__(self, model, *, page_size: int = 128,
                  total_pages: int = 512, temperature: float = 0.0,
@@ -214,12 +215,15 @@ class BatchServer:
             self.seq_len[seq_id] = matched
             self.cache_hit_tokens += matched
             self.cache_miss_tokens += n_prefill - matched
-        if matched > 0:
+        if matched > 0 or (self._tp > 1 and n_prefill > 0):
             if n_prefill > matched:
                 # the suffix attends over the cached pages: chunked decode
-                # with per-token causality over the shared page table
+                # with per-token causality over the shared page table.
+                # (Under tensor parallelism cold prompts also prefill through
+                # this path — one TP kernel serves decode, chunk and prefill.)
                 self._prefill_suffix(seq_id, prompt[matched:-1])
-            self._register_pages(seq_id, hashes)
+            if self.enable_prefix_cache and hashes:
+                self._register_pages(seq_id, hashes)
             self.last_token[seq_id] = int(prompt[-1])
             return
         if n_prefill > 0:
@@ -733,7 +737,66 @@ class ModernBatchServer(BatchServer):
     """Paged-KV batch decode for :class:`lamp_tpu.nn.ModernLM` (RoPE + GQA +
     RMSNorm + SwiGLU). The pool holds ``num_kv_heads`` fused head rows; RoPE
     rotates q/k at each token's absolute position before the pages are
-    written, so the cached keys are already position-encoded."""
+    written, so the cached keys are already position-encoded.
+
+    ``mesh=`` enables Megatron-style TENSOR-PARALLEL serving over the mesh's
+    ``tp_axis``: attention heads and MLP hidden units are sharded across
+    chips (the per-layer KV pools shard over kv heads, so each chip's paged
+    kernel gathers only its local head lanes), with one psum after the
+    attention out-projection and one after the MLP down-projection per
+    layer, and a vocab all-gather for the logits. The reference has no
+    multi-device model striping at all (docs/docs/multigpu.md:13); this is
+    how a model larger than one chip's HBM serves on a TPU pod slice."""
+
+    def __init__(self, model, *, mesh=None, tp_axis: str = "tp", **kwargs):
+        if mesh is not None:
+            self._tp = int(mesh.shape[tp_axis])
+            self._mesh = mesh
+            self._tp_axis = tp_axis
+        super().__init__(model, **kwargs)
+        if self._tp > 1:
+            if self.quantize_bits:
+                raise NotImplementedError(
+                    "quantize_bits under tensor parallelism"
+                )
+            if self.kv_heads % self._tp or self.heads % self._tp:
+                raise ValueError(
+                    f"tp={self._tp} must divide heads={self.heads} and "
+                    f"kv_heads={self.kv_heads}"
+                )
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            mk = lambda spec: NamedSharding(self._mesh, spec)  # noqa: E731
+            pool = mk(P(None, None, tp_axis))
+            self.k_pages = tuple(
+                jax.device_put(k, pool) for k in self.k_pages
+            )
+            self.v_pages = tuple(
+                jax.device_put(v, pool) for v in self.v_pages
+            )
+            wqkv, wo, w1, w3, w2, lmh = self._extras
+            if any(w.shape[1] % self._tp for w in w1):
+                raise ValueError(
+                    f"tp={self._tp} must divide the MLP hidden width"
+                )
+            # vocab padded to a tp multiple; logits sliced back after the
+            # all-gather (padded columns are zero weights)
+            self._vocab = lmh.shape[1]
+            pad = -lmh.shape[1] % self._tp
+            if pad:
+                lmh = jnp.concatenate(
+                    [lmh, jnp.zeros((lmh.shape[0], pad), lmh.dtype)], axis=1
+                )
+            col, row = mk(P(None, tp_axis)), mk(P(tp_axis, None))
+            self._extras = (
+                tuple(jax.device_put(w, col) for w in wqkv),
+                tuple(jax.device_put(w, row) for w in wo),
+                tuple(jax.device_put(w, col) for w in w1),
+                tuple(jax.device_put(w, col) for w in w3),
+                tuple(jax.device_put(w, row) for w in w2),
+                jax.device_put(lmh, col),
+            )
 
     def _introspect(self, model):
         block = model.blocks[0]
@@ -750,12 +813,26 @@ class ModernBatchServer(BatchServer):
         entry is a packed (values, scales) pair (see :meth:`_quantize_weight`)
         — the unquantized entries are references, not copies."""
         q = self._quantize_weight
-        wqkv = tuple(
-            q(jnp.concatenate(
-                [blk.w_q.weight, blk.w_k.weight, blk.w_v.weight], axis=1
-            ))
-            for blk in model.blocks
-        )
+
+        def cat_qkv(blk):
+            if self._tp == 1:
+                return jnp.concatenate(
+                    [blk.w_q.weight, blk.w_k.weight, blk.w_v.weight], axis=1
+                )
+            # tensor parallel: interleave per-shard [q_s | k_s | v_s] blocks
+            # so a contiguous column chunk (what P(None, "tp") hands each
+            # device) is exactly that device's fused projection
+            t = self._tp
+            nq = self.heads // t * self.head_dim
+            nkv = self.kv_heads // t * self.head_dim
+            parts = []
+            for s in range(t):
+                parts.append(blk.w_q.weight[:, s * nq:(s + 1) * nq])
+                parts.append(blk.w_k.weight[:, s * nkv:(s + 1) * nkv])
+                parts.append(blk.w_v.weight[:, s * nkv:(s + 1) * nkv])
+            return jnp.concatenate(parts, axis=1)
+
+        wqkv = tuple(q(cat_qkv(blk)) for blk in model.blocks)
         wo = tuple(q(blk.w_o.weight) for blk in model.blocks)
         w1 = tuple(q(blk.mlp.w1.weight) for blk in model.blocks)
         w3 = tuple(q(blk.mlp.w3.weight) for blk in model.blocks)
@@ -770,6 +847,11 @@ class ModernBatchServer(BatchServer):
 
     def _decode_step(self, model, k_pages, v_pages, tokens, page_idx, lengths,
                      token_pages, token_slots, extras):
+        if self._tp > 1:
+            return self._tp_call(
+                self._tp_decode_inner, model, k_pages, v_pages, tokens,
+                page_idx, lengths, token_pages, token_slots, extras,
+            )
         b = tokens.shape[0]
         wqkv, wo, w1, w3, w2, lmh = extras
         k_pages = list(k_pages)
@@ -821,8 +903,148 @@ class ModernBatchServer(BatchServer):
         logits = self._mm(x, lmh, out_dtype=jnp.float32)[:, 0]
         return logits, tuple(k_pages), tuple(v_pages)
 
+    def _tp_call(self, inner, model, k_pages, v_pages, tokens, page_idx,
+                 lengths, token_pages, token_slots, extras):
+        """shard_map ``inner`` over the tp axis: pools shard on the fused
+        head-lane dim, extras per the Megatron column/row pattern, everything
+        else replicated. ``inner`` returns replicated logits (psum/gather
+        inside)."""
+        from jax.sharding import PartitionSpec as P
+
+        axis = self._tp_axis
+        pool = P(None, None, axis)
+        extras_spec = (
+            P(None, axis), P(axis, None), P(None, axis), P(None, axis),
+            P(axis, None), P(None, axis),
+        )
+        return jax.shard_map(
+            inner,
+            mesh=self._mesh,
+            in_specs=(P(), pool, pool, P(), P(), P(), P(), P(), extras_spec),
+            out_specs=(P(), pool, pool),
+            check_vma=False,
+        )(model, k_pages, v_pages, tokens, page_idx, lengths, token_pages,
+          token_slots, extras)
+
+    def _tp_decode_inner(self, model, k_pages, v_pages, tokens, page_idx,
+                         lengths, token_pages, token_slots, extras):
+        """Per-device body of the TP decode step: local q/kv heads, local
+        pool lanes, psum after attention-out and MLP-down, vocab all-gather
+        for the logits."""
+        axis = self._tp_axis
+        b = tokens.shape[0]
+        wqkv, wo, w1, w3, w2, lmh = extras
+        k_pages = list(k_pages)
+        v_pages = list(v_pages)
+        x = model.token_embedding(tokens[:, None])
+        hd = self.head_dim
+        c = jnp.take(model.rope_cos, lengths, axis=0).astype(jnp.float32)
+        s = jnp.take(model.rope_sin, lengths, axis=0).astype(jnp.float32)
+        c = c[:, None, :]
+        s = s[:, None, :]
+
+        def rot(t):
+            acc = t.astype(jnp.float32)
+            t1, t2 = jnp.split(acc, 2, axis=-1)
+            return jnp.concatenate(
+                [t1 * c - t2 * s, t2 * c + t1 * s], axis=-1
+            ).astype(t.dtype)
+
+        hq_l = self.heads // self._tp
+        hkv_l = self.kv_heads // self._tp
+        nq = hq_l * hd
+        nkv = hkv_l * hd
+        for li, block in enumerate(model.blocks):
+            a = block.norm1(x)[:, 0]
+            y = self._mm(a, wqkv[li])
+            q = rot(y[:, :nq].reshape(b, hq_l, hd))
+            kk = rot(y[:, nq:nq + nkv].reshape(b, hkv_l, hd))
+            vv = y[:, nq + nkv:].reshape(b, hkv_l, hd)
+            k_pages[li] = k_pages[li].at[token_pages, token_slots].set(
+                kk.reshape(b, -1)
+            )
+            v_pages[li] = v_pages[li].at[token_pages, token_slots].set(
+                vv.reshape(b, -1)
+            )
+            o = paged_attention(
+                q, k_pages[li], v_pages[li], page_idx, lengths + 1,
+                num_kv_heads=hkv_l, pages_per_block=self.pages_per_block,
+            )
+            att = self._mm(o.reshape(b, 1, -1), wo[li])
+            x = x + jax.lax.psum(att, axis)
+            h = block.norm2(x)
+            gate = jax.nn.silu(self._mm(h, w1[li])) * self._mm(h, w3[li])
+            x = x + jax.lax.psum(self._mm(gate, w2[li]), axis)
+        x = model.final_norm(x)
+        local = self._mm(x, lmh, out_dtype=jnp.float32)  # [B, 1, Vp/t]
+        logits = jax.lax.all_gather(
+            local, axis, axis=2, tiled=True
+        )[:, 0, :self._vocab]
+        return logits, tuple(k_pages), tuple(v_pages)
+
+    def _tp_chunk_inner(self, model, k_pages, v_pages, tokens, page_idx,
+                        lengths, token_pages, token_slots, extras):
+        """Per-device body of the TP chunked decode ([B, M] tokens with
+        per-token causality via pseudo-sequences; also the TP prefill path)."""
+        axis = self._tp_axis
+        b, m = tokens.shape
+        wqkv, wo, w1, w3, w2, lmh = extras
+        k_pages = list(k_pages)
+        v_pages = list(v_pages)
+        pos = lengths[:, None] + jnp.arange(m)[None, :]
+        x = model.token_embedding(tokens)
+        hd = self.head_dim
+        c = jnp.take(model.rope_cos, pos, axis=0).astype(jnp.float32)
+        s = jnp.take(model.rope_sin, pos, axis=0).astype(jnp.float32)
+        c = c[:, :, None, :]
+        s = s[:, :, None, :]
+
+        def rot(t):
+            acc = t.astype(jnp.float32)
+            t1, t2 = jnp.split(acc, 2, axis=-1)
+            return jnp.concatenate(
+                [t1 * c - t2 * s, t2 * c + t1 * s], axis=-1
+            ).astype(t.dtype)
+
+        hq_l = self.heads // self._tp
+        hkv_l = self.kv_heads // self._tp
+        nq = hq_l * hd
+        nkv = hkv_l * hd
+        plen = (pos + 1).reshape(-1)
+        pidx = jnp.repeat(page_idx, m, axis=0)
+        for li, block in enumerate(model.blocks):
+            a = block.norm1(x)
+            y = self._mm(a, wqkv[li])
+            q = rot(y[..., :nq].reshape(b, m, hq_l, hd))
+            kk = rot(y[..., nq:nq + nkv].reshape(b, m, hkv_l, hd))
+            vv = y[..., nq + nkv:]
+            k_pages[li] = k_pages[li].at[token_pages, token_slots].set(
+                kk.reshape(b, m, -1)
+            )
+            v_pages[li] = v_pages[li].at[token_pages, token_slots].set(vv)
+            o = paged_attention(
+                q.reshape(b * m, hq_l, hd), k_pages[li], v_pages[li],
+                pidx, plen, num_kv_heads=hkv_l,
+                pages_per_block=self.pages_per_block,
+            ).reshape(b, m, -1)
+            x = x + jax.lax.psum(self._mm(o, wo[li]), axis)
+            h = block.norm2(x)
+            gate = jax.nn.silu(self._mm(h, w1[li])) * self._mm(h, w3[li])
+            x = x + jax.lax.psum(self._mm(gate, w2[li]), axis)
+        x = model.final_norm(x)
+        local = self._mm(x, lmh, out_dtype=jnp.float32)  # [B, M, Vp/t]
+        logits = jax.lax.all_gather(
+            local, axis, axis=2, tiled=True
+        )[..., :self._vocab]
+        return logits, tuple(k_pages), tuple(v_pages)
+
     def _decode_chunk(self, model, k_pages, v_pages, tokens, page_idx,
                       lengths, token_pages, token_slots, extras):
+        if self._tp > 1:
+            return self._tp_call(
+                self._tp_chunk_inner, model, k_pages, v_pages, tokens,
+                page_idx, lengths, token_pages, token_slots, extras,
+            )
         b, m = tokens.shape
         wqkv, wo, w1, w3, w2, lmh = extras
         k_pages = list(k_pages)

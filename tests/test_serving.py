@@ -560,3 +560,72 @@ def test_prefix_cache_copy_on_write_on_rewind():
     # a still decodes the reference stream
     out = [s.step()["a"] for _ in range(4)]
     assert out == want
+
+
+# -- tensor-parallel serving -------------------------------------------------
+
+def test_tensor_parallel_modern_server_matches_single():
+    """ModernBatchServer(mesh=) shards heads/MLP/KV pools over a tp axis;
+    decode and chunked-decode logits match the single-device server."""
+    from lamp_tpu import parallel
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    mm = nn.ModernLM.init(
+        vocab_size=19, context_length=32, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(0),
+    )
+    single = ModernBatchServer(mm, page_size=8, total_pages=32)
+    mesh = parallel.make_mesh({"tp": 2}, devices=jax.devices()[:2])
+    tp = ModernBatchServer(mm, mesh=mesh, page_size=8, total_pages=32)
+
+    prompt = [1, 5, 2, 9, 11, 3, 7, 4, 6]
+    single.add("x", prompt)
+    tp.add("x", prompt)
+    assert single.seq_len["x"] == tp.seq_len["x"] == len(prompt) - 1
+
+    # same forced token sequence through both; logits must agree step-wise
+    for tok in (3, 8, 1, 12):
+        la = single._advance(["x"], jnp.asarray([tok], jnp.int32))
+        lb = tp._advance(["x"], jnp.asarray([tok], jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), atol=2e-3, rtol=2e-3
+        )
+
+    # chunked multi-token path agrees too (speculative verification path)
+    chunk = np.asarray([[2, 9, 5]], np.int32)
+    ca = single.advance_chunk(["x"], chunk)
+    cb = tp.advance_chunk(["x"], chunk)
+    np.testing.assert_allclose(
+        np.asarray(ca), np.asarray(cb), atol=2e-3, rtol=2e-3
+    )
+
+    # a second concurrent request exercises batched TP decode
+    single.add("y", [4, 4, 2])
+    tp.add("y", [4, 4, 2])
+    la = single._advance(["x", "y"], jnp.asarray([5, 2], jnp.int32))
+    lb = tp._advance(["x", "y"], jnp.asarray([5, 2], jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(la), np.asarray(lb), atol=2e-3, rtol=2e-3
+    )
+
+
+def test_tensor_parallel_server_step_many_and_engine():
+    from lamp_tpu import parallel
+    from lamp_tpu.models.serving import (
+        ModernBatchServer, SamplingParams, ServingEngine,
+    )
+
+    mm = nn.ModernLM.init(
+        vocab_size=19, context_length=32, num_blocks=1, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(1),
+    )
+    mesh = parallel.make_mesh({"tp": 2}, devices=jax.devices()[:2])
+    tp = ModernBatchServer(mm, mesh=mesh, page_size=8, total_pages=32)
+    engine = ServingEngine(tp, decode_steps=3)
+    engine.submit([1, 5, 2], SamplingParams(max_tokens=6), request_id="a")
+    engine.submit([9, 8], SamplingParams(temperature=0.9, top_k=5,
+                                         max_tokens=6), request_id="b")
+    res = engine.run()
+    assert set(res) == {"a", "b"}
+    assert all(len(v) == 6 for v in res.values())
+    assert all(0 <= t < 19 for v in res.values() for t in v)

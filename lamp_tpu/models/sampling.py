@@ -52,27 +52,33 @@ class SamplingParams:
             raise ValueError("top_p must be in (0, 1]")
         if self.top_k < 0:
             raise ValueError("top_k must be >= 0")
+        if self.max_tokens is not None and self.max_tokens < 1:
+            raise ValueError("max_tokens must be >= 1")
 
 
-def _apply_top_k(scaled, top_k):
-    """Mask all but each row's top-k logits to -inf. top_k: [B] int32,
-    rows with top_k <= 0 pass through unchanged."""
+def _apply_filters(scaled, top_k, top_p):
+    """Apply top-k then nucleus filtering with ONE descending sort.
+
+    Sequential semantics (top-p evaluated on the top-k-renormalized
+    distribution) are preserved exactly: within the sorted order the top-k
+    survivors' mass is ``z = csum[k-1]``, so the nucleus condition on the
+    renormalized probabilities, ``(csum' - p') < top_p``, is
+    ``(csum - p) < top_p * z``. Rows with top_k <= 0 / top_p >= 1 pass
+    through unchanged; the best token is always kept.
+    """
     v = scaled.shape[-1]
     sl = -jnp.sort(-scaled, axis=-1)  # descending
-    k = jnp.where(top_k <= 0, v, jnp.clip(top_k, 1, v))
+    if top_k is not None:
+        k = jnp.where(top_k <= 0, v, jnp.clip(top_k, 1, v))
+    else:
+        k = jnp.full(scaled.shape[:-1], v, jnp.int32)
     kth = jnp.take_along_axis(sl, (k - 1)[:, None], axis=-1)
-    return jnp.where(scaled >= kth, scaled, _NEG_INF)
-
-
-def _apply_top_p(scaled, top_p):
-    """Nucleus filter: keep the smallest sorted prefix whose cumulative
-    probability reaches top_p (the first token is always kept). top_p: [B]
-    f32, rows with top_p >= 1 pass through unchanged."""
-    sl = -jnp.sort(-scaled, axis=-1)
-    probs = jax.nn.softmax(sl, axis=-1)
-    csum = jnp.cumsum(probs, axis=-1)
-    # keep sorted position j iff the mass BEFORE it is < top_p
-    keep = (csum - probs) < top_p[:, None]
+    keep = sl >= kth
+    if top_p is not None:
+        probs = jax.nn.softmax(sl, axis=-1)
+        csum = jnp.cumsum(probs, axis=-1)
+        z = jnp.take_along_axis(csum, (k - 1)[:, None], axis=-1)
+        keep = keep & ((csum - probs) < top_p[:, None] * z)
     thresh = jnp.min(jnp.where(keep, sl, jnp.inf), axis=-1, keepdims=True)
     return jnp.where(scaled >= thresh, scaled, _NEG_INF)
 
@@ -93,9 +99,7 @@ def sample_tokens(logits, key, temperature, top_k=None, top_p=None):
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     t = temperature[:, None]
     scaled = logits / jnp.where(t > 0, t, 1.0)
-    if top_k is not None:
-        scaled = _apply_top_k(scaled, top_k)
-    if top_p is not None:
-        scaled = _apply_top_p(scaled, top_p)
+    if top_k is not None or top_p is not None:
+        scaled = _apply_filters(scaled, top_k, top_p)
     sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
     return jnp.where(temperature > 0, sampled, greedy)

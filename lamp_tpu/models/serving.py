@@ -297,8 +297,11 @@ class BatchServer:
             self._page_hash[pg] = h
 
     def _prefill_suffix(self, seq_id, suffix) -> None:
-        """Prefill the uncached tail after a prefix-cache hit: chunked
-        decode (bucketed length; pad tokens rewound afterwards)."""
+        """Prefill the uncached tail after a prefix-cache hit (and all TP
+        prompts): chunked decode, bucketed to PREFILL_BUCKET for one jit
+        trace per bucket. Pad rows write their K/V to the reserved trash
+        page 0 (like dense prefill) — they allocate NOTHING, so the pool
+        can never be transiently exhausted by padding."""
         m = len(suffix)
         if m == 0:
             return
@@ -308,12 +311,22 @@ class BatchServer:
             -(-m // self.PREFILL_BUCKET) * self.PREFILL_BUCKET, ctx - start
         )
         n_pad = max(m_pad, m) - m
+        tp = np.zeros((1, m + n_pad), np.int32)
+        ts = np.zeros((1, m + n_pad), np.int32)
+        for j in range(m):
+            tp[0, j], ts[0, j] = self._alloc_slot(seq_id)
+            self.seq_len[seq_id] += 1
+        for j in range(n_pad):
+            ts[0, m + j] = j % self.page_size  # page 0: the trash page
+        idx, _ = self._views([seq_id])
         toks = np.concatenate(
             [np.asarray(suffix, np.int32), np.zeros(n_pad, np.int32)]
         )
-        self.advance_chunk([seq_id], toks[None])
-        if n_pad:
-            self.rewind(seq_id, n_pad)
+        _, self.k_pages, self.v_pages = self._chunk_fn(
+            self.model, self.k_pages, self.v_pages, jnp.asarray(toks[None]),
+            idx, jnp.asarray([start], jnp.int32), jnp.asarray(tp),
+            jnp.asarray(ts), self._extras,
+        )
 
     def _prefill_seq(self, model, k_pages, v_pages, tokens, token_pages,
                      token_slots):
@@ -1180,7 +1193,10 @@ class ServingEngine:
         ctx = self.server.model.context_length
         if len(prompt) > ctx:
             raise ValueError(f"prompt longer than context ({len(prompt)} > {ctx})")
-        self.pending.append((rid, prompt, params or SamplingParams()))
+        if params is None:
+            # same default a direct server.add() would apply
+            params = SamplingParams(temperature=self.server.temperature)
+        self.pending.append((rid, prompt, params))
         return rid
 
     def _budget(self, prompt_len: int, params: SamplingParams) -> int:
@@ -1192,7 +1208,14 @@ class ServingEngine:
         return max(cap, 1)
 
     def _pages_for(self, prompt_len: int, max_new: int) -> int:
-        total_rows = prompt_len - 1 + max_new  # KV rows ever written
+        # decode always runs full decode_steps chunks (tokens past a
+        # request's budget are discarded), so reserve for max_new rounded
+        # up to a chunk multiple; a sequence can never hold more than
+        # context_length rows
+        ds = self.decode_steps
+        chunks = -(-max_new // ds)
+        total_rows = min(prompt_len - 1 + chunks * ds,
+                         self.server.model.context_length)
         return -(-max(total_rows, 1) // self.server.page_size)
 
     def _admit(self) -> None:
@@ -1222,12 +1245,12 @@ class ServingEngine:
         active = s.active
         if not active:
             return {}
-        # never decode past the shortest remaining budget (avoids wasted
-        # tokens and keeps the page reservation exact)
-        n = min(
-            [self.decode_steps]
-            + [self._max_new[r] - len(self.generated[r]) for r in active]
-        )
+        # full decode_steps chunks for the whole batch (tokens past a
+        # request's budget are discarded — the reservation covers them);
+        # only the hard context edge shrinks the chunk
+        ctx = s.model.context_length
+        n = min([self.decode_steps] + [ctx - s.seq_len[r] for r in active])
+        n = max(n, 1)
         if n <= 1:
             chunk = {r: [t] for r, t in s.step().items()}
         else:

@@ -28,14 +28,10 @@ import jax
 import jax.numpy as jnp
 
 from . import init as initializers
-from .layers import Linear
+from .layers import Linear, _accum_dtype
 from .module import Module, buffer_field, static_field
 
 __all__ = ["LoRALinear", "lora_inject", "lora_merge", "lora_parameter_count"]
-
-
-def _accum_dtype(x):
-    return jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else x.dtype
 
 
 class LoRALinear(Module):
@@ -131,13 +127,17 @@ def lora_inject(model, rank: int, *, key,
     "w_v" in p``); default adapts every Linear. Base weights become frozen
     buffers; only the new A/B factors are trainable.
     """
-    keys = iter(jax.random.split(key, 4096))
+    key_box = [key]
+
+    def next_key():
+        key_box[0], sub = jax.random.split(key_box[0])
+        return sub
 
     def visit(path, node):
         if type(node) is Linear:
             dotted = ".".join(str(p) for p in path)
             if match is None or match(dotted):
-                return LoRALinear.wrap(node, rank, key=next(keys), alpha=alpha)
+                return LoRALinear.wrap(node, rank, key=next_key(), alpha=alpha)
         return None
 
     return _map_linears(model, visit, ())

@@ -87,7 +87,9 @@ def sample_tokens(logits, key, temperature, top_k=None, top_p=None):
     """Sample one token per row with per-row controls.
 
     logits:      [B, V] float
-    temperature: [B] f32 (0 = greedy for that row)
+    temperature: [B] f32 (0 = greedy for that row), or None (STATIC) when
+                 every row is greedy — compiles to a bare argmax with no
+                 categorical/PRNG work at all
     top_k:       [B] int32 or None (None skips the sort entirely)
     top_p:       [B] f32 or None
 
@@ -97,6 +99,8 @@ def sample_tokens(logits, key, temperature, top_k=None, top_p=None):
     """
     logits = logits.astype(jnp.float32)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if temperature is None:
+        return greedy
     t = temperature[:, None]
     scaled = logits / jnp.where(t > 0, t, 1.0)
     if top_k is not None or top_p is not None:

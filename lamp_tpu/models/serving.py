@@ -648,7 +648,11 @@ class BatchServer:
         active requests. The filter arrays are None (STATIC — skips the
         [B, V] sorts in the compiled program) when no request uses them."""
         ps = [self.seq_params[s] for s in seq_ids]
-        temps = jnp.asarray([p.temperature for p in ps], jnp.float32)
+        # temps None (STATIC) when the whole batch is greedy: the compiled
+        # program is a bare argmax, no categorical/PRNG work in the scan
+        temps = None
+        if any(p.temperature > 0 for p in ps):
+            temps = jnp.asarray([p.temperature for p in ps], jnp.float32)
         top_k = None
         if any(p.top_k > 0 for p in ps):
             top_k = jnp.asarray([p.top_k for p in ps], jnp.int32)

@@ -101,6 +101,7 @@ class BatchServer:
         self.seq_len: Dict = {}
         self.last_token: Dict = {}
         self.seq_params: Dict = {}
+        self.seq_adapter: Dict = {}
         self.temperature = temperature
         self.key = jax.random.PRNGKey(seed)
         self._sample_fn = jax.jit(sample_tokens)
@@ -184,13 +185,18 @@ class BatchServer:
 
     # -- request lifecycle --------------------------------------------------
     def add(self, seq_id, prompt_tokens,
-            params: Optional[SamplingParams] = None) -> None:
+            params: Optional[SamplingParams] = None,
+            adapter: Optional[str] = None) -> None:
         """Admit a request: dense one-shot prefill of the prompt (full-matmul
         efficiency; all K/V rows written into pages in one jitted call).
         ``params`` sets per-request sampling controls (temperature / top-k /
-        top-p); default is the server-level ``temperature``."""
+        top-p); default is the server-level ``temperature``. ``adapter``
+        names a LoRA adapter previously registered with
+        :meth:`ModernBatchServer.register_adapter`."""
         if seq_id in self.seq_pages:
             raise ValueError(f"duplicate request {seq_id}")
+        aidx = self._adapter_index(adapter)
+        self.seq_adapter[seq_id] = aidx
         self.seq_params[seq_id] = params or SamplingParams(
             temperature=self.temperature
         )
@@ -203,7 +209,10 @@ class BatchServer:
         if self.enable_prefix_cache and n_prefill > 0:
             # reuse the longest cached prefix of full pages: shared physical
             # pages, no recompute (chain hash ⇒ identical token history)
-            hashes = self._prefix_hashes(prompt[:-1])
+            hashes = self._prefix_hashes(
+                prompt[:-1],
+                salt=str(aidx).encode() if aidx else b"",
+            )
             pages = self.seq_pages[seq_id]
             for h in hashes:
                 pg = self._hash_to_page.get(h)
@@ -215,7 +224,7 @@ class BatchServer:
             self.seq_len[seq_id] = matched
             self.cache_hit_tokens += matched
             self.cache_miss_tokens += n_prefill - matched
-        if matched > 0 or (self._tp > 1 and n_prefill > 0):
+        if matched > 0 or ((self._tp > 1 or aidx) and n_prefill > 0):
             if n_prefill > matched:
                 # the suffix attends over the cached pages: chunked decode
                 # with per-token causality over the shared page table.
@@ -259,14 +268,16 @@ class BatchServer:
         self.last_token[seq_id] = int(prompt[-1])
 
     # -- prefix cache ----------------------------------------------------
-    def _prefix_hashes(self, prompt_kv) -> List[bytes]:
+    def _prefix_hashes(self, prompt_kv, salt: bytes = b"") -> List[bytes]:
         """Chain hash per FULL page-sized chunk of the prompt's KV tokens;
-        hash i commits to all tokens up to and including chunk i."""
+        hash i commits to all tokens up to and including chunk i. ``salt``
+        partitions the cache (e.g. by LoRA adapter — different adapters
+        produce different K/V for the same tokens)."""
         import hashlib
 
         ps = self.page_size
         out = []
-        h = b""
+        h = salt
         for i in range(len(prompt_kv) // ps):
             chunk = np.asarray(
                 prompt_kv[i * ps:(i + 1) * ps], np.int64
@@ -325,7 +336,7 @@ class BatchServer:
         _, self.k_pages, self.v_pages = self._chunk_fn(
             self.model, self.k_pages, self.v_pages, jnp.asarray(toks[None]),
             idx, jnp.asarray([start], jnp.int32), jnp.asarray(tp),
-            jnp.asarray(ts), self._extras,
+            jnp.asarray(ts), self._extras, self._lora_arg([seq_id]),
         )
 
     def _prefill_seq(self, model, k_pages, v_pages, tokens, token_pages,
@@ -384,12 +395,30 @@ class BatchServer:
         self.seq_len.pop(seq_id)
         self.last_token.pop(seq_id)
         self.seq_params.pop(seq_id, None)
+        self.seq_adapter.pop(seq_id, None)
 
     @property
     def active(self) -> List:
         return list(self.seq_pages)
 
     # -- internals ------------------------------------------------------
+
+    def _adapter_index(self, name) -> int:
+        if name is None:
+            return 0
+        raise NotImplementedError(
+            "LoRA adapters are supported on ModernBatchServer"
+        )
+
+    def _lora_arg(self, seq_ids):
+        """(adapter_ids [B], stacks) jit argument, or None when no adapter
+        is registered (STATIC — zero overhead in the compiled program)."""
+        if not getattr(self, "_adapters", None):
+            return None
+        ids = jnp.asarray(
+            [self.seq_adapter.get(s, 0) for s in seq_ids], jnp.int32
+        )
+        return (ids, self._lora_stacks)
 
     @staticmethod
     def _copy_page(k_pages, v_pages, src, dst):
@@ -474,7 +503,7 @@ class BatchServer:
         return jnp.asarray(idx), jnp.asarray(lens)
 
     def _decode_step(self, model, k_pages, v_pages, tokens, page_idx, lengths,
-                     token_pages, token_slots, extras):
+                     token_pages, token_slots, extras, lora=None):
         """Process a [B] batch of tokens sitting at positions ``lengths``:
         write their per-layer K/V into (token_pages, token_slots), attend over
         history + self, return (logits [B,V], new_k_pages, new_v_pages)."""
@@ -533,7 +562,7 @@ class BatchServer:
         return logits, tuple(k_pages), tuple(v_pages)
 
     def _decode_chunk(self, model, k_pages, v_pages, tokens, page_idx,
-                      lengths, token_pages, token_slots, extras):
+                      lengths, token_pages, token_slots, extras, lora=None):
         """Process M tokens per sequence in ONE call (chunked decode): write
         all their K/V, then attend with per-token causality by treating each
         of the B·M tokens as a pseudo-sequence sharing its sequence's page
@@ -599,7 +628,7 @@ class BatchServer:
         ts = jnp.asarray([sl for _, sl in slots], jnp.int32)
         logits, self.k_pages, self.v_pages = self._step_fn(
             self.model, self.k_pages, self.v_pages, tokens, idx, lens, tp, ts,
-            self._extras,
+            self._extras, self._lora_arg(seq_ids),
         )
         for s in seq_ids:
             self.seq_len[s] += 1
@@ -625,6 +654,7 @@ class BatchServer:
         logits, self.k_pages, self.v_pages = self._chunk_fn(
             self.model, self.k_pages, self.v_pages, jnp.asarray(tokens), idx,
             lens0, jnp.asarray(tp), jnp.asarray(ts), self._extras,
+            self._lora_arg(seq_ids),
         )
         return logits
 
@@ -684,7 +714,7 @@ class BatchServer:
         return out
 
     def _decode_many(self, model, k_pages, v_pages, tokens0, page_idx,
-                     lens0, token_pages, token_slots, extras, key,
+                     lens0, token_pages, token_slots, extras, lora, key,
                      temps, top_k, top_p, n: int):
         """``n`` decode steps fused into ONE program: lax.scan over the
         single-token step with on-device per-request sampling (temperature /
@@ -697,7 +727,7 @@ class BatchServer:
             tok, kp, vp, k_ = carry
             logits, kp, vp = self._decode_step(
                 model, kp, vp, tok, page_idx, lens0 + i,
-                token_pages[:, i], token_slots[:, i], extras,
+                token_pages[:, i], token_slots[:, i], extras, lora,
             )
             k_, sub = jax.random.split(k_)
             nxt = sample_tokens(logits, sub, temps, top_k, top_p)
@@ -738,8 +768,8 @@ class BatchServer:
         self.key, sub = jax.random.split(self.key)
         toks, self.k_pages, self.v_pages = self._many_fn(
             self.model, self.k_pages, self.v_pages, tokens0, idx, lens0,
-            jnp.asarray(tp), jnp.asarray(ts), self._extras, sub,
-            temps, top_k, top_p, n=n,
+            jnp.asarray(tp), jnp.asarray(ts), self._extras,
+            self._lora_arg(seq_ids), sub, temps, top_k, top_p, n=n,
         )
         toks_host = np.asarray(toks)  # [n, B]
         out = {}
@@ -823,6 +853,123 @@ class ModernBatchServer(BatchServer):
         d_model = block.w_q.weight.shape[0]
         self.head_dim = d_model // self.heads
 
+    # -- multi-LoRA serving ------------------------------------------------
+    _PROJ_NAMES = ("q", "k", "v", "o", "w1", "w3", "w2")
+
+    def register_adapter(self, name: str, lora_model) -> None:
+        """Register a LoRA adapter for per-request use (S-LoRA-style
+        multi-adapter serving): ``lora_model`` is a ``lora_inject``-ed
+        version of this server's base model. Requests pass
+        ``add(..., adapter=name)``; one batch mixes adapters freely — the
+        decode step gathers each row's A/B factors from stacked adapter
+        tensors and adds the low-rank delta beside the shared base matmuls.
+        The prefix cache is partitioned per adapter (different adapters
+        produce different K/V for the same prompt)."""
+        from ..nn.lora import LoRALinear
+
+        if self._tp > 1:
+            raise NotImplementedError("adapters under tensor parallelism")
+        if not hasattr(self, "_adapters"):
+            self._adapters: Dict[str, int] = {}
+            self._adapter_defs: Dict[str, dict] = {}
+        if name in self._adapters:
+            raise ValueError(f"duplicate adapter {name!r}")
+
+        def proj_modules(blk):
+            return {
+                "q": blk.w_q, "k": blk.w_k, "v": blk.w_v, "o": blk.w_o,
+                "w1": blk.mlp.w1, "w3": blk.mlp.w3, "w2": blk.mlp.w2,
+            }
+
+        per_layer = []
+        for blk in lora_model.blocks:
+            row = {}
+            for p, mod in proj_modules(blk).items():
+                if type(mod) is LoRALinear:
+                    row[p] = (
+                        mod.lora_a,
+                        (mod.lora_b.astype(jnp.float32)
+                         * mod.scale).astype(mod.lora_b.dtype),
+                    )
+            per_layer.append(row)
+        self._adapter_defs[name] = {"layers": per_layer}
+        self._adapters[name] = len(self._adapters) + 1  # 0 = base
+        self._rebuild_lora_stacks()
+
+    def _rebuild_lora_stacks(self) -> None:
+        """Stack every adapter's A/B factors: per adapted projection p,
+        A[li]: [N+1, D_in, r_p], B[li]: [N+1, r_p, O] — index 0 is the
+        all-zero base "adapter", smaller ranks are zero-padded to r_p."""
+        n = len(self._adapters)
+        order = sorted(self._adapters, key=self._adapters.get)
+        stacks = {}
+        for p in self._PROJ_NAMES:
+            ranks = [
+                self._adapter_defs[nm]["layers"][li][p][0].shape[1]
+                for nm in order for li in range(self.layers)
+                if p in self._adapter_defs[nm]["layers"][li]
+            ]
+            if not ranks:
+                continue
+            r = max(ranks)
+            a_layers, b_layers = [], []
+            for li in range(self.layers):
+                a_rows, b_rows = None, None
+                for k, nm in enumerate(order):
+                    entry = self._adapter_defs[nm]["layers"][li].get(p)
+                    if entry is None:
+                        continue
+                    a, bv = entry
+                    if a_rows is None:
+                        dt = a.dtype
+                        a_rows = np.zeros((n + 1, a.shape[0], r), dt)
+                        b_rows = np.zeros((n + 1, r, bv.shape[1]), dt)
+                    a_rows[k + 1, :, :a.shape[1]] = np.asarray(a)
+                    b_rows[k + 1, :bv.shape[0], :] = np.asarray(bv)
+                if a_rows is None:
+                    # no adapter touches p at this layer: zeros shaped from
+                    # any layer that has p (ranks non-empty guarantees one)
+                    for nm in order:
+                        for lj in range(self.layers):
+                            e = self._adapter_defs[nm]["layers"][lj].get(p)
+                            if e is not None:
+                                a_rows = np.zeros(
+                                    (n + 1, e[0].shape[0], r), e[0].dtype
+                                )
+                                b_rows = np.zeros(
+                                    (n + 1, r, e[1].shape[1]), e[1].dtype
+                                )
+                                break
+                        if a_rows is not None:
+                            break
+                a_layers.append(jnp.asarray(a_rows))
+                b_layers.append(jnp.asarray(b_rows))
+            stacks[p] = (tuple(a_layers), tuple(b_layers))
+        self._lora_stacks = stacks
+
+    def _adapter_index(self, name) -> int:
+        if name is None:
+            return 0
+        try:
+            return self._adapters[name]
+        except (AttributeError, KeyError):
+            raise ValueError(f"unknown adapter {name!r}") from None
+
+    @staticmethod
+    def _lora_delta(x, stack, ids, li):
+        """Per-row low-rank delta: x [B, T, D_in], stack layer li holds
+        A [N, D_in, r] / B [N, r, O] (scale folded into B), ids [B].
+        Returns [B, T, O] in x.dtype."""
+        A, Bv = stack
+        a_g = jnp.take(A[li], ids, axis=0)      # [B, D_in, r]
+        b_g = jnp.take(Bv[li], ids, axis=0)     # [B, r, O]
+        h = jnp.einsum(
+            "btd,bdr->btr", x, a_g, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        return jnp.einsum(
+            "btr,bro->bto", h, b_g, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+
     def _precompute_extras(self, model):
         """All decode-path weights ride in extras (jit args, not closure
         constants): fused per-layer QKV, attention out-projection, the three
@@ -863,7 +1010,7 @@ class ModernBatchServer(BatchServer):
         return (wqkv, wo, w1, w3, w2, lmh)
 
     def _decode_step(self, model, k_pages, v_pages, tokens, page_idx, lengths,
-                     token_pages, token_slots, extras):
+                     token_pages, token_slots, extras, lora=None):
         if self._tp > 1:
             return self._tp_call(
                 self._tp_decode_inner, model, k_pages, v_pages, tokens,
@@ -891,16 +1038,27 @@ class ModernBatchServer(BatchServer):
 
         nq = self.heads * hd
         nkv = self.kv_heads * hd
+        dl = self._lora_delta
         for li, block in enumerate(model.blocks):
-            a = block.norm1(x)[:, 0]
+            a3 = block.norm1(x)            # [B, 1, D]
+            a = a3[:, 0]
 
             y = self._mm(a, wqkv[li])
-            q = y[:, :nq].reshape(b, self.heads, hd)
-            kk = y[:, nq:nq + nkv].reshape(b, self.kv_heads, hd)
-            vv = y[:, nq + nkv:].reshape(b, self.kv_heads, hd)
+            yq = y[:, :nq]
+            yk = y[:, nq:nq + nkv]
+            yv = y[:, nq + nkv:]
+            if lora is not None:
+                ids, st = lora
+                if "q" in st:
+                    yq = yq + dl(a3, st["q"], ids, li)[:, 0]
+                if "k" in st:
+                    yk = yk + dl(a3, st["k"], ids, li)[:, 0]
+                if "v" in st:
+                    yv = yv + dl(a3, st["v"], ids, li)[:, 0]
             # rotate at each token's own position ([B] lengths)
-            q = rot(q)
-            kk = rot(kk)
+            q = rot(yq.reshape(b, self.heads, hd))
+            kk = rot(yk.reshape(b, self.kv_heads, hd))
+            vv = yv.reshape(b, self.kv_heads, hd)
             k_pages[li] = k_pages[li].at[token_pages, token_slots].set(
                 kk.reshape(b, -1)
             )
@@ -912,10 +1070,24 @@ class ModernBatchServer(BatchServer):
                 num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block,
             )
-            x = x + self._mm(o.reshape(b, 1, -1), wo[li])
+            o3 = o.reshape(b, 1, -1)
+            att = self._mm(o3, wo[li])
+            if lora is not None and "o" in st:
+                att = att + dl(o3, st["o"], ids, li)
+            x = x + att
             h = block.norm2(x)
-            gate = jax.nn.silu(self._mm(h, w1[li])) * self._mm(h, w3[li])
-            x = x + self._mm(gate, w2[li])
+            g1 = self._mm(h, w1[li])
+            g3 = self._mm(h, w3[li])
+            if lora is not None:
+                if "w1" in st:
+                    g1 = g1 + dl(h, st["w1"], ids, li)
+                if "w3" in st:
+                    g3 = g3 + dl(h, st["w3"], ids, li)
+            gate = jax.nn.silu(g1) * g3
+            down = self._mm(gate, w2[li])
+            if lora is not None and "w2" in st:
+                down = down + dl(gate, st["w2"], ids, li)
+            x = x + down
         x = model.final_norm(x)
         logits = self._mm(x, lmh, out_dtype=jnp.float32)[:, 0]
         return logits, tuple(k_pages), tuple(v_pages)
@@ -1056,7 +1228,7 @@ class ModernBatchServer(BatchServer):
         return logits, tuple(k_pages), tuple(v_pages)
 
     def _decode_chunk(self, model, k_pages, v_pages, tokens, page_idx,
-                      lengths, token_pages, token_slots, extras):
+                      lengths, token_pages, token_slots, extras, lora=None):
         if self._tp > 1:
             return self._tp_call(
                 self._tp_chunk_inner, model, k_pages, v_pages, tokens,
@@ -1083,14 +1255,26 @@ class ModernBatchServer(BatchServer):
 
         nq = self.heads * hd
         nkv = self.kv_heads * hd
+        dl = self._lora_delta
         plen = (pos + 1).reshape(-1)
         pidx = jnp.repeat(page_idx, m, axis=0)
         for li, block in enumerate(model.blocks):
             a = block.norm1(x)
             y = self._mm(a, wqkv[li])
-            q = rot(y[..., :nq].reshape(b, m, self.heads, hd))
-            kk = rot(y[..., nq:nq + nkv].reshape(b, m, self.kv_heads, hd))
-            vv = y[..., nq + nkv:]
+            yq = y[..., :nq]
+            yk = y[..., nq:nq + nkv]
+            yv = y[..., nq + nkv:]
+            if lora is not None:
+                ids, st = lora
+                if "q" in st:
+                    yq = yq + dl(a, st["q"], ids, li)
+                if "k" in st:
+                    yk = yk + dl(a, st["k"], ids, li)
+                if "v" in st:
+                    yv = yv + dl(a, st["v"], ids, li)
+            q = rot(yq.reshape(b, m, self.heads, hd))
+            kk = rot(yk.reshape(b, m, self.kv_heads, hd))
+            vv = yv
             k_pages[li] = k_pages[li].at[token_pages, token_slots].set(
                 kk.reshape(b, m, -1)
             )
@@ -1100,10 +1284,23 @@ class ModernBatchServer(BatchServer):
                 pidx, plen, num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block,
             ).reshape(b, m, -1)
-            x = x + self._mm(o, wo[li])
+            att = self._mm(o, wo[li])
+            if lora is not None and "o" in st:
+                att = att + dl(o, st["o"], ids, li)
+            x = x + att
             h = block.norm2(x)
-            gate = jax.nn.silu(self._mm(h, w1[li])) * self._mm(h, w3[li])
-            x = x + self._mm(gate, w2[li])
+            g1 = self._mm(h, w1[li])
+            g3 = self._mm(h, w3[li])
+            if lora is not None:
+                if "w1" in st:
+                    g1 = g1 + dl(h, st["w1"], ids, li)
+                if "w3" in st:
+                    g3 = g3 + dl(h, st["w3"], ids, li)
+            gate = jax.nn.silu(g1) * g3
+            down = self._mm(gate, w2[li])
+            if lora is not None and "w2" in st:
+                down = down + dl(gate, st["w2"], ids, li)
+            x = x + down
         x = model.final_norm(x)
         logits = self._mm(x, lmh, out_dtype=jnp.float32)
         return logits, tuple(k_pages), tuple(v_pages)
@@ -1186,9 +1383,10 @@ class ServingEngine:
         self._next_id = 0
 
     def submit(self, prompt_tokens, params: Optional[SamplingParams] = None,
-               request_id=None):
+               request_id=None, adapter: Optional[str] = None):
         """Queue a request; returns its id. Decoding starts once pages are
-        available (see :meth:`step`)."""
+        available (see :meth:`step`). ``adapter`` selects a registered LoRA
+        adapter for this request."""
         rid = request_id if request_id is not None else f"req{self._next_id}"
         self._next_id += 1
         prompt = [int(t) for t in np.asarray(prompt_tokens).reshape(-1)]
@@ -1200,7 +1398,8 @@ class ServingEngine:
         if params is None:
             # same default a direct server.add() would apply
             params = SamplingParams(temperature=self.server.temperature)
-        self.pending.append((rid, prompt, params))
+        self.server._adapter_index(adapter)  # validate early
+        self.pending.append((rid, prompt, params, adapter))
         return rid
 
     def _budget(self, prompt_len: int, params: SamplingParams) -> int:
@@ -1229,13 +1428,13 @@ class ServingEngine:
             self._reserve[r] - len(s.seq_pages[r]) for r in s.seq_pages
         )
         while self.pending and len(s.seq_pages) < self.max_batch:
-            rid, prompt, params = self.pending[0]
+            rid, prompt, params, adapter = self.pending[0]
             max_new = self._budget(len(prompt), params)
             need = self._pages_for(len(prompt), max_new)
             if s.available_pages < owed + need:
                 break
             self.pending.popleft()
-            s.add(rid, prompt, params)
+            s.add(rid, prompt, params, adapter=adapter)
             self.generated[rid] = []
             self._reserve[rid] = need
             self._max_new[rid] = max_new

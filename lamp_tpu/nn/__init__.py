@@ -22,6 +22,7 @@ from .layers import (
     Fun,
     LayerNorm,
     Linear,
+    Recursive,
     Residual,
     Sequential,
     WeightNormLinear,
@@ -80,6 +81,7 @@ from . import init, losses
 
 __all__ = [
     "Frozen",
+    "Recursive",
     "LoRALinear",
     "lora_inject",
     "lora_merge",

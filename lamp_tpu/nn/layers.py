@@ -28,6 +28,7 @@ __all__ = [
     "MLP",
     "Sequential",
     "Fun",
+    "Recursive",
     "Residual",
     "EitherModule",
 ]
@@ -304,6 +305,30 @@ class Fun(Module):
 
     def forward(self, x, *, key=None, train=False):
         return self.fn(x), self
+
+
+class Recursive(Module):
+    """Apply an ``A -> A`` module ``n`` times, threading state and keys.
+
+    Reference: lamp-core/src/main/scala/lamp/nn/Module.scala:11 (Recursive).
+    """
+
+    module: Module
+    n: int = static_field()
+
+    @staticmethod
+    def init(module: Module, n: int) -> "Recursive":
+        return Recursive(module=module, n=n)
+
+    def forward(self, x, *, key=None, train=False):
+        keys = (
+            jax.random.split(key, self.n) if key is not None
+            else [None] * self.n
+        )
+        m = self.module
+        for k in keys:
+            x, m = m.forward(x, key=k, train=train)
+        return x, self.replace(module=m)
 
 
 class Sequential(Module):

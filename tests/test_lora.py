@@ -99,3 +99,14 @@ def test_frozen_wrapper_excludes_leaves():
     assert all(p is None for p in jax.tree_util.tree_leaves(params, is_leaf=lambda v: v is None))
     # attribute delegation
     assert frozen.weight.shape == (4, 3)
+
+
+def test_recursive_combinator():
+    lin = nn.Linear.init(4, 4, key=jax.random.PRNGKey(0))
+    rec = nn.Recursive.init(lin, 3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4))
+    y, _ = rec.forward(x)
+    want = x
+    for _ in range(3):
+        want = lin(want)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=1e-6)

@@ -629,3 +629,128 @@ def test_tensor_parallel_server_step_many_and_engine():
     assert set(res) == {"a", "b"}
     assert all(len(v) == 6 for v in res.values())
     assert all(0 <= t < 19 for v in res.values() for t in v)
+
+
+# -- multi-LoRA serving ------------------------------------------------------
+
+def _modern_base(key=0):
+    return nn.ModernLM.init(
+        vocab_size=19, context_length=32, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(key),
+    )
+
+
+def _random_adapter(base, rank, seed, match=None):
+    """lora_inject + randomize B so the adapter actually changes outputs."""
+    from lamp_tpu.nn.lora import LoRALinear, _map_linears
+
+    tuned = nn.lora_inject(base, rank=rank, key=jax.random.PRNGKey(seed),
+                           match=match)
+    keys = iter(jax.random.split(jax.random.PRNGKey(seed + 100), 256))
+
+    def visit(path, node):
+        if type(node) is LoRALinear:
+            b = 0.3 * jax.random.normal(next(keys), node.lora_b.shape,
+                                        node.lora_b.dtype)
+            return node.replace(lora_b=b)
+        return None
+
+    return _map_linears(tuned, visit, ())
+
+
+def test_multi_lora_serving_matches_merged_models():
+    """One batch mixing base + two adapters (different ranks): each row's
+    logits match a dedicated server running that adapter's merged model."""
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    base = _modern_base()
+    ad1 = _random_adapter(base, rank=3, seed=1,
+                          match=lambda p: p.endswith(("w_q", "w_v")))
+    ad2 = _random_adapter(base, rank=5, seed=2,
+                          match=lambda p: "mlp" in p or p.endswith("w_o"))
+
+    server = ModernBatchServer(base, page_size=8, total_pages=64)
+    server.register_adapter("a1", ad1)
+    server.register_adapter("a2", ad2)
+
+    prompt = [1, 5, 2, 9, 11]
+    server.add("rb", prompt)
+    server.add("r1", prompt, adapter="a1")
+    server.add("r2", prompt, adapter="a2")
+
+    refs = {}
+    for rid, model in (("rb", base), ("r1", nn.lora_merge(ad1)),
+                       ("r2", nn.lora_merge(ad2))):
+        s = ModernBatchServer(model, page_size=8, total_pages=32)
+        s.add("x", prompt)
+        refs[rid] = s._advance(["x"], jnp.asarray([7], jnp.int32))
+
+    got = server._advance(["rb", "r1", "r2"],
+                          jnp.asarray([7, 7, 7], jnp.int32))
+    for i, rid in enumerate(("rb", "r1", "r2")):
+        np.testing.assert_allclose(
+            np.asarray(got[i]), np.asarray(refs[rid][0]),
+            atol=2e-3, rtol=2e-3, err_msg=rid,
+        )
+
+    # chunked path (speculative verification) agrees per adapter too
+    chunk = np.asarray([[3, 8], [3, 8], [3, 8]], np.int32)
+    got_c = server.advance_chunk(["rb", "r1", "r2"], chunk)
+    for rid, model in (("r1", nn.lora_merge(ad1)),):
+        s = ModernBatchServer(model, page_size=8, total_pages=32)
+        s.add("x", prompt)
+        s._advance(["x"], jnp.asarray([7], jnp.int32))
+        ref_c = s.advance_chunk(["x"], chunk[:1])
+        np.testing.assert_allclose(
+            np.asarray(got_c[1]), np.asarray(ref_c[0]),
+            atol=2e-3, rtol=2e-3,
+        )
+
+
+def test_multi_lora_prefix_cache_partitioned_by_adapter():
+    """The same prompt under different adapters must NOT share cached
+    pages (their K/V differ); same adapter still hits."""
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    base = _modern_base()
+    ad1 = _random_adapter(base, rank=2, seed=3,
+                          match=lambda p: p.endswith("w_k"))
+    server = ModernBatchServer(base, page_size=8, total_pages=64,
+                               enable_prefix_cache=True)
+    server.register_adapter("a1", ad1)
+    prompt = list(range(1, 18))  # 16 KV rows = 2 full pages
+    server.add("b0", prompt)
+    server.add("b1", prompt, adapter="a1")
+    assert server.cache_hit_tokens == 0          # no cross-adapter hit
+    assert server.seq_pages["b0"][:2] != server.seq_pages["b1"][:2]
+    server.add("b2", prompt, adapter="a1")       # same adapter: hits
+    assert server.cache_hit_tokens == 16
+    assert server.seq_pages["b2"][:2] == server.seq_pages["b1"][:2]
+
+
+def test_multi_lora_engine_and_unknown_adapter():
+    from lamp_tpu.models.serving import (
+        ModernBatchServer, SamplingParams, ServingEngine,
+    )
+
+    base = _modern_base()
+    ad1 = _random_adapter(base, rank=2, seed=4,
+                          match=lambda p: p.endswith("w_q"))
+    server = ModernBatchServer(base, page_size=8, total_pages=64)
+    server.register_adapter("fr", ad1)
+    engine = ServingEngine(server, decode_steps=3)
+    engine.submit([1, 2, 3], SamplingParams(max_tokens=6), request_id="x",
+                  adapter="fr")
+    engine.submit([1, 2, 3], SamplingParams(max_tokens=6), request_id="y")
+    res = engine.run()
+    assert len(res["x"]) == 6 and len(res["y"]) == 6
+
+    # adapter-selected greedy stream == merged-model greedy stream
+    merged_srv = ModernBatchServer(nn.lora_merge(ad1), page_size=8,
+                                   total_pages=32)
+    merged_srv.add("m", [1, 2, 3])
+    want = [merged_srv.step()["m"] for _ in range(6)]
+    assert res["x"] == want
+
+    with pytest.raises(ValueError, match="unknown adapter"):
+        engine.submit([1, 2], adapter="nope")

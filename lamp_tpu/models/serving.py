@@ -33,6 +33,11 @@ __all__ = [
     "ServingEngine", "SamplingParams",
 ]
 
+# shared all-zero penalty rows for non-penalized sequences inside a
+# penalized batch (keyed by vocab size; read-only)
+_ZERO_COUNTS: Dict[int, np.ndarray] = {}
+_ZERO_MASK: Dict[int, np.ndarray] = {}
+
 
 class BatchServer:
     """Paged-KV batch decode for :class:`LanguageModelModule` (see
@@ -102,6 +107,11 @@ class BatchServer:
         self.last_token: Dict = {}
         self.seq_params: Dict = {}
         self.seq_adapter: Dict = {}
+        self.vocab = model.token_embedding.weight.shape[0]
+        # per-seq penalty state (only for requests whose SamplingParams has
+        # penalties): generated-token counts + the prompt-token mask
+        self.seq_out_counts: Dict = {}
+        self.seq_prompt_mask: Dict = {}
         self.temperature = temperature
         self.key = jax.random.PRNGKey(seed)
         self._sample_fn = jax.jit(sample_tokens)
@@ -197,9 +207,13 @@ class BatchServer:
             raise ValueError(f"duplicate request {seq_id}")
         aidx = self._adapter_index(adapter)
         self.seq_adapter[seq_id] = aidx
-        self.seq_params[seq_id] = params or SamplingParams(
-            temperature=self.temperature
-        )
+        sp = params or SamplingParams(temperature=self.temperature)
+        self.seq_params[seq_id] = sp
+        if sp.has_penalties:
+            self.seq_out_counts[seq_id] = np.zeros(self.vocab, np.int32)
+            mask = np.zeros(self.vocab, bool)
+            mask[np.asarray(prompt_tokens).reshape(-1)] = True
+            self.seq_prompt_mask[seq_id] = mask
         self.seq_pages[seq_id] = []
         self.seq_len[seq_id] = 0
         prompt = np.asarray(prompt_tokens).reshape(-1)
@@ -396,6 +410,8 @@ class BatchServer:
         self.last_token.pop(seq_id)
         self.seq_params.pop(seq_id, None)
         self.seq_adapter.pop(seq_id, None)
+        self.seq_out_counts.pop(seq_id, None)
+        self.seq_prompt_mask.pop(seq_id, None)
 
     @property
     def active(self) -> List:
@@ -689,7 +705,26 @@ class BatchServer:
         top_p = None
         if any(p.top_p < 1.0 for p in ps):
             top_p = jnp.asarray([p.top_p for p in ps], jnp.float32)
-        return temps, top_k, top_p
+        penalties = None
+        if any(p.has_penalties for p in ps):
+            v = self.vocab
+            counts = np.stack([
+                self.seq_out_counts.get(s, _ZERO_COUNTS.setdefault(
+                    v, np.zeros(v, np.int32)))
+                for s in seq_ids
+            ])
+            pmask = np.stack([
+                self.seq_prompt_mask.get(s, _ZERO_MASK.setdefault(
+                    v, np.zeros(v, bool)))
+                for s in seq_ids
+            ])
+            penalties = (
+                jnp.asarray(counts), jnp.asarray(pmask),
+                jnp.asarray([p.presence_penalty for p in ps], jnp.float32),
+                jnp.asarray([p.frequency_penalty for p in ps], jnp.float32),
+                jnp.asarray([p.repetition_penalty for p in ps], jnp.float32),
+            )
+        return temps, top_k, top_p, penalties
 
     # -- decode ----------------------------------------------------------
     def step(self) -> Dict:
@@ -700,9 +735,9 @@ class BatchServer:
             return {}
         tokens = jnp.asarray([self.last_token[s] for s in seq_ids], jnp.int32)
         logits = self._advance(seq_ids, tokens)
-        temps, top_k, top_p = self._sampling_arrays(seq_ids)
+        temps, top_k, top_p, pen = self._sampling_arrays(seq_ids)
         self.key, sub = jax.random.split(self.key)
-        nxt = self._sample_fn(logits, sub, temps, top_k, top_p)
+        nxt = self._sample_fn(logits, sub, temps, top_k, top_p, pen)
         # ONE device->host transfer for the whole batch (per-element int()
         # would pay a full round trip per sequence)
         nxt_host = np.asarray(nxt)
@@ -711,11 +746,13 @@ class BatchServer:
             t = int(nxt_host[i])
             self.last_token[s] = t
             out[s] = t
+            if s in self.seq_out_counts:
+                self.seq_out_counts[s][t] += 1
         return out
 
     def _decode_many(self, model, k_pages, v_pages, tokens0, page_idx,
                      lens0, token_pages, token_slots, extras, lora, key,
-                     temps, top_k, top_p, n: int):
+                     temps, top_k, top_p, penalties, n: int):
         """``n`` decode steps fused into ONE program: lax.scan over the
         single-token step with on-device per-request sampling (temperature /
         top-k / top-p) feeding each step's output token into the next.
@@ -723,18 +760,27 @@ class BatchServer:
         multi-step scheduling idea; between the n steps no requests can join
         or leave (the standard multi-step tradeoff)."""
 
+        if penalties is not None:
+            counts0, pmask, pres, freq, rep = penalties
+
         def body(carry, i):
-            tok, kp, vp, k_ = carry
+            tok, kp, vp, k_, cnts = carry
             logits, kp, vp = self._decode_step(
                 model, kp, vp, tok, page_idx, lens0 + i,
                 token_pages[:, i], token_slots[:, i], extras, lora,
             )
             k_, sub = jax.random.split(k_)
-            nxt = sample_tokens(logits, sub, temps, top_k, top_p)
-            return (nxt, kp, vp, k_), nxt
+            pen = None if cnts is None else (cnts, pmask, pres, freq, rep)
+            nxt = sample_tokens(logits, sub, temps, top_k, top_p, pen)
+            if cnts is not None:  # track generated tokens inside the scan
+                cnts = cnts.at[jnp.arange(nxt.shape[0]), nxt].add(1)
+            return (nxt, kp, vp, k_, cnts), nxt
 
-        (_, k_pages, v_pages, _), toks = jax.lax.scan(
-            body, (tokens0, k_pages, v_pages, key), jnp.arange(n)
+        (_, k_pages, v_pages, _, _), toks = jax.lax.scan(
+            body,
+            (tokens0, k_pages, v_pages, key,
+             None if penalties is None else counts0),
+            jnp.arange(n),
         )
         return toks, k_pages, v_pages
 
@@ -764,12 +810,12 @@ class BatchServer:
                 self._decode_many, donate_argnums=(1, 2),
                 static_argnames=("n",),
             )
-        temps, top_k, top_p = self._sampling_arrays(seq_ids)
+        temps, top_k, top_p, pen = self._sampling_arrays(seq_ids)
         self.key, sub = jax.random.split(self.key)
         toks, self.k_pages, self.v_pages = self._many_fn(
             self.model, self.k_pages, self.v_pages, tokens0, idx, lens0,
             jnp.asarray(tp), jnp.asarray(ts), self._extras,
-            self._lora_arg(seq_ids), sub, temps, top_k, top_p, n=n,
+            self._lora_arg(seq_ids), sub, temps, top_k, top_p, pen, n=n,
         )
         toks_host = np.asarray(toks)  # [n, B]
         out = {}
@@ -777,6 +823,8 @@ class BatchServer:
             seq_toks = [int(t) for t in toks_host[:, i]]
             self.last_token[s] = seq_toks[-1]
             out[s] = seq_toks
+            if s in self.seq_out_counts:
+                np.add.at(self.seq_out_counts[s], seq_toks, 1)
         return out
 
 

@@ -754,3 +754,47 @@ def test_multi_lora_engine_and_unknown_adapter():
 
     with pytest.raises(ValueError, match="unknown adapter"):
         engine.submit([1, 2], adapter="nope")
+
+
+# -- repetition / presence / frequency penalties -----------------------------
+
+def test_apply_penalties_semantics():
+    from lamp_tpu.models.sampling import apply_penalties
+
+    logits = jnp.asarray([[2.0, -1.0, 0.5, 3.0]])
+    counts = jnp.asarray([[2, 0, 1, 0]], jnp.int32)   # generated: t0 x2, t2 x1
+    pmask = jnp.asarray([[False, True, False, False]])  # prompt: t1
+    out = np.asarray(apply_penalties(
+        logits, counts, pmask,
+        jnp.asarray([0.5]), jnp.asarray([0.25]), jnp.asarray([2.0]),
+    ))[0]
+    # t0: rep 2/2=1.0, freq -0.25*2, presence -0.5 -> 0.0
+    # t1: prompt-only: rep -1*2=-2 (negative multiplied), no freq/presence
+    # t2: rep 0.5/2=0.25, freq -0.25, presence -0.5 -> -0.5
+    # t3: untouched
+    np.testing.assert_allclose(out, [0.0, -2.0, -0.5, 3.0], atol=1e-6)
+
+
+def test_presence_penalty_forces_distinct_tokens():
+    """A huge presence penalty makes greedy decode emit all-distinct
+    tokens, identically through step() and the fused step_many()."""
+    from lamp_tpu.models.serving import SamplingParams
+
+    model = _model()  # vocab 23
+    params = SamplingParams(presence_penalty=1000.0)
+
+    s1 = BatchServer(model, page_size=8, total_pages=32)
+    s1.add("a", [1, 2, 3], params)
+    stream1 = [s1.step()["a"] for _ in range(8)]
+    assert len(set(stream1)) == 8  # no repeats possible
+
+    s2 = BatchServer(model, page_size=8, total_pages=32)
+    s2.add("a", [1, 2, 3], params)
+    stream2 = s2.step_many(8)["a"]
+    assert stream2 == stream1
+
+    # sanity: without the penalty the greedy stream repeats within 8 tokens
+    s3 = BatchServer(model, page_size=8, total_pages=32)
+    s3.add("a", [1, 2, 3])
+    plain = [s3.step()["a"] for _ in range(8)]
+    assert plain != stream1

@@ -33,10 +33,13 @@ __all__ = [
     "ServingEngine", "SamplingParams",
 ]
 
-# shared all-zero penalty rows for non-penalized sequences inside a
-# penalized batch (keyed by vocab size; read-only)
-_ZERO_COUNTS: Dict[int, np.ndarray] = {}
-_ZERO_MASK: Dict[int, np.ndarray] = {}
+
+
+
+@jax.jit
+def _bump_counts(counts, nxt):
+    """counts [B, V] += one_hot(nxt) (device-side, single dispatch)."""
+    return counts.at[jnp.arange(nxt.shape[0]), nxt].add(1)
 
 
 class BatchServer:
@@ -108,13 +111,15 @@ class BatchServer:
         self.seq_params: Dict = {}
         self.seq_adapter: Dict = {}
         self.vocab = model.token_embedding.weight.shape[0]
-        # per-seq penalty state (only for requests whose SamplingParams has
-        # penalties): generated-token counts + the prompt-token mask
-        self.seq_out_counts: Dict = {}
+        # penalty state: host prompt masks per request; device [B, V] count
+        # stack cached per batch composition (rebuilt with one gather/scatter
+        # when requests join/leave)
         self.seq_prompt_mask: Dict = {}
+        self._pen_cache = None  # (ids tuple, counts [B,V], pmask [B,V])
+        self._pen_dirty: set = set()
         self.temperature = temperature
         self.key = jax.random.PRNGKey(seed)
-        self._sample_fn = jax.jit(sample_tokens)
+        self._sample_fn = jax.jit(sample_tokens, static_argnames=("max_top_k",))
         # prefix cache (vLLM-style): full prompt pages are content-addressed
         # by a chain hash over page-sized token chunks; matching prefixes of
         # later requests share the physical pages (refcounted). Pages whose
@@ -210,10 +215,13 @@ class BatchServer:
         sp = params or SamplingParams(temperature=self.temperature)
         self.seq_params[seq_id] = sp
         if sp.has_penalties:
-            self.seq_out_counts[seq_id] = np.zeros(self.vocab, np.int32)
+            # host-side prompt mask; the [B, V] count state lives on device
+            # in a batch-composition cache (_pen_cache) updated inside the
+            # fused scan — no per-seq device rows, no recurring transfers
             mask = np.zeros(self.vocab, bool)
             mask[np.asarray(prompt_tokens).reshape(-1)] = True
             self.seq_prompt_mask[seq_id] = mask
+            self._pen_dirty.add(seq_id)
         self.seq_pages[seq_id] = []
         self.seq_len[seq_id] = 0
         prompt = np.asarray(prompt_tokens).reshape(-1)
@@ -410,8 +418,8 @@ class BatchServer:
         self.last_token.pop(seq_id)
         self.seq_params.pop(seq_id, None)
         self.seq_adapter.pop(seq_id, None)
-        self.seq_out_counts.pop(seq_id, None)
         self.seq_prompt_mask.pop(seq_id, None)
+        self._pen_dirty.discard(seq_id)
 
     @property
     def active(self) -> List:
@@ -700,31 +708,59 @@ class BatchServer:
         if any(p.temperature > 0 for p in ps):
             temps = jnp.asarray([p.temperature for p in ps], jnp.float32)
         top_k = None
+        max_top_k = 0
         if any(p.top_k > 0 for p in ps):
             top_k = jnp.asarray([p.top_k for p in ps], jnp.int32)
+            max_top_k = max(p.top_k for p in ps)
         top_p = None
         if any(p.top_p < 1.0 for p in ps):
             top_p = jnp.asarray([p.top_p for p in ps], jnp.float32)
         penalties = None
         if any(p.has_penalties for p in ps):
-            v = self.vocab
-            counts = np.stack([
-                self.seq_out_counts.get(s, _ZERO_COUNTS.setdefault(
-                    v, np.zeros(v, np.int32)))
-                for s in seq_ids
-            ])
-            pmask = np.stack([
-                self.seq_prompt_mask.get(s, _ZERO_MASK.setdefault(
-                    v, np.zeros(v, bool)))
-                for s in seq_ids
-            ])
+            counts, pmask = self._pen_stacks(seq_ids)
             penalties = (
-                jnp.asarray(counts), jnp.asarray(pmask),
+                counts, pmask,
                 jnp.asarray([p.presence_penalty for p in ps], jnp.float32),
                 jnp.asarray([p.frequency_penalty for p in ps], jnp.float32),
                 jnp.asarray([p.repetition_penalty for p in ps], jnp.float32),
             )
-        return temps, top_k, top_p, penalties
+        return temps, top_k, top_p, penalties, max_top_k
+
+    def _pen_stacks(self, seq_ids):
+        """Device [B, V] (counts, prompt_mask) for the current batch.
+        Cached per composition; on a change, surviving rows are gathered
+        from the previous stack (ONE device op) and new/dirty rows start at
+        zero — steady-state decode adds no extra dispatches."""
+        key = tuple(seq_ids)
+        cache = self._pen_cache
+        if cache is not None and cache[0] == key and not self._pen_dirty:
+            return cache[1], cache[2]
+        b, v = len(seq_ids), self.vocab
+        zero_m = np.zeros(v, bool)
+        pmask = jnp.asarray(np.stack([
+            self.seq_prompt_mask.get(s, zero_m) for s in seq_ids
+        ]))
+        counts = jnp.zeros((b, v), jnp.int32)
+        if cache is not None:
+            old_ids, old_counts, _ = cache
+            pos = {s: i for i, s in enumerate(old_ids)}
+            keep = [
+                (i, pos[s]) for i, s in enumerate(seq_ids)
+                if s in pos and s not in self._pen_dirty
+            ]
+            if keep:
+                rows = jnp.asarray([i for i, _ in keep], jnp.int32)
+                srcs = jnp.asarray([j for _, j in keep], jnp.int32)
+                counts = counts.at[rows].set(old_counts[srcs])
+        self._pen_dirty.clear()
+        self._pen_cache = (key, counts, pmask)
+        return counts, pmask
+
+    def _pen_store(self, seq_ids, counts):
+        """Write updated device counts back into the composition cache."""
+        cache = self._pen_cache
+        if cache is not None and cache[0] == tuple(seq_ids):
+            self._pen_cache = (cache[0], counts, cache[2])
 
     # -- decode ----------------------------------------------------------
     def step(self) -> Dict:
@@ -735,24 +771,26 @@ class BatchServer:
             return {}
         tokens = jnp.asarray([self.last_token[s] for s in seq_ids], jnp.int32)
         logits = self._advance(seq_ids, tokens)
-        temps, top_k, top_p, pen = self._sampling_arrays(seq_ids)
+        temps, top_k, top_p, pen, mtk = self._sampling_arrays(seq_ids)
         self.key, sub = jax.random.split(self.key)
-        nxt = self._sample_fn(logits, sub, temps, top_k, top_p, pen)
+        nxt = self._sample_fn(logits, sub, temps, top_k, top_p, pen,
+                              max_top_k=mtk)
         # ONE device->host transfer for the whole batch (per-element int()
         # would pay a full round trip per sequence)
         nxt_host = np.asarray(nxt)
+        if pen is not None:
+            self._pen_store(seq_ids, _bump_counts(pen[0], nxt))
         out = {}
         for i, s in enumerate(seq_ids):
             t = int(nxt_host[i])
             self.last_token[s] = t
             out[s] = t
-            if s in self.seq_out_counts:
-                self.seq_out_counts[s][t] += 1
         return out
 
     def _decode_many(self, model, k_pages, v_pages, tokens0, page_idx,
                      lens0, token_pages, token_slots, extras, lora, key,
-                     temps, top_k, top_p, penalties, n: int):
+                     temps, top_k, top_p, penalties, n: int,
+                     max_top_k: int = 0):
         """``n`` decode steps fused into ONE program: lax.scan over the
         single-token step with on-device per-request sampling (temperature /
         top-k / top-p) feeding each step's output token into the next.
@@ -771,18 +809,19 @@ class BatchServer:
             )
             k_, sub = jax.random.split(k_)
             pen = None if cnts is None else (cnts, pmask, pres, freq, rep)
-            nxt = sample_tokens(logits, sub, temps, top_k, top_p, pen)
+            nxt = sample_tokens(logits, sub, temps, top_k, top_p, pen,
+                                max_top_k)
             if cnts is not None:  # track generated tokens inside the scan
                 cnts = cnts.at[jnp.arange(nxt.shape[0]), nxt].add(1)
             return (nxt, kp, vp, k_, cnts), nxt
 
-        (_, k_pages, v_pages, _, _), toks = jax.lax.scan(
+        (_, k_pages, v_pages, _, cnts_end), toks = jax.lax.scan(
             body,
             (tokens0, k_pages, v_pages, key,
              None if penalties is None else counts0),
             jnp.arange(n),
         )
-        return toks, k_pages, v_pages
+        return toks, k_pages, v_pages, cnts_end
 
     def step_many(self, n: int) -> Dict:
         """Decode ``n`` tokens for every active request in ONE dispatched
@@ -808,23 +847,24 @@ class BatchServer:
         if not hasattr(self, "_many_fn"):
             self._many_fn = jax.jit(
                 self._decode_many, donate_argnums=(1, 2),
-                static_argnames=("n",),
+                static_argnames=("n", "max_top_k"),
             )
-        temps, top_k, top_p, pen = self._sampling_arrays(seq_ids)
+        temps, top_k, top_p, pen, mtk = self._sampling_arrays(seq_ids)
         self.key, sub = jax.random.split(self.key)
-        toks, self.k_pages, self.v_pages = self._many_fn(
+        toks, self.k_pages, self.v_pages, cnts_end = self._many_fn(
             self.model, self.k_pages, self.v_pages, tokens0, idx, lens0,
             jnp.asarray(tp), jnp.asarray(ts), self._extras,
             self._lora_arg(seq_ids), sub, temps, top_k, top_p, pen, n=n,
+            max_top_k=mtk,
         )
+        if cnts_end is not None:
+            self._pen_store(seq_ids, cnts_end)
         toks_host = np.asarray(toks)  # [n, B]
         out = {}
         for i, s in enumerate(seq_ids):
             seq_toks = [int(t) for t in toks_host[:, i]]
             self.last_token[s] = seq_toks[-1]
             out[s] = seq_toks
-            if s in self.seq_out_counts:
-                np.add.at(self.seq_out_counts[s], seq_toks, 1)
         return out
 
 

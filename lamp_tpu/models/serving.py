@@ -439,10 +439,10 @@ class BatchServer:
         is registered (STATIC — zero overhead in the compiled program)."""
         if not getattr(self, "_adapters", None):
             return None
-        ids = jnp.asarray(
-            [self.seq_adapter.get(s, 0) for s in seq_ids], jnp.int32
-        )
-        return (ids, self._lora_stacks)
+        host_ids = [self.seq_adapter.get(s, 0) for s in seq_ids]
+        if not any(host_ids):
+            return None  # purely-base batch: no gather/delta work at all
+        return (jnp.asarray(host_ids, jnp.int32), self._lora_stacks)
 
     @staticmethod
     def _copy_page(k_pages, v_pages, src, dst):
@@ -711,7 +711,14 @@ class BatchServer:
         max_top_k = 0
         if any(p.top_k > 0 for p in ps):
             top_k = jnp.asarray([p.top_k for p in ps], jnp.int32)
-            max_top_k = max(p.top_k for p in ps)
+            # static jit key: 0 for anything the default candidate set
+            # already covers; power-of-two buckets above it (one compile
+            # per bucket instead of one per distinct top_k value)
+            from .sampling import NUCLEUS_CAND
+
+            mk = max(p.top_k for p in ps)
+            if mk > NUCLEUS_CAND:
+                max_top_k = 1 << (mk - 1).bit_length()
         top_p = None
         if any(p.top_p < 1.0 for p in ps):
             top_p = jnp.asarray([p.top_p for p in ps], jnp.float32)
@@ -970,6 +977,7 @@ class ModernBatchServer(BatchServer):
             }
 
         per_layer = []
+        n_collected = 0
         for blk in lora_model.blocks:
             row = {}
             for p, mod in proj_modules(blk).items():
@@ -979,7 +987,29 @@ class ModernBatchServer(BatchServer):
                         (mod.lora_b.astype(jnp.float32)
                          * mod.scale).astype(mod.lora_b.dtype),
                     )
+                    n_collected += 1
             per_layer.append(row)
+        # every LoRALinear in the model must be served — silently dropping
+        # one (e.g. an adapted untied lm_head) would break the
+        # logits-match-merged-model guarantee
+        from ..nn.lora import _map_linears
+
+        n_total = 0
+
+        def count(path, node):
+            nonlocal n_total
+            if type(node) is LoRALinear:
+                n_total += 1
+            return None
+
+        _map_linears(lora_model, count, ())
+        if n_total != n_collected:
+            raise ValueError(
+                f"adapter {name!r} adapts {n_total - n_collected} module(s) "
+                "outside the block q/k/v/o/w1/w3/w2 projections (e.g. an "
+                "untied lm_head or embedding); these are not servable — "
+                "restrict lora_inject's match= accordingly"
+            )
         self._adapter_defs[name] = {"layers": per_layer}
         self._adapters[name] = len(self._adapters) + 1  # 0 = base
         self._rebuild_lora_stacks()
@@ -990,6 +1020,14 @@ class ModernBatchServer(BatchServer):
         all-zero base "adapter", smaller ranks are zero-padded to r_p."""
         n = len(self._adapters)
         order = sorted(self._adapters, key=self._adapters.get)
+        blk0 = self.model.blocks[0]
+        proj_shapes = {
+            "q": blk0.w_q.weight.shape, "k": blk0.w_k.weight.shape,
+            "v": blk0.w_v.weight.shape, "o": blk0.w_o.weight.shape,
+            "w1": blk0.mlp.w1.weight.shape, "w3": blk0.mlp.w3.weight.shape,
+            "w2": blk0.mlp.w2.weight.shape,
+        }
+        dt = blk0.w_q.weight.dtype
         stacks = {}
         for p in self._PROJ_NAMES:
             ranks = [
@@ -1000,36 +1038,22 @@ class ModernBatchServer(BatchServer):
             if not ranks:
                 continue
             r = max(ranks)
+            d_in, d_out = proj_shapes[p]
             a_layers, b_layers = [], []
             for li in range(self.layers):
-                a_rows, b_rows = None, None
+                a_rows = np.zeros((n + 1, d_in, r), dt)
+                b_rows = np.zeros((n + 1, r, d_out), dt)
                 for k, nm in enumerate(order):
                     entry = self._adapter_defs[nm]["layers"][li].get(p)
                     if entry is None:
                         continue
                     a, bv = entry
-                    if a_rows is None:
-                        dt = a.dtype
-                        a_rows = np.zeros((n + 1, a.shape[0], r), dt)
-                        b_rows = np.zeros((n + 1, r, bv.shape[1]), dt)
-                    a_rows[k + 1, :, :a.shape[1]] = np.asarray(a)
-                    b_rows[k + 1, :bv.shape[0], :] = np.asarray(bv)
-                if a_rows is None:
-                    # no adapter touches p at this layer: zeros shaped from
-                    # any layer that has p (ranks non-empty guarantees one)
-                    for nm in order:
-                        for lj in range(self.layers):
-                            e = self._adapter_defs[nm]["layers"][lj].get(p)
-                            if e is not None:
-                                a_rows = np.zeros(
-                                    (n + 1, e[0].shape[0], r), e[0].dtype
-                                )
-                                b_rows = np.zeros(
-                                    (n + 1, r, e[1].shape[1]), e[1].dtype
-                                )
-                                break
-                        if a_rows is not None:
-                            break
+                    a_rows[k + 1, :, :a.shape[1]] = np.asarray(
+                        a.astype(dt)
+                    )
+                    b_rows[k + 1, :bv.shape[0], :] = np.asarray(
+                        bv.astype(dt)
+                    )
                 a_layers.append(jnp.asarray(a_rows))
                 b_layers.append(jnp.asarray(b_rows))
             stacks[p] = (tuple(a_layers), tuple(b_layers))

@@ -798,3 +798,63 @@ def test_presence_penalty_forces_distinct_tokens():
     s3.add("a", [1, 2, 3])
     plain = [s3.step()["a"] for _ in range(8)]
     assert plain != stream1
+
+
+def test_nucleus_candidate_cap_matches_exact_reference():
+    """With NUCLEUS_CAND shrunk below the vocab, the filter still matches
+    the exact sequential top-k -> top-p semantics whenever the nucleus fits
+    the candidate set — including top_k equal to the cap."""
+    import lamp_tpu.models.sampling as S
+    from lamp_tpu.models.sampling import _NEG_INF, _apply_filters
+
+    def seq_ref(scaled, top_k, top_p):
+        out = np.asarray(scaled).copy()
+        for i in range(out.shape[0]):
+            row = out[i]
+            k = int(top_k[i]) or row.size
+            kth = np.sort(row)[::-1][min(k, row.size) - 1]
+            row[row < kth] = -np.inf
+            order = np.argsort(-row)
+            p = np.exp(row[order] - np.nanmax(row[order]))
+            p[~np.isfinite(p)] = 0
+            p = p / p.sum()
+            cs = np.cumsum(p)
+            keep_sorted = (cs - p) < float(top_p[i])
+            row[row < row[order][keep_sorted].min()] = -np.inf
+        return out
+
+    rng = np.random.RandomState(5)
+    # peaked logits: the nucleus always fits in the top-8 candidates
+    scaled = jnp.asarray(
+        np.sort(rng.randn(8, 64).astype(np.float32), axis=-1)[:, ::-1]
+        * np.linspace(3.0, 0.1, 64)[None, :]
+    )
+    perm = rng.permutation(64)
+    scaled = scaled[:, perm]
+    # includes top_k == cap (8) — the z-normalizer must use top-k mass
+    top_k = jnp.asarray([0, 3, 8, 5, 8, 2, 0, 4], jnp.int32)
+    top_p = jnp.asarray(
+        [0.6, 0.5, 0.6, 1.0, 0.9, 0.8, 0.3, 0.7], jnp.float32
+    )
+    saved = S.NUCLEUS_CAND
+    S.NUCLEUS_CAND = 8
+    try:
+        got = np.asarray(_apply_filters(scaled, top_k, top_p, 8))
+    finally:
+        S.NUCLEUS_CAND = saved
+    want = seq_ref(scaled, top_k, top_p)
+    mg, mw = got > _NEG_INF / 2, np.isfinite(want)
+    np.testing.assert_array_equal(mg, mw)
+
+
+def test_register_adapter_rejects_unservable_projections():
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    base = nn.ModernLM.init(
+        vocab_size=19, context_length=32, num_blocks=1, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(0), tied=False,
+    )
+    tuned = nn.lora_inject(base, rank=2, key=jax.random.PRNGKey(1))
+    server = ModernBatchServer(base, page_size=8, total_pages=32)
+    with pytest.raises(ValueError, match="not servable"):
+        server.register_adapter("bad", tuned)

@@ -947,6 +947,12 @@ class ModernBatchServer(BatchServer):
         self.kv_heads = block.num_kv_heads
         d_model = block.w_q.weight.shape[0]
         self.head_dim = d_model // self.heads
+        # per-layer sliding windows (Mistral/Gemma-style): the paged kernel
+        # walks only the pages intersecting each layer's band, so windowed
+        # layers decode in O(window) regardless of sequence length
+        self._windows = tuple(
+            getattr(b, "window", None) for b in model.blocks
+        )
 
     # -- multi-LoRA serving ------------------------------------------------
     _PROJ_NAMES = ("q", "k", "v", "o", "w1", "w3", "w2")
@@ -1181,6 +1187,7 @@ class ModernBatchServer(BatchServer):
                 q, k_pages[li], v_pages[li], page_idx, lengths + 1,
                 num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block,
+                window=self._windows[li],
             )
             o3 = o.reshape(b, 1, -1)
             att = self._mm(o3, wo[li])
@@ -1270,6 +1277,7 @@ class ModernBatchServer(BatchServer):
             o = paged_attention(
                 q, k_pages[li], v_pages[li], page_idx, lengths + 1,
                 num_kv_heads=hkv_l, pages_per_block=self.pages_per_block,
+                window=self._windows[li],
             )
             att = self._mm(o.reshape(b, 1, -1), wo[li])
             x = x + jax.lax.psum(att, axis)
@@ -1327,6 +1335,7 @@ class ModernBatchServer(BatchServer):
                 q.reshape(b * m, hq_l, hd), k_pages[li], v_pages[li],
                 pidx, plen, num_kv_heads=hkv_l,
                 pages_per_block=self.pages_per_block,
+                window=self._windows[li],
             ).reshape(b, m, -1)
             x = x + jax.lax.psum(self._mm(o, wo[li]), axis)
             h = block.norm2(x)
@@ -1395,6 +1404,7 @@ class ModernBatchServer(BatchServer):
                 q.reshape(b * m, self.heads, hd), k_pages[li], v_pages[li],
                 pidx, plen, num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block,
+                window=self._windows[li],
             ).reshape(b, m, -1)
             att = self._mm(o, wo[li])
             if lora is not None and "o" in st:
@@ -1447,7 +1457,8 @@ class ModernBatchServer(BatchServer):
                 rep = self.heads // self.kv_heads
                 kk = jnp.repeat(kk, rep, axis=1)
                 vv = jnp.repeat(vv, rep, axis=1)
-            o = mha_reference(q, kk, vv, causal=True)
+            o = mha_reference(q, kk, vv, causal=True,
+                              window=self._windows[li])
             o = o.transpose(0, 2, 1, 3).reshape(1, t, -1)
             x = x + (o @ block.w_o.weight)
             m, _ = block.mlp.forward(block.norm2(x))

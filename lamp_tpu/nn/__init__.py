@@ -51,6 +51,7 @@ from .transformer import (
     positional_embedding_vaswani,
 )
 from .lm import LanguageModelInput, LanguageModelLoss, LanguageModelModule, lm_loss
+from ..ops.fused_ce import fused_linear_cross_entropy, fused_lm_loss
 from .lora import LoRALinear, lora_inject, lora_merge, lora_parameter_count
 from .bert import (
     BertEncoder,
@@ -115,6 +116,8 @@ __all__ = [
     "SwiGLU",
     "LlamaBlock",
     "ModernLM",
+    "fused_linear_cross_entropy",
+    "fused_lm_loss",
     "apply_rope",
     "rope_frequencies",
 ]

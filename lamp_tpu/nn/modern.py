@@ -111,10 +111,12 @@ class LlamaBlock(Module):
     mlp: SwiGLU
     num_heads: int = static_field()
     num_kv_heads: int = static_field()
+    window: Optional[int] = static_field(default=None)
 
     @staticmethod
     def init(dim: int, num_heads: int, *, key, num_kv_heads: Optional[int] = None,
-             mlp_hidden: Optional[int] = None, dtype=jnp.float32) -> "LlamaBlock":
+             mlp_hidden: Optional[int] = None, window: Optional[int] = None,
+             dtype=jnp.float32) -> "LlamaBlock":
         kv_heads = num_kv_heads or num_heads
         mlp_hidden = mlp_hidden or int(dim * 8 / 3 // 64 * 64) or dim * 2
         head_dim = dim // num_heads
@@ -131,6 +133,7 @@ class LlamaBlock(Module):
             mlp=SwiGLU.init(dim, mlp_hidden, key=keys[4], dtype=dtype),
             num_heads=num_heads,
             num_kv_heads=kv_heads,
+            window=window,
         )
 
     def forward(self, x_and_rope, *, key=None, train=False):
@@ -149,9 +152,9 @@ class LlamaBlock(Module):
             v = jnp.repeat(v, h // hk, axis=1)
         on_tpu = jax.default_backend() == "tpu"
         if on_tpu and t > 1024:
-            o = flash_attention(q, k, v, causal=True)
+            o = flash_attention(q, k, v, causal=True, window=self.window)
         else:
-            o = mha_reference(q, k, v, causal=True)
+            o = mha_reference(q, k, v, causal=True, window=self.window)
         x = x + self.w_o(o.transpose(0, 2, 1, 3).reshape(b, t, d))
         m, _ = self.mlp.forward(self.norm2(x), key=key, train=train)
         x = x + m
@@ -169,15 +172,26 @@ class ModernLM(Module):
     rope_cos: jax.Array = buffer_field()
     rope_sin: jax.Array = buffer_field()
     context_length: int = static_field()
+    remat: bool = static_field(default=False)
 
     @staticmethod
     def init(*, vocab_size: int, context_length: int, num_blocks: int,
              embed_dim: int, num_heads: int, num_kv_heads: Optional[int] = None,
              mlp_hidden: Optional[int] = None, tied: bool = True, key,
-             rope_base: float = 10000.0, dtype=jnp.float32) -> "ModernLM":
+             rope_base: float = 10000.0, window=None, remat: bool = False,
+             dtype=jnp.float32) -> "ModernLM":
         keys = jax.random.split(key, num_blocks + 2)
         cos, sin = rope_frequencies(embed_dim // num_heads, context_length,
                                     base=rope_base)
+        # window: None (full attention), int (sliding window every block) or
+        # a per-block sequence, e.g. Gemma-style alternation
+        # [None, 4096] * (n // 2)
+        if window is None or isinstance(window, int):
+            windows = [window] * num_blocks
+        else:
+            windows = list(window)
+            if len(windows) != num_blocks:
+                raise ValueError("per-block window list length mismatch")
         return ModernLM(
             token_embedding=Embedding(
                 weight=initializers.normal(0.02)(
@@ -188,7 +202,7 @@ class ModernLM(Module):
                 LlamaBlock.init(
                     embed_dim, num_heads, key=keys[i + 1],
                     num_kv_heads=num_kv_heads, mlp_hidden=mlp_hidden,
-                    dtype=dtype,
+                    window=windows[i], dtype=dtype,
                 )
                 for i in range(num_blocks)
             ),
@@ -201,9 +215,11 @@ class ModernLM(Module):
             rope_cos=cos,
             rope_sin=sin,
             context_length=context_length,
+            remat=remat,
         )
 
-    def forward(self, tokens, *, key=None, train=False):
+    def hidden(self, tokens, *, key=None, train=False):
+        """Final-norm hidden states [B, T, D] (no logits projection)."""
         if isinstance(tokens, tuple):
             tokens = tokens[0]
         x = self.token_embedding(tokens)
@@ -212,11 +228,39 @@ class ModernLM(Module):
             jax.random.split(key, len(self.blocks))
             if key is not None else [None] * len(self.blocks)
         )
+
+        def run_block(block, x, rope, k):
+            (y, _), _ = block.forward((x, rope), key=k, train=train)
+            return y
+
+        if self.remat:  # recompute each block's activations on backward
+            run_block = jax.checkpoint(run_block, static_argnums=())
         for block, k in zip(self.blocks, keys):
-            (x, rope), _ = block.forward((x, rope), key=k, train=train)
-        x = self.final_norm(x)
+            x = run_block(block, x, rope, k)
+        return self.final_norm(x)
+
+    @property
+    def output_weight(self):
+        """[V, D] logits projection weight (tied embedding or lm_head)."""
+        if self.lm_head is not None:
+            return self.lm_head.weight.T
+        return self.token_embedding.weight
+
+    def forward(self, tokens, *, key=None, train=False):
+        x = self.hidden(tokens, key=key, train=train)
         acc = jnp.promote_types(x.dtype, jnp.float32)
         if self.lm_head is not None:
             return self.lm_head(x).astype(acc), self
         w = self.token_embedding.weight
         return jnp.einsum("btd,vd->btv", x, w, preferred_element_type=acc), self
+
+    def loss(self, tokens, targets, *, key=None, train=False,
+             ignore_index: int = -100, row_chunk=None):
+        """Mean next-token CE WITHOUT materializing the [B, T, V] logits —
+        routes through the chunked fused linear+cross-entropy
+        (:mod:`lamp_tpu.ops.fused_ce`). At vocab 32k / ctx 2k the logits are
+        the largest tensor of the whole training step; this removes them."""
+        from ..ops.fused_ce import fused_lm_loss
+        x = self.hidden(tokens, key=key, train=train)
+        return fused_lm_loss(x, self.output_weight, targets,
+                             ignore_index=ignore_index, row_chunk=row_chunk)

@@ -2,6 +2,7 @@
 
 from .attention import dot_product_attention, flash_attention, mha_reference
 from .fused_adamw import AdamWStochastic, fused_adamw_update
+from .fused_ce import fused_linear_cross_entropy, fused_lm_loss
 from .paged_attention import PagedKVCache, paged_attention, paged_attention_reference
 from .quantization import (
     QuantizedLinear,
@@ -37,6 +38,8 @@ __all__ = [
     "mha_reference",
     "fused_adamw_update",
     "AdamWStochastic",
+    "fused_linear_cross_entropy",
+    "fused_lm_loss",
     "quantize_int8",
     "dequantize_int8",
     "int8_matmul",

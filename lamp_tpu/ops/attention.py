@@ -35,11 +35,14 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
 
 
-def mha_reference(q, k, v, *, causal=False, sm_scale=None, mask=None):
+def mha_reference(q, k, v, *, causal=False, sm_scale=None, mask=None,
+                  window=None):
     """Pure-XLA attention, used on CPU and as the numerics oracle in tests.
 
     q: [B, H, Sq, D], k/v: [B, H, Skv, D]. ``mask`` is an optional boolean
-    array broadcastable to [B, H, Sq, Skv]; True = attend.
+    array broadcastable to [B, H, Sq, Skv]; True = attend. ``window`` (with
+    ``causal=True``) restricts each query row to the last ``window`` keys —
+    Mistral-style sliding-window attention.
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
@@ -53,7 +56,12 @@ def mha_reference(q, k, v, *, causal=False, sm_scale=None, mask=None):
         # when Sq != Skv, e.g. decoding)
         qpos = jnp.arange(sq)[:, None] + (skv - sq)
         kpos = jnp.arange(skv)[None, :]
-        s = jnp.where(kpos <= qpos, s, NEG_INF)
+        keep = kpos <= qpos
+        if window is not None:
+            keep = keep & (kpos > qpos - window)
+        s = jnp.where(keep, s, NEG_INF)
+    elif window is not None:
+        raise ValueError("window requires causal=True")
     if mask is not None:
         s = jnp.where(mask, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
@@ -71,7 +79,7 @@ def mha_reference(q, k, v, *, causal=False, sm_scale=None, mask=None):
 def _fwd_kernel(lim_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
                 *, sm_scale, causal, block_q, block_k, kv_len, q_offset,
-                heads):
+                heads, window=None):
     # lse_ref is None in the inference-only variant (no residuals saved);
     # lim_ref ([1, 1, block_q] int32 VMEM) is None without kv-length limits —
     # per-QUERY-ROW limits, covering both the reference's 1D (per-batch) and
@@ -90,10 +98,15 @@ def _fwd_kernel(lim_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # causal: skip kv tiles entirely above the diagonal
+    # causal: skip kv tiles entirely above the diagonal; window: also skip
+    # tiles entirely below the sliding band
     run = True
     if causal:
         run = (qi + 1) * block_q + q_offset > ki * block_k
+        if window is not None:
+            run = run & (
+                (ki + 1) * block_k > qi * block_q + q_offset - (window - 1)
+            )
 
     @pl.when(run)
     def _compute():
@@ -109,6 +122,8 @@ def _fwd_kernel(lim_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
                 + qi * block_q + q_offset
             valid = valid & (cols <= rows)
+            if window is not None:
+                valid = valid & (cols > rows - window)
         s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_scr[...]           # [block_q, LANES]
@@ -140,7 +155,7 @@ def _fwd_kernel(lim_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _fwd(q, k, v, limits, sm_scale, causal, block_q, block_k, kv_len,
-         q_offset, heads, interpret, save_residuals=True):
+         q_offset, heads, interpret, save_residuals=True, window=None):
     bh, sq, d = q.shape
     skv = k.shape[1]
     grid = (bh, sq // block_q, skv // block_k)
@@ -149,6 +164,7 @@ def _fwd(q, k, v, limits, sm_scale, causal, block_q, block_k, kv_len,
     base = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
         block_k=block_k, kv_len=kv_len, q_offset=q_offset, heads=heads,
+        window=window,
     )
     if save_residuals:
         if has_len:
@@ -216,7 +232,7 @@ def _fwd(q, k, v, limits, sm_scale, causal, block_q, block_k, kv_len,
 
 def _bwd_dq_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                    dq_ref, dq_scr, *, sm_scale, causal, block_q, block_k,
-                   kv_len, q_offset, heads):
+                   kv_len, q_offset, heads, window=None):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -232,6 +248,10 @@ def _bwd_dq_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     run = True
     if causal:
         run = (qi + 1) * block_q + q_offset > ki * block_k
+        if window is not None:
+            run = run & (
+                (ki + 1) * block_k > qi * block_q + q_offset - (window - 1)
+            )
 
     @pl.when(run)
     def _compute():
@@ -251,6 +271,8 @@ def _bwd_dq_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         valid = cols < kv_limit
         if causal:
             valid = valid & (cols <= rows)
+            if window is not None:
+                valid = valid & (cols > rows - window)
         s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse[:, :1])  # [block_q, block_k]
         dp = jax.lax.dot_general(
@@ -269,7 +291,7 @@ def _bwd_dq_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 def _bwd_dkv_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
                     *, sm_scale, causal, block_q, block_k, kv_len, q_offset,
-                    heads):
+                    heads, window=None):
     ki = pl.program_id(1)
     qi = pl.program_id(2)
     n_q = pl.num_programs(2)
@@ -286,6 +308,10 @@ def _bwd_dkv_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     run = True
     if causal:
         run = (qi + 1) * block_q + q_offset > ki * block_k
+        if window is not None:
+            run = run & (
+                (ki + 1) * block_k > qi * block_q + q_offset - (window - 1)
+            )
 
     @pl.when(run)
     def _compute():
@@ -305,6 +331,8 @@ def _bwd_dkv_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         valid = cols < kv_limit
         if causal:
             valid = valid & (cols <= rows)
+            if window is not None:
+                valid = valid & (cols > rows - window)
         s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse[:, :1])           # [block_q, block_k]
         # dv += P^T @ do
@@ -331,7 +359,7 @@ def _bwd_dkv_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 def _bwd_fused_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                       dqp_ref, dk_ref, dv_ref, dk_scr, dv_scr,
                       *, sm_scale, causal, block_q, block_k, kv_len, q_offset,
-                      heads):
+                      heads, window=None):
     """One backward kernel for dq+dk+dv (5 matmuls per block pair vs 7 for
     the split dq/dkv kernels, which each recompute s and dp).
 
@@ -359,6 +387,10 @@ def _bwd_fused_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     run = True
     if causal:
         run = (qi + 1) * block_q + q_offset > ki * block_k
+        if window is not None:
+            run = run & (
+                (ki + 1) * block_k > qi * block_q + q_offset - (window - 1)
+            )
 
     @pl.when(run)
     def _compute():
@@ -378,6 +410,8 @@ def _bwd_fused_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         valid = cols < kv_limit
         if causal:
             valid = valid & (cols <= rows)
+            if window is not None:
+                valid = valid & (cols > rows - window)
         s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse[:, :1])           # [block_q, block_k]
         # dv += P^T @ do
@@ -406,7 +440,7 @@ def _bwd_fused_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
 
 def _bwd_fused(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
-           interpret,
+           interpret, window,
                res, g):
     q, k, v, lengths, o, lse = res
     bh, sq, d = q.shape
@@ -431,7 +465,7 @@ def _bwd_fused(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
     base = functools.partial(
         _bwd_fused_kernel, sm_scale=sm_scale, causal=causal,
         block_q=block_q, block_k=block_k, kv_len=kv_len, q_offset=q_offset,
-        heads=heads,
+        heads=heads, window=window,
     )
     if has_len:
         kernel = base
@@ -489,19 +523,19 @@ _FUSED_BWD_SLAB_BYTES = 1024 * 1024 * 1024
 
 
 def _bwd(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
-         interpret, res, g):
+         interpret, window, res, g):
     q, k, v, lengths, o, lse = res
     n_kv = k.shape[1] // block_k
     slab = n_kv * q.size * q.dtype.itemsize
     if slab <= _FUSED_BWD_SLAB_BYTES:
         return _bwd_fused(sm_scale, causal, block_q, block_k, kv_len,
-                          q_offset, heads, interpret, res, g)
+                          q_offset, heads, interpret, window, res, g)
     return _bwd_split(sm_scale, causal, block_q, block_k, kv_len, q_offset,
-                      heads, interpret, res, g)
+                      heads, interpret, window, res, g)
 
 
 def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
-           interpret,
+           interpret, window,
                res, g):
     q, k, v, lengths, o, lse = res
     bh, sq, d = q.shape
@@ -525,6 +559,7 @@ def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
     base_dq = functools.partial(
         _bwd_dq_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
         block_k=block_k, kv_len=kv_len, q_offset=q_offset, heads=heads,
+        window=window,
     )
     if has_len:
         dq_kernel = base_dq
@@ -562,7 +597,7 @@ def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
     base_dkv = functools.partial(
         _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
         block_q=block_q, block_k=block_k, kv_len=kv_len, q_offset=q_offset,
-        heads=heads,
+        heads=heads, window=window,
     )
     if has_len:
         dkv_kernel = base_dkv
@@ -607,18 +642,20 @@ def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
     return dq, dk, dv, dlen
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def _flash(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
-           q_offset, heads, interpret):
+           q_offset, heads, interpret, window):
     o, _ = _fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
-                q_offset, heads, interpret, save_residuals=False)
+                q_offset, heads, interpret, save_residuals=False,
+                window=window)
     return o
 
 
 def _flash_fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
-               q_offset, heads, interpret):
+               q_offset, heads, interpret, window):
     o, lse = _fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k,
-                  kv_len, q_offset, heads, interpret)
+                  kv_len, q_offset, heads, interpret, window=window)
     return o, (q, k, v, lengths, o, lse)
 
 
@@ -631,7 +668,7 @@ def _round_up(x, m):
 
 def flash_attention(q, k, v, *, causal: bool = False,
                     sm_scale: Optional[float] = None,
-                    kv_lengths=None,
+                    kv_lengths=None, window: Optional[int] = None,
                     block_q: int = 0, block_k: int = 0,
                     interpret: Optional[bool] = None):
     """Flash attention on [B, H, S, D] tensors via Pallas TPU kernels.
@@ -642,10 +679,22 @@ def flash_attention(q, k, v, *, causal: bool = False,
     (Transformer.scala:663-750), BOTH variants: [B] int (per batch element)
     or [B, Sq] int (per query row; the reference's own fused-kernel gate
     disables the cuDNN kernel for 2D masks — here the fast path keeps them).
+    ``window`` (requires ``causal=True``) is Mistral-style sliding-window
+    attention: each query attends to its last ``window`` keys; kv tiles
+    entirely outside the band are skipped, making compute linear in
+    ``S * window`` rather than quadratic (forward AND both backward kernels).
     The backward pass recomputes attention weights from the saved logsumexp.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        window = int(window)
+        if window <= 0:
+            raise ValueError("window must be a positive int")
+        if window >= k.shape[2]:
+            window = None  # band covers everything: plain causal
     b, h, sq, d = q.shape
     skv = k.shape[2]
     if sm_scale is None:
@@ -684,12 +733,13 @@ def flash_attention(q, k, v, *, causal: bool = False,
     # different amounts must not shift the causal diagonal
     q_offset = skv - sq if causal else 0
     o = _flash(qr, kr, vr, limits, sm_scale, causal, block_q_eff,
-               block_k_eff, skv, q_offset, h, interpret)
+               block_k_eff, skv, q_offset, h, interpret, window)
     return o[:, :sq, :].reshape(b, h, sq, d)
 
 
 def dot_product_attention(q, k, v, *, causal: bool = False, mask=None,
                           sm_scale: Optional[float] = None,
+                          window: Optional[int] = None,
                           implementation: Optional[str] = None):
     """Route attention to the fused Pallas kernel when eligible, matching the
     reference's dispatch gate (Transformer.scala:949-961): on accelerator,
@@ -707,5 +757,7 @@ def dot_product_attention(q, k, v, *, causal: bool = False, mask=None,
     if implementation == "flash":
         if mask is not None:
             raise ValueError("flash path does not support arbitrary masks yet")
-        return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale)
-    return mha_reference(q, k, v, causal=causal, sm_scale=sm_scale, mask=mask)
+        return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale,
+                               window=window)
+    return mha_reference(q, k, v, causal=causal, sm_scale=sm_scale, mask=mask,
+                         window=window)

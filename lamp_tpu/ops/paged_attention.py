@@ -38,8 +38,11 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def paged_attention_reference(q, k_pages, v_pages, page_indices, lengths, *,
                               num_kv_heads: int,
-                              sm_scale: Optional[float] = None):
-    """jnp reference: gather pages then masked attention."""
+                              sm_scale: Optional[float] = None,
+                              window: Optional[int] = None):
+    """jnp reference: gather pages then masked attention. ``window``
+    restricts each decode token to its last ``window`` keys (Mistral-style
+    sliding-window attention at serve time)."""
     b, h, d = q.shape
     page = k_pages.shape[1]
     pages_per_seq = page_indices.shape[1]
@@ -57,7 +60,10 @@ def paged_attention_reference(q, k_pages, v_pages, page_indices, lengths, *,
     s = jnp.einsum("bhd,bhkd->bhk", q, k,
                    preferred_element_type=jnp.float32) * sm_scale
     pos = jnp.arange(pages_per_seq * page)[None, None, :]
-    s = jnp.where(pos < lengths[:, None, None], s, NEG_INF)
+    keep = pos < lengths[:, None, None]
+    if window is not None:
+        keep = keep & (pos >= lengths[:, None, None] - window)
+    s = jnp.where(keep, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhk,bhkd->bhd", p.astype(v.dtype), v,
                    preferred_element_type=jnp.float32)
@@ -82,13 +88,16 @@ def _paged_kernel(
     k_buf, v_buf,        # [2, pages_per_block, page, H_kv*D] VMEM
     sems,                # DMA semaphores [2, 2]
     *, pages_per_seq, pages_per_block, page, sm_scale, num_kv_heads,
-    head_dim, batch,
+    head_dim, batch, window=None,
 ):
     """Grid = (B,), one cell per sequence; an in-cell ``fori_loop`` with a
     DYNAMIC bound walks only the live kv blocks (no dead grid cells), and
     the last live block prefetches the NEXT sequence's first block — the
     double-buffer slot parity rides in a writable scalar-prefetch counter,
-    so DMA latency is hidden across cell boundaries too."""
+    so DMA latency is hidden across cell boundaries too. With ``window``
+    the walk starts at the first block intersecting the sliding band
+    ``[length - window, length)``, so DMA and compute are bounded by the
+    window, not the sequence length."""
     b = pl.program_id(0)
     bk = pages_per_block * page
     n_blocks = pages_per_seq // pages_per_block
@@ -97,11 +106,20 @@ def _paged_kernel(
     hkv = num_kv_heads
     q_per_kv = hq // hkv
 
-    # a length-0 sequence still walks block 0 so the DMA chain stays
+    # a length-0 sequence still walks one block so the DMA chain stays
     # balanced; its output is explicitly zeroed at the end (matching the
     # reference implementation's convention for no-valid-keys rows)
+    def live_range(b_):
+        ln = lengths_ref[b_]
+        end = jnp.clip((ln + bk - 1) // bk, 1, n_blocks)
+        if window is None:
+            return jnp.int32(0), end
+        start = jnp.minimum(jnp.maximum(ln - window, 0) // bk, end - 1)
+        return start, end
+
     length = lengths_ref[b]
-    n_live = jnp.clip((length + bk - 1) // bk, 1, n_blocks)
+    start, end = live_range(b)
+    n_live = end - start
 
     def page_dma(slot, b_, block_idx):
         copies = []
@@ -119,8 +137,8 @@ def _paged_kernel(
     entry_cnt = cnt_ref[0]
 
     @pl.when(init_ref[0] == 1)
-    def _first():  # the very first cell starts its own block-0 DMA
-        for c in page_dma(entry_cnt % 2, b, 0):
+    def _first():  # the very first cell starts its own first-block DMA
+        for c in page_dma(entry_cnt % 2, b, start):
             c.start()
 
     init_ref[0] = 0
@@ -144,15 +162,15 @@ def _paged_kernel(
 
         @pl.when(i + 1 < n_live)
         def _():  # next block of this sequence
-            for c in page_dma(nslot, b, i + 1):
+            for c in page_dma(nslot, b, start + i + 1):
                 c.start()
 
         @pl.when((i + 1 == n_live) & (b + 1 < batch))
-        def _():  # last live block: prefetch the next sequence's block 0
-            for c in page_dma(nslot, b + 1, 0):
+        def _():  # last live block: prefetch the next sequence's first block
+            for c in page_dma(nslot, b + 1, live_range(b + 1)[0]):
                 c.start()
 
-        for c in page_dma(slot, b, i):
+        for c in page_dma(slot, b, start + i):
             c.wait()
 
         k = k_buf[slot].reshape(bk, hkv * d)
@@ -161,8 +179,11 @@ def _paged_kernel(
             q_exp, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * sm_scale  # [H, tokens]
-        tok = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
-        s = jnp.where(tok < length, s, NEG_INF)
+        tok = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + (start + i) * bk
+        keep = tok < length
+        if window is not None:
+            keep = keep & (tok >= length - window)
+        s = jnp.where(keep, s, NEG_INF)
 
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_acc, m_cur)
@@ -196,11 +217,18 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
                     num_kv_heads: int,
                     sm_scale: Optional[float] = None,
                     pages_per_block: int = 4,
+                    window: Optional[int] = None,
                     interpret: Optional[bool] = None):
     """Decode attention over the paged KV pool (shapes in module docstring).
-    Returns [B, H, D]. Grid: one cell per sequence."""
+    Returns [B, H, D]. Grid: one cell per sequence. ``window`` restricts each
+    decode token to its last ``window`` keys and skips the pages below the
+    band entirely (sliding-window serving: cost bounded by the window)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if window is not None:
+        window = int(window)
+        if window <= 0:
+            raise ValueError("window must be a positive int")
     b, h, d = q.shape
     total_pages, page, fused = k_pages.shape
     assert fused == num_kv_heads * d, (fused, num_kv_heads, d)
@@ -214,7 +242,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
     kernel = functools.partial(
         _paged_kernel, pages_per_seq=pages_per_seq,
         pages_per_block=pages_per_block, page=page, sm_scale=sm_scale,
-        num_kv_heads=num_kv_heads, head_dim=d, batch=b,
+        num_kv_heads=num_kv_heads, head_dim=d, batch=b, window=window,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -222,3 +222,76 @@ def test_flash_kv_lengths(causal):
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
                                    rtol=2e-4)
+
+
+@pytest.mark.parametrize("window", [1, 17, 64, 128])
+def test_flash_sliding_window(window):
+    """Sliding-window (Mistral-style) band masking inside the kernel matches
+    the banded XLA reference, forward and backward, including tile skipping
+    at block boundaries."""
+    b, h, s, d = 2, 2, 192, 32
+    keys = jax.random.split(jax.random.PRNGKey(21), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys)
+
+    out = flash_attention(q, k, v, causal=True, window=window,
+                          interpret=True, block_q=64, block_k=64)
+    ref = mha_reference(q, k, v, causal=True, window=window)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, causal=True, window=window,
+                            interpret=True, block_q=64, block_k=64)
+        return jnp.sum(jnp.square(o))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(
+            mha_reference(q, k, v, causal=True, window=window)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4, err_msg=f"window grad {name}")
+
+
+def test_flash_sliding_window_split_backward(monkeypatch):
+    """The split two-kernel backward honors the window too."""
+    import lamp_tpu.ops.attention as A
+
+    b, h, s, d = 1, 2, 128, 32
+    keys = jax.random.split(jax.random.PRNGKey(23), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, causal=True, window=32,
+                            interpret=True, block_q=32, block_k=32)
+        return jnp.sum(jnp.square(o))
+
+    monkeypatch.setattr(A, "_FUSED_BWD_SLAB_BYTES", 0)  # force split
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(
+            mha_reference(q, k, v, causal=True, window=32)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4, err_msg=f"split window {name}")
+
+
+def test_flash_window_covering_everything_is_causal():
+    b, h, s, d = 1, 1, 128, 16
+    keys = jax.random.split(jax.random.PRNGKey(25), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys)
+    out = flash_attention(q, k, v, causal=True, window=s + 7, interpret=True)
+    ref = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_flash_window_requires_causal():
+    q = jnp.zeros((1, 1, 128, 16))
+    with pytest.raises(ValueError):
+        flash_attention(q, q, q, causal=False, window=8, interpret=True)

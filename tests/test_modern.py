@@ -88,3 +88,48 @@ def test_modern_lm_causal_and_overfit():
     for i in range(150):
         state, (loss, _) = step(state, (tokens, target), jax.random.PRNGKey(i))
     assert float(loss) < 0.1, float(loss)
+
+
+def test_modern_lm_sliding_window():
+    import numpy as np
+    from lamp_tpu.ops.attention import mha_reference
+
+    key = jax.random.PRNGKey(7)
+    # per-block windows: full, sliding-4 alternation (Gemma-style)
+    model = nn.ModernLM.init(vocab_size=19, context_length=12, num_blocks=2,
+                             embed_dim=16, num_heads=2, window=[None, 4],
+                             key=key)
+    assert model.blocks[0].window is None
+    assert model.blocks[1].window == 4
+    tok = jax.random.randint(jax.random.PRNGKey(8), (2, 12), 0, 19)
+    logits, _ = model.forward(tok)
+    assert logits.shape == (2, 12, 19)
+    # a window as wide as the context equals full causal attention
+    wide = nn.ModernLM.init(vocab_size=19, context_length=12, num_blocks=2,
+                            embed_dim=16, num_heads=2, window=12, key=key)
+    full = nn.ModernLM.init(vocab_size=19, context_length=12, num_blocks=2,
+                            embed_dim=16, num_heads=2, key=key)
+    lw, _ = wide.forward(tok)
+    lf, _ = full.forward(tok)
+    np.testing.assert_allclose(np.asarray(lw), np.asarray(lf), atol=1e-5)
+
+
+def test_modern_lm_remat_same_grads():
+    key = jax.random.PRNGKey(11)
+    kw = dict(vocab_size=13, context_length=8, num_blocks=2, embed_dim=16,
+              num_heads=2, key=key)
+    plain = nn.ModernLM.init(**kw)
+    remat = nn.ModernLM.init(remat=True, **kw)
+    tok = jax.random.randint(jax.random.PRNGKey(12), (2, 8), 0, 13)
+    tgt = jnp.roll(tok, -1, axis=1)
+
+    def loss(m):
+        return m.loss(tok, tgt, row_chunk=8)
+
+    lp, gp = jax.value_and_grad(loss)(plain)
+    lr, gr = jax.value_and_grad(loss)(remat)
+    np.testing.assert_allclose(float(lp), float(lr), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)

@@ -97,3 +97,38 @@ def test_pool_exhaustion():
     cache.append("a", k, v)
     with pytest.raises(RuntimeError):
         cache.append("a", k, v)  # needs a second page; pool has one
+
+
+@pytest.mark.parametrize("window", [1, 7, 16, 33, 100])
+def test_paged_window_matches_reference(window):
+    """Sliding-window decode: kernel (which skips whole blocks below the
+    band) matches the masked reference for windows crossing page/block
+    boundaries."""
+    args, hkv = _setup(seed=3)
+    ref = paged_attention_reference(*args, num_kv_heads=hkv, window=window)
+    out = paged_attention(*args, num_kv_heads=hkv, window=window,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_paged_window_mixed_lengths_and_zero():
+    (q, kp, vp, idx, _), hkv = _setup(seed=4)
+    lengths = jnp.asarray([0, 3, 127], jnp.int32)
+    ref = paged_attention_reference(q, kp, vp, idx, lengths, num_kv_heads=hkv,
+                                    window=32)
+    out = paged_attention(q, kp, vp, idx, lengths, num_kv_heads=hkv,
+                          window=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    assert float(jnp.max(jnp.abs(out[0]))) == 0.0
+
+
+def test_paged_window_wider_than_length_is_full():
+    """window >= length must equal unwindowed attention."""
+    args, hkv = _setup(seed=5)
+    full = paged_attention(*args, num_kv_heads=hkv, interpret=True)
+    win = paged_attention(*args, num_kv_heads=hkv, window=10_000,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(win), np.asarray(full), atol=2e-5,
+                               rtol=2e-5)

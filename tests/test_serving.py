@@ -858,3 +858,28 @@ def test_register_adapter_rejects_unservable_projections():
     server = ModernBatchServer(base, page_size=8, total_pages=32)
     with pytest.raises(ValueError, match="not servable"):
         server.register_adapter("bad", tuned)
+
+
+def test_modern_serving_windowed_matches_full_forward():
+    """A windowed ModernLM (per-block sliding windows, incl. a window
+    smaller than the prompt) serves logits matching the dense forward —
+    prefill AND several decode steps."""
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    model = nn.ModernLM.init(
+        vocab_size=19, context_length=32, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, window=[None, 4],
+        key=jax.random.PRNGKey(0),
+    )
+    prompt = [1, 4, 7, 2, 9, 3, 6, 8, 5, 1, 2]  # longer than the window
+    server = ModernBatchServer(model, page_size=8, total_pages=32)
+    server.add("a", prompt)
+    seq = list(prompt)
+    for _ in range(3):
+        logits = server._advance(["a"], jnp.asarray([seq[-1]], jnp.int32))
+        full, _ = model.forward(jnp.asarray([seq], jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(logits[0]), np.asarray(full[0, -1]),
+            atol=5e-3, rtol=5e-3,
+        )
+        seq.append(int(np.argmax(np.asarray(logits[0]))))

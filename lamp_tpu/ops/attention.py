@@ -36,16 +36,23 @@ LANES = 128
 
 
 def mha_reference(q, k, v, *, causal=False, sm_scale=None, mask=None,
-                  window=None):
+                  window=None, segment_ids=None):
     """Pure-XLA attention, used on CPU and as the numerics oracle in tests.
 
     q: [B, H, Sq, D], k/v: [B, H, Skv, D]. ``mask`` is an optional boolean
     array broadcastable to [B, H, Sq, Skv]; True = attend. ``window`` (with
     ``causal=True``) restricts each query row to the last ``window`` keys —
-    Mistral-style sliding-window attention.
+    Mistral-style sliding-window attention. ``segment_ids`` ([B, S] int, or a
+    ``(q_ids, kv_ids)`` pair) restricts attention to keys in the same
+    segment — packed-document masking.
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    if segment_ids is not None:
+        q_ids, kv_ids = (segment_ids if isinstance(segment_ids, tuple)
+                         else (segment_ids, segment_ids))
+        seg = q_ids[:, None, :, None] == kv_ids[:, None, None, :]
+        mask = seg if mask is None else (mask & seg)
     acc = jnp.promote_types(q.dtype, jnp.float32)
     s = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=acc
@@ -76,14 +83,16 @@ def mha_reference(q, k, v, *, causal=False, sm_scale=None, mask=None,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(lim_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+def _fwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
                 *, sm_scale, causal, block_q, block_k, kv_len, q_offset,
                 heads, window=None):
     # lse_ref is None in the inference-only variant (no residuals saved);
     # lim_ref ([1, 1, block_q] int32 VMEM) is None without kv-length limits —
     # per-QUERY-ROW limits, covering both the reference's 1D (per-batch) and
-    # 2D (per-query-token) maxLength protocols in-kernel
+    # 2D (per-query-token) maxLength protocols in-kernel; sq_ref/sk_ref
+    # ([1, 1, block_q] / [1, 1, block_k] int32) are the q/kv segment-id tiles
+    # for packed-document masking, None when unsegmented
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -107,6 +116,12 @@ def _fwd_kernel(lim_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             run = run & (
                 (ki + 1) * block_k > qi * block_q + q_offset - (window - 1)
             )
+    if sq_ref is not None:
+        # tiles whose [min, max] id ranges don't overlap share no segment:
+        # with packed (sorted) ids this skips everything off the block
+        # diagonal, making compute linear in sum(len_i * len_i)
+        run = run & (jnp.max(sk_ref[0, 0]) >= jnp.min(sq_ref[0, 0])) \
+                  & (jnp.min(sk_ref[0, 0]) <= jnp.max(sq_ref[0, 0]))
 
     @pl.when(run)
     def _compute():
@@ -124,6 +139,8 @@ def _fwd_kernel(lim_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             valid = valid & (cols <= rows)
             if window is not None:
                 valid = valid & (cols > rows - window)
+        if sq_ref is not None:
+            valid = valid & (sq_ref[0, 0][:, None] == sk_ref[0, 0][None, :])
         s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_scr[...]           # [block_q, LANES]
@@ -154,24 +171,54 @@ def _fwd_kernel(lim_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             ).astype(jnp.float32)
 
 
-def _fwd(q, k, v, limits, sm_scale, causal, block_q, block_k, kv_len,
-         q_offset, heads, interpret, save_residuals=True, window=None):
+def _opt_inputs(limits, seg_q, seg_kv, heads, block_q, block_k, qmap, kmap):
+    """Assemble the optional kv-limit / segment-id kernel inputs: returns
+    (extra in_specs, extra args, wrap) where ``wrap(base)`` adapts a kernel
+    expecting ``(lim_ref, sq_ref, sk_ref, *rest)`` to only the present refs.
+    ``qmap``/``kmap`` are the grid index maps of q tiles / kv tiles."""
+    specs, args = [], []
+    has_len = limits is not None
+    has_seg = seg_q is not None
+    if has_len:
+        specs.append(pl.BlockSpec((1, 1, block_q), qmap))
+        args.append(limits)
+    if has_seg:
+        specs.append(pl.BlockSpec((1, 1, block_q), qmap))
+        args.append(seg_q)
+        specs.append(pl.BlockSpec((1, 1, block_k), kmap))
+        args.append(seg_kv)
+
+    def wrap(base):
+        if has_len and has_seg:
+            return base
+        if has_len:
+            return lambda lim, *r: base(lim, None, None, *r)
+        if has_seg:
+            return lambda sq_, sk_, *r: base(None, sq_, sk_, *r)
+        return lambda *r: base(None, None, None, *r)
+
+    return specs, args, wrap
+
+
+def _fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal, block_q, block_k,
+         kv_len, q_offset, heads, interpret, save_residuals=True,
+         window=None):
     bh, sq, d = q.shape
     skv = k.shape[1]
     grid = (bh, sq // block_q, skv // block_k)
-    has_len = limits is not None
 
     base = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
         block_k=block_k, kv_len=kv_len, q_offset=q_offset, heads=heads,
         window=window,
     )
+    opt_specs, opt_args, wrap = _opt_inputs(
+        limits, seg_q, seg_kv, heads, block_q, block_k,
+        qmap=lambda b, i, j: (b // heads, 0, i),
+        kmap=lambda b, i, j: (b // heads, 0, j),
+    )
     if save_residuals:
-        if has_len:
-            kernel = base
-        else:
-            def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *scr):
-                base(None, q_ref, k_ref, v_ref, o_ref, lse_ref, *scr)
+        kernel = wrap(base)
         out_shapes = (
             jax.ShapeDtypeStruct((bh, sq, d), q.dtype),          # o
             jax.ShapeDtypeStruct((bh, sq, LANES), jnp.float32),  # lse
@@ -181,27 +228,21 @@ def _fwd(q, k, v, limits, sm_scale, causal, block_q, block_k, kv_len,
             pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
         )
     else:
-        if has_len:
-            def kernel(lim_ref, q_ref, k_ref, v_ref, o_ref, *scr):
-                base(lim_ref, q_ref, k_ref, v_ref, o_ref, None, *scr)
-        else:
-            def kernel(q_ref, k_ref, v_ref, o_ref, *scr):
-                base(None, q_ref, k_ref, v_ref, o_ref, None, *scr)
+        def base_nolse(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, o_ref,
+                       *scr):
+            base(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, o_ref, None,
+                 *scr)
 
+        kernel = wrap(base_nolse)
         out_shapes = jax.ShapeDtypeStruct((bh, sq, d), q.dtype)
         out_specs = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
 
-    in_specs = [
+    in_specs = opt_specs + [
         pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
         pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
         pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
     ]
-    args = (q, k, v)
-    if has_len:
-        in_specs = [pl.BlockSpec(
-            (1, 1, block_q), lambda b, i, j: (b // heads, 0, i)
-        )] + in_specs
-        args = (limits,) + args
+    args = tuple(opt_args) + (q, k, v)
 
     out = pl.pallas_call(
         kernel,
@@ -230,7 +271,8 @@ def _fwd(q, k, v, limits, sm_scale, causal, block_q, block_k, kv_len,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+def _bwd_dq_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, do_ref,
+                   lse_ref, di_ref,
                    dq_ref, dq_scr, *, sm_scale, causal, block_q, block_k,
                    kv_len, q_offset, heads, window=None):
     qi = pl.program_id(1)
@@ -252,6 +294,9 @@ def _bwd_dq_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             run = run & (
                 (ki + 1) * block_k > qi * block_q + q_offset - (window - 1)
             )
+    if sq_ref is not None:
+        run = run & (jnp.max(sk_ref[0, 0]) >= jnp.min(sq_ref[0, 0])) \
+                  & (jnp.min(sk_ref[0, 0]) <= jnp.max(sq_ref[0, 0]))
 
     @pl.when(run)
     def _compute():
@@ -273,6 +318,8 @@ def _bwd_dq_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             valid = valid & (cols <= rows)
             if window is not None:
                 valid = valid & (cols > rows - window)
+        if sq_ref is not None:
+            valid = valid & (sq_ref[0, 0][:, None] == sk_ref[0, 0][None, :])
         s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse[:, :1])  # [block_q, block_k]
         dp = jax.lax.dot_general(
@@ -288,7 +335,8 @@ def _bwd_dq_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+def _bwd_dkv_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, do_ref,
+                    lse_ref, di_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
                     *, sm_scale, causal, block_q, block_k, kv_len, q_offset,
                     heads, window=None):
@@ -312,6 +360,9 @@ def _bwd_dkv_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             run = run & (
                 (ki + 1) * block_k > qi * block_q + q_offset - (window - 1)
             )
+    if sq_ref is not None:
+        run = run & (jnp.max(sk_ref[0, 0]) >= jnp.min(sq_ref[0, 0])) \
+                  & (jnp.min(sk_ref[0, 0]) <= jnp.max(sq_ref[0, 0]))
 
     @pl.when(run)
     def _compute():
@@ -333,6 +384,8 @@ def _bwd_dkv_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             valid = valid & (cols <= rows)
             if window is not None:
                 valid = valid & (cols > rows - window)
+        if sq_ref is not None:
+            valid = valid & (sq_ref[0, 0][:, None] == sk_ref[0, 0][None, :])
         s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse[:, :1])           # [block_q, block_k]
         # dv += P^T @ do
@@ -356,7 +409,8 @@ def _bwd_dkv_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd_fused_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+def _bwd_fused_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, do_ref,
+                      lse_ref, di_ref,
                       dqp_ref, dk_ref, dv_ref, dk_scr, dv_scr,
                       *, sm_scale, causal, block_q, block_k, kv_len, q_offset,
                       heads, window=None):
@@ -391,6 +445,9 @@ def _bwd_fused_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             run = run & (
                 (ki + 1) * block_k > qi * block_q + q_offset - (window - 1)
             )
+    if sq_ref is not None:
+        run = run & (jnp.max(sk_ref[0, 0]) >= jnp.min(sq_ref[0, 0])) \
+                  & (jnp.min(sk_ref[0, 0]) <= jnp.max(sq_ref[0, 0]))
 
     @pl.when(run)
     def _compute():
@@ -412,6 +469,8 @@ def _bwd_fused_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             valid = valid & (cols <= rows)
             if window is not None:
                 valid = valid & (cols > rows - window)
+        if sq_ref is not None:
+            valid = valid & (sq_ref[0, 0][:, None] == sk_ref[0, 0][None, :])
         s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse[:, :1])           # [block_q, block_k]
         # dv += P^T @ do
@@ -439,14 +498,21 @@ def _bwd_fused_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
+def _int_grads(*xs):
+    """float0 cotangents for the integer operands (lengths / segment ids)."""
+    import numpy as _np
+
+    return tuple(None if x is None else _np.zeros(x.shape, jax.dtypes.float0)
+                 for x in xs)
+
+
 def _bwd_fused(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
            interpret, window,
                res, g):
-    q, k, v, lengths, o, lse = res
+    q, k, v, lengths, seg_q, seg_kv, o, lse = res
     bh, sq, d = q.shape
     skv = k.shape[1]
     do = g
-    has_len = lengths is not None
     n_kv = skv // block_k
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
@@ -467,17 +533,14 @@ def _bwd_fused(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
         block_q=block_q, block_k=block_k, kv_len=kv_len, q_offset=q_offset,
         heads=heads, window=window,
     )
-    if has_len:
-        kernel = base
-        in_specs = [pl.BlockSpec(
-            (1, 1, block_q), lambda b, j, i: (b // heads, 0, i)
-        )] + data_specs
-        call_args = (lengths,) + args
-    else:
-        def kernel(*refs):
-            base(None, *refs)
-        in_specs = data_specs
-        call_args = args
+    opt_specs, opt_args, wrap = _opt_inputs(
+        lengths, seg_q, seg_kv, heads, block_q, block_k,
+        qmap=lambda b, j, i: (b // heads, 0, i),
+        kmap=lambda b, j, i: (b // heads, 0, j),
+    )
+    kernel = wrap(base)
+    in_specs = opt_specs + data_specs
+    call_args = tuple(opt_args) + args
 
     # partial-dq slab in q.dtype: each partial is a complete f32-accumulated
     # matmul; the outer reduction below sums in f32
@@ -506,13 +569,7 @@ def _bwd_fused(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
     )(*call_args)
 
     dq = jnp.sum(dqp, axis=0, dtype=jnp.float32).astype(q.dtype)
-    if lengths is None:
-        dlen = None
-    else:
-        import numpy as _np
-
-        dlen = _np.zeros(lengths.shape, jax.dtypes.float0)
-    return dq, dk, dv, dlen
+    return (dq, dk, dv) + _int_grads(lengths, seg_q, seg_kv)
 
 
 # HBM budget for the fused backward's partial-dq slab; beyond it the split
@@ -524,7 +581,7 @@ _FUSED_BWD_SLAB_BYTES = 1024 * 1024 * 1024
 
 def _bwd(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
          interpret, window, res, g):
-    q, k, v, lengths, o, lse = res
+    q, k, v = res[:3]
     n_kv = k.shape[1] // block_k
     slab = n_kv * q.size * q.dtype.itemsize
     if slab <= _FUSED_BWD_SLAB_BYTES:
@@ -537,11 +594,10 @@ def _bwd(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
 def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
            interpret, window,
                res, g):
-    q, k, v, lengths, o, lse = res
+    q, k, v, lengths, seg_q, seg_kv, o, lse = res
     bh, sq, d = q.shape
     skv = k.shape[1]
     do = g
-    has_len = lengths is not None
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     lse_rep = jnp.broadcast_to(lse[:, :, None], (bh, sq, LANES))
@@ -561,17 +617,14 @@ def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
         block_k=block_k, kv_len=kv_len, q_offset=q_offset, heads=heads,
         window=window,
     )
-    if has_len:
-        dq_kernel = base_dq
-        dq_specs = [pl.BlockSpec(
-            (1, 1, block_q), lambda b, i, j: (b // heads, 0, i)
-        )] + data_specs
-        dq_args = (lengths,) + args
-    else:
-        def dq_kernel(*refs):
-            base_dq(None, *refs)
-        dq_specs = data_specs
-        dq_args = args
+    dq_opt_specs, dq_opt_args, dq_wrap = _opt_inputs(
+        lengths, seg_q, seg_kv, heads, block_q, block_k,
+        qmap=lambda b, i, j: (b // heads, 0, i),
+        kmap=lambda b, i, j: (b // heads, 0, j),
+    )
+    dq_kernel = dq_wrap(base_dq)
+    dq_specs = dq_opt_specs + data_specs
+    dq_args = tuple(dq_opt_args) + args
 
     dq = pl.pallas_call(
         dq_kernel,
@@ -599,17 +652,14 @@ def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
         block_q=block_q, block_k=block_k, kv_len=kv_len, q_offset=q_offset,
         heads=heads, window=window,
     )
-    if has_len:
-        dkv_kernel = base_dkv
-        dkv_specs = [pl.BlockSpec(
-            (1, 1, block_q), lambda b, j, i: (b // heads, 0, i)
-        )] + kv_data_specs
-        dkv_args = (lengths,) + args
-    else:
-        def dkv_kernel(*refs):
-            base_dkv(None, *refs)
-        dkv_specs = kv_data_specs
-        dkv_args = args
+    dkv_opt_specs, dkv_opt_args, dkv_wrap = _opt_inputs(
+        lengths, seg_q, seg_kv, heads, block_q, block_k,
+        qmap=lambda b, j, i: (b // heads, 0, i),
+        kmap=lambda b, j, i: (b // heads, 0, j),
+    )
+    dkv_kernel = dkv_wrap(base_dkv)
+    dkv_specs = dkv_opt_specs + kv_data_specs
+    dkv_args = tuple(dkv_opt_args) + args
 
     dk, dv = pl.pallas_call(
         dkv_kernel,
@@ -633,30 +683,24 @@ def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
         interpret=interpret,
     )(*dkv_args)
 
-    if lengths is None:
-        dlen = None
-    else:
-        import numpy as _np
-
-        dlen = _np.zeros(lengths.shape, jax.dtypes.float0)
-    return dq, dk, dv, dlen
+    return (dq, dk, dv) + _int_grads(lengths, seg_q, seg_kv)
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
-def _flash(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
-           q_offset, heads, interpret, window):
-    o, _ = _fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
-                q_offset, heads, interpret, save_residuals=False,
-                window=window)
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
+def _flash(q, k, v, lengths, seg_q, seg_kv, sm_scale, causal, block_q,
+           block_k, kv_len, q_offset, heads, interpret, window):
+    o, _ = _fwd(q, k, v, lengths, seg_q, seg_kv, sm_scale, causal, block_q,
+                block_k, kv_len, q_offset, heads, interpret,
+                save_residuals=False, window=window)
     return o
 
 
-def _flash_fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k, kv_len,
-               q_offset, heads, interpret, window):
-    o, lse = _fwd(q, k, v, lengths, sm_scale, causal, block_q, block_k,
-                  kv_len, q_offset, heads, interpret, window=window)
-    return o, (q, k, v, lengths, o, lse)
+def _flash_fwd(q, k, v, lengths, seg_q, seg_kv, sm_scale, causal, block_q,
+               block_k, kv_len, q_offset, heads, interpret, window):
+    o, lse = _fwd(q, k, v, lengths, seg_q, seg_kv, sm_scale, causal, block_q,
+                  block_k, kv_len, q_offset, heads, interpret, window=window)
+    return o, (q, k, v, lengths, seg_q, seg_kv, o, lse)
 
 
 _flash.defvjp(_flash_fwd, _bwd)
@@ -669,6 +713,7 @@ def _round_up(x, m):
 def flash_attention(q, k, v, *, causal: bool = False,
                     sm_scale: Optional[float] = None,
                     kv_lengths=None, window: Optional[int] = None,
+                    segment_ids=None,
                     block_q: int = 0, block_k: int = 0,
                     interpret: Optional[bool] = None):
     """Flash attention on [B, H, S, D] tensors via Pallas TPU kernels.
@@ -683,6 +728,12 @@ def flash_attention(q, k, v, *, causal: bool = False,
     attention: each query attends to its last ``window`` keys; kv tiles
     entirely outside the band are skipped, making compute linear in
     ``S * window`` rather than quadratic (forward AND both backward kernels).
+    ``segment_ids`` ([B, S] int, or a ``(q_ids [B, Sq], kv_ids [B, Skv])``
+    pair) restricts each query to keys with an EQUAL segment id —
+    packed-document (sequence-packing) masking. With contiguously packed
+    (sorted) ids the kernels skip every tile whose q/kv id ranges cannot
+    overlap, so compute is linear in ``sum(len_i^2)`` instead of ``S^2``
+    (forward AND backward). Composes with ``causal``/``window``/lengths.
     The backward pass recomputes attention weights from the saved logsumexp.
     """
     if interpret is None:
@@ -729,21 +780,40 @@ def flash_attention(q, k, v, *, causal: bool = False,
             limits = jnp.pad(limits, ((0, 0), (0, sq_p - sq)))
         limits = limits[:, None, :]  # [B, 1, Sq]: Mosaic wants >=2 tiled dims
 
+    seg_q = seg_kv = None
+    if segment_ids is not None:
+        q_ids, kv_ids = (segment_ids if isinstance(segment_ids, tuple)
+                         else (segment_ids, segment_ids))
+        seg_q = jnp.asarray(q_ids, jnp.int32)
+        seg_kv = jnp.asarray(kv_ids, jnp.int32)
+        # distinct negative pad ids: padded q rows (sliced off below) match
+        # nothing, and real q rows never match padded kv columns
+        if sq_p != sq:
+            seg_q = jnp.pad(seg_q, ((0, 0), (0, sq_p - sq)),
+                            constant_values=-1)
+        if skv_p != skv:
+            seg_kv = jnp.pad(seg_kv, ((0, 0), (0, skv_p - skv)),
+                             constant_values=-2)
+        seg_q = seg_q[:, None, :]    # [B, 1, Sq]
+        seg_kv = seg_kv[:, None, :]  # [B, 1, Skv]
+
     # diagonal alignment from the UNPADDED lengths: padding q and kv by
     # different amounts must not shift the causal diagonal
     q_offset = skv - sq if causal else 0
-    o = _flash(qr, kr, vr, limits, sm_scale, causal, block_q_eff,
-               block_k_eff, skv, q_offset, h, interpret, window)
+    o = _flash(qr, kr, vr, limits, seg_q, seg_kv, sm_scale, causal,
+               block_q_eff, block_k_eff, skv, q_offset, h, interpret, window)
     return o[:, :sq, :].reshape(b, h, sq, d)
 
 
 def dot_product_attention(q, k, v, *, causal: bool = False, mask=None,
                           sm_scale: Optional[float] = None,
                           window: Optional[int] = None,
+                          segment_ids=None,
                           implementation: Optional[str] = None):
     """Route attention to the fused Pallas kernel when eligible, matching the
     reference's dispatch gate (Transformer.scala:949-961): on accelerator,
-    causal-or-unmasked, no arbitrary mask. Otherwise use the XLA path.
+    causal-or-unmasked, no arbitrary mask (segment ids ride the fused path).
+    Otherwise use the XLA path.
     """
     if implementation is None:
         on_tpu = jax.default_backend() == "tpu"
@@ -758,6 +828,6 @@ def dot_product_attention(q, k, v, *, causal: bool = False, mask=None,
         if mask is not None:
             raise ValueError("flash path does not support arbitrary masks yet")
         return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale,
-                               window=window)
+                               window=window, segment_ids=segment_ids)
     return mha_reference(q, k, v, causal=causal, sm_scale=sm_scale, mask=mask,
-                         window=window)
+                         window=window, segment_ids=segment_ids)

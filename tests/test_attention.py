@@ -295,3 +295,102 @@ def test_flash_window_requires_causal():
     q = jnp.zeros((1, 1, 128, 16))
     with pytest.raises(ValueError):
         flash_attention(q, q, q, causal=False, window=8, interpret=True)
+
+
+def _packed_segments(bounds_per_row, s):
+    seg = np.zeros((len(bounds_per_row), s), np.int32)
+    for bi, bs in enumerate(bounds_per_row):
+        for di in range(len(bs) - 1):
+            seg[bi, bs[di]:bs[di + 1]] = di
+    return jnp.asarray(seg)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_segment_ids(causal):
+    """Packed-document (sequence-packing) masking: each query attends only to
+    same-segment keys, forward and backward, matching the segment-masked XLA
+    reference."""
+    b, h, s, d = 2, 2, 128, 32
+    keys = jax.random.split(jax.random.PRNGKey(21), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys)
+    seg = _packed_segments([[0, 37, 90, s], [0, 64, s]], s)
+
+    out = flash_attention(q, k, v, causal=causal, segment_ids=seg,
+                          interpret=True, block_q=32, block_k=32)
+    ref = mha_reference(q, k, v, causal=causal, segment_ids=seg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+    gf = jax.grad(lambda q, k, v: jnp.sum(jnp.square(flash_attention(
+        q, k, v, causal=causal, segment_ids=seg, interpret=True,
+        block_q=32, block_k=32))), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(jnp.square(mha_reference(
+        q, k, v, causal=causal, segment_ids=seg))), argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4, err_msg=f"segment grad {name}")
+
+
+def test_flash_segment_ids_split_backward(monkeypatch):
+    """The split two-kernel backward honors segment masking too."""
+    import lamp_tpu.ops.attention as A
+
+    b, h, s, d = 1, 2, 128, 32
+    keys = jax.random.split(jax.random.PRNGKey(22), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys)
+    seg = _packed_segments([[0, 45, s]], s)
+
+    monkeypatch.setattr(A, "_FUSED_BWD_SLAB_BYTES", 0)
+    gf = jax.grad(lambda q, k, v: jnp.sum(jnp.square(flash_attention(
+        q, k, v, causal=True, segment_ids=seg, interpret=True,
+        block_q=32, block_k=32))), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(jnp.square(mha_reference(
+        q, k, v, causal=True, segment_ids=seg))), argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4, err_msg=f"split segment {name}")
+
+
+def test_flash_segment_ids_non_multiple_and_lengths():
+    """Segments on a non-block-multiple sequence, combined with per-batch
+    kv-length limits (both optional kernel inputs present at once)."""
+    b, h, s, d = 2, 2, 100, 32
+    keys = jax.random.split(jax.random.PRNGKey(23), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys)
+    seg = _packed_segments([[0, 33, 70, s], [0, 50, s]], s)
+    lengths = jnp.asarray([80, 100], jnp.int32)
+    len_mask = (jnp.arange(s)[None, :] < lengths[:, None])[:, None, None, :]
+
+    out = flash_attention(q, k, v, causal=True, segment_ids=seg,
+                          kv_lengths=lengths, interpret=True,
+                          block_q=32, block_k=32)
+    ref = mha_reference(q, k, v, causal=True, segment_ids=seg, mask=len_mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+    gf = jax.grad(lambda q, k, v: jnp.sum(jnp.square(flash_attention(
+        q, k, v, causal=True, segment_ids=seg, kv_lengths=lengths,
+        interpret=True, block_q=32, block_k=32))), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(jnp.square(mha_reference(
+        q, k, v, causal=True, segment_ids=seg, mask=len_mask))),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4, err_msg=f"seg+len grad {name}")
+
+
+def test_flash_segment_ids_qkv_pair():
+    """Distinct q/kv segment ids (decode-style sq != skv) as a tuple."""
+    b, h, sq, skv, d = 1, 2, 32, 96, 32
+    keys = jax.random.split(jax.random.PRNGKey(24), 3)
+    q = _rand(keys[0], (b, h, sq, d))
+    k = _rand(keys[1], (b, h, skv, d))
+    v = _rand(keys[2], (b, h, skv, d))
+    kv_ids = _packed_segments([[0, 40, skv]], skv)
+    q_ids = kv_ids[:, -sq:]
+
+    out = flash_attention(q, k, v, causal=True, segment_ids=(q_ids, kv_ids),
+                          interpret=True, block_q=32, block_k=32)
+    ref = mha_reference(q, k, v, causal=True, segment_ids=(q_ids, kv_ids))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)

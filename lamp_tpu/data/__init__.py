@@ -27,6 +27,7 @@ from .text import (
 from .lm_data import (
     autoregressive_inference,
     autoregressive_minibatches_from_corpus,
+    pack_documents,
 )
 from .bert_data import BertBatch, make_mlm_mask, prepare_sentence_pairs
 from .graph_data import pack_graphs, small_graph_stream
@@ -59,6 +60,7 @@ __all__ = [
     "sequence_prediction_beam",
     "autoregressive_minibatches_from_corpus",
     "autoregressive_inference",
+    "pack_documents",
     "make_mlm_mask",
     "prepare_sentence_pairs",
     "BertBatch",

@@ -136,7 +136,10 @@ class LlamaBlock(Module):
             window=window,
         )
 
-    def forward(self, x_and_rope, *, key=None, train=False):
+    def forward(self, x_and_rope, *, key=None, train=False,
+                segment_ids=None, positions=None):
+        # segment_ids/positions ([B, T] int): packed-document training —
+        # attention stays within each document and RoPE restarts per document
         x, (cos, sin) = x_and_rope
         b, t, d = x.shape
         h, hk = self.num_heads, self.num_kv_heads
@@ -145,16 +148,18 @@ class LlamaBlock(Module):
         q = self.w_q(a).reshape(b, t, h, hd).transpose(0, 2, 1, 3)
         k = self.w_k(a).reshape(b, t, hk, hd).transpose(0, 2, 1, 3)
         v = self.w_v(a).reshape(b, t, hk, hd).transpose(0, 2, 1, 3)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = apply_rope(q, cos, sin, positions=positions)
+        k = apply_rope(k, cos, sin, positions=positions)
         if hk != h:
             k = jnp.repeat(k, h // hk, axis=1)
             v = jnp.repeat(v, h // hk, axis=1)
         on_tpu = jax.default_backend() == "tpu"
         if on_tpu and t > 1024:
-            o = flash_attention(q, k, v, causal=True, window=self.window)
+            o = flash_attention(q, k, v, causal=True, window=self.window,
+                                segment_ids=segment_ids)
         else:
-            o = mha_reference(q, k, v, causal=True, window=self.window)
+            o = mha_reference(q, k, v, causal=True, window=self.window,
+                              segment_ids=segment_ids)
         x = x + self.w_o(o.transpose(0, 2, 1, 3).reshape(b, t, d))
         m, _ = self.mlp.forward(self.norm2(x), key=key, train=train)
         x = x + m
@@ -218,8 +223,15 @@ class ModernLM(Module):
             remat=remat,
         )
 
-    def hidden(self, tokens, *, key=None, train=False):
-        """Final-norm hidden states [B, T, D] (no logits projection)."""
+    def hidden(self, tokens, *, key=None, train=False, segment_ids=None,
+               positions=None):
+        """Final-norm hidden states [B, T, D] (no logits projection).
+
+        ``segment_ids``/``positions`` ([B, T] int) enable packed-document
+        (sequence-packing) training: attention is restricted to each
+        document and RoPE angles restart at document starts (see
+        :func:`lamp_tpu.data.lm_data.pack_documents`).
+        """
         if isinstance(tokens, tuple):
             tokens = tokens[0]
         x = self.token_embedding(tokens)
@@ -229,14 +241,15 @@ class ModernLM(Module):
             if key is not None else [None] * len(self.blocks)
         )
 
-        def run_block(block, x, rope, k):
-            (y, _), _ = block.forward((x, rope), key=k, train=train)
+        def run_block(block, x, rope, k, seg, pos):
+            (y, _), _ = block.forward((x, rope), key=k, train=train,
+                                      segment_ids=seg, positions=pos)
             return y
 
         if self.remat:  # recompute each block's activations on backward
             run_block = jax.checkpoint(run_block, static_argnums=())
         for block, k in zip(self.blocks, keys):
-            x = run_block(block, x, rope, k)
+            x = run_block(block, x, rope, k, segment_ids, positions)
         return self.final_norm(x)
 
     @property
@@ -246,8 +259,10 @@ class ModernLM(Module):
             return self.lm_head.weight.T
         return self.token_embedding.weight
 
-    def forward(self, tokens, *, key=None, train=False):
-        x = self.hidden(tokens, key=key, train=train)
+    def forward(self, tokens, *, key=None, train=False, segment_ids=None,
+                positions=None):
+        x = self.hidden(tokens, key=key, train=train,
+                        segment_ids=segment_ids, positions=positions)
         acc = jnp.promote_types(x.dtype, jnp.float32)
         if self.lm_head is not None:
             return self.lm_head(x).astype(acc), self
@@ -255,12 +270,14 @@ class ModernLM(Module):
         return jnp.einsum("btd,vd->btv", x, w, preferred_element_type=acc), self
 
     def loss(self, tokens, targets, *, key=None, train=False,
-             ignore_index: int = -100, row_chunk=None):
+             ignore_index: int = -100, row_chunk=None, segment_ids=None,
+             positions=None):
         """Mean next-token CE WITHOUT materializing the [B, T, V] logits —
         routes through the chunked fused linear+cross-entropy
         (:mod:`lamp_tpu.ops.fused_ce`). At vocab 32k / ctx 2k the logits are
         the largest tensor of the whole training step; this removes them."""
         from ..ops.fused_ce import fused_lm_loss
-        x = self.hidden(tokens, key=key, train=train)
+        x = self.hidden(tokens, key=key, train=train,
+                        segment_ids=segment_ids, positions=positions)
         return fused_lm_loss(x, self.output_weight, targets,
                              ignore_index=ignore_index, row_chunk=row_chunk)

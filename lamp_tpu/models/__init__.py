@@ -1,5 +1,6 @@
 """Model zoo: vision nets, KV-cached generation."""
 
+from .hf import modernlm_from_hf_llama, modernlm_from_hf_state, modernlm_to_hf_llama
 from .generate import KVCache, decode_step, generate, init_cache, prefill
 from .sampling import SamplingParams, sample_tokens
 from .serving import (
@@ -25,4 +26,7 @@ __all__ = [
     "SpeculativeDecoder",
     "SamplingParams",
     "sample_tokens",
+    "modernlm_from_hf_llama",
+    "modernlm_from_hf_state",
+    "modernlm_to_hf_llama",
 ]

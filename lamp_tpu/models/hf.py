@@ -1,0 +1,208 @@
+"""HuggingFace Llama-family checkpoint interop for :class:`ModernLM`.
+
+The reference's interchange surfaces are lamp-safetensors (import;
+SafeTensorReader.scala:15-139) and lamp-onnx (export). This module extends
+the same role to the de-facto LLM checkpoint layout: a directory holding
+``config.json`` plus one or more ``*.safetensors`` shards as written by
+``transformers`` ``LlamaForCausalLM.save_pretrained``. Weights map onto
+:class:`lamp_tpu.nn.ModernLM` (same RMSNorm / rotate-half RoPE / SwiGLU
+conventions; our :class:`Linear` stores ``[in, out]`` so every HF
+``[out, in]`` projection is transposed). Loading is pure numpy/jax — no
+torch involvement — so an exported or downloaded checkpoint can be served
+directly by :class:`lamp_tpu.models.serving.ModernBatchServer`.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.checkpoint import read_safetensors, write_safetensors
+from ..nn.modern import ModernLM
+
+__all__ = ["modernlm_from_hf_llama", "modernlm_to_hf_llama",
+           "modernlm_from_hf_state"]
+
+
+_SUPPORTED_ARCHS = {"LlamaForCausalLM", "MistralForCausalLM",
+                    "Qwen2ForCausalLM"}
+
+
+def _load_dir(path: str):
+    with open(os.path.join(path, "config.json")) as f:
+        config = json.load(f)
+    state: Dict[str, Any] = {}
+    shards = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not shards:
+        raise FileNotFoundError(f"no *.safetensors under {path}")
+    for shard in shards:
+        state.update(read_safetensors(shard))
+    return config, state
+
+
+def modernlm_from_hf_llama(path: str, *, dtype=None,
+                           context_length: Optional[int] = None) -> ModernLM:
+    """Load a HF Llama/Mistral/Qwen2 checkpoint directory into a ModernLM.
+
+    ``dtype`` (default: the checkpoint's own dtype) casts every parameter;
+    ``context_length`` overrides ``max_position_embeddings`` (it only sizes
+    the RoPE tables).
+    """
+    config, state = _load_dir(path)
+    archs = config.get("architectures") or []
+    if archs and not any(a in _SUPPORTED_ARCHS for a in archs):
+        raise ValueError(f"unsupported architectures {archs}; expected one "
+                         f"of {sorted(_SUPPORTED_ARCHS)}")
+    return modernlm_from_hf_state(state, config, dtype=dtype,
+                                  context_length=context_length)
+
+
+def modernlm_from_hf_state(state: Dict[str, Any], config: Dict[str, Any], *,
+                           dtype=None,
+                           context_length: Optional[int] = None) -> ModernLM:
+    """Build a ModernLM from a HF-named state dict + config dict."""
+    import jax
+
+    dim = config["hidden_size"]
+    heads = config["num_attention_heads"]
+    kv_heads = config.get("num_key_value_heads") or heads
+    n_layers = config["num_hidden_layers"]
+    head_dim = config.get("head_dim") or dim // heads
+    if head_dim != dim // heads:
+        raise NotImplementedError(
+            f"head_dim {head_dim} != hidden_size/num_heads {dim // heads}")
+    if config.get("rope_scaling"):
+        raise NotImplementedError("rope_scaling is not supported")
+    tied = bool(config.get("tie_word_embeddings", False))
+    ctx = context_length or config.get("max_position_embeddings", 2048)
+    window = config.get("sliding_window")  # Mistral/Qwen2; None for Llama
+    if window is not None and config.get("use_sliding_window", True) is False:
+        window = None
+
+    if dtype is None:
+        dtype = state["model.embed_tokens.weight"].dtype
+
+    def get(name, transpose=False):
+        t = jnp.asarray(state[name], dtype)
+        return t.T if transpose else t
+
+    model = ModernLM.init(
+        vocab_size=config["vocab_size"], context_length=ctx,
+        num_blocks=n_layers, embed_dim=dim, num_heads=heads,
+        num_kv_heads=kv_heads, mlp_hidden=config["intermediate_size"],
+        tied=tied, key=jax.random.PRNGKey(0),
+        rope_base=float(config.get("rope_theta", 10000.0)), window=window,
+        norm_eps=float(config.get("rms_norm_eps", 1e-6)), dtype=dtype,
+    )
+
+    def linear(lin, name):
+        w = get(name + ".weight", transpose=True)
+        bias = lin.bias
+        if name + ".bias" in state:  # Qwen2-style attention biases
+            bias = get(name + ".bias")
+        return lin.replace(weight=w, bias=bias)
+
+    blocks = []
+    for i, blk in enumerate(model.blocks):
+        p = f"model.layers.{i}"
+        blocks.append(blk.replace(
+            norm1=blk.norm1.replace(weight=get(f"{p}.input_layernorm.weight")),
+            norm2=blk.norm2.replace(
+                weight=get(f"{p}.post_attention_layernorm.weight")),
+            w_q=linear(blk.w_q, f"{p}.self_attn.q_proj"),
+            w_k=linear(blk.w_k, f"{p}.self_attn.k_proj"),
+            w_v=linear(blk.w_v, f"{p}.self_attn.v_proj"),
+            w_o=linear(blk.w_o, f"{p}.self_attn.o_proj"),
+            mlp=blk.mlp.replace(
+                w1=linear(blk.mlp.w1, f"{p}.mlp.gate_proj"),
+                w3=linear(blk.mlp.w3, f"{p}.mlp.up_proj"),
+                w2=linear(blk.mlp.w2, f"{p}.mlp.down_proj"),
+            ),
+        ))
+
+    lm_head = model.lm_head
+    if not tied:
+        lm_head = model.lm_head.replace(
+            weight=get("lm_head.weight", transpose=True))
+    return model.replace(
+        token_embedding=model.token_embedding.replace(
+            weight=get("model.embed_tokens.weight")),
+        blocks=tuple(blocks),
+        final_norm=model.final_norm.replace(weight=get("model.norm.weight")),
+        lm_head=lm_head,
+    )
+
+
+def modernlm_to_hf_llama(model: ModernLM, path: str, *,
+                         config_extra: Optional[Dict[str, Any]] = None) -> None:
+    """Export a ModernLM as a HF Llama checkpoint directory
+    (``config.json`` + ``model.safetensors``), loadable by
+    ``transformers.LlamaForCausalLM.from_pretrained``."""
+    os.makedirs(path, exist_ok=True)
+    blk0 = model.blocks[0]
+    dim = blk0.w_q.weight.shape[0]
+    heads = blk0.num_heads
+    windows = {b.window for b in model.blocks}
+    if len(windows) > 1:
+        raise NotImplementedError(
+            "HF Llama export needs a uniform per-block window")
+    (window,) = windows
+    # recover rope_theta from the precomputed table: the angle at position 1,
+    # frequency index 1 is base^(-2/hd)
+    hd = dim // heads
+    if hd > 2 and model.rope_cos.shape[0] > 1:
+        angle = float(jnp.arctan2(model.rope_sin[1, 1], model.rope_cos[1, 1]))
+        base = (1.0 / angle) ** (hd / 2.0)
+    else:
+        base = 10000.0
+    config = {
+        "architectures": (["MistralForCausalLM"] if window is not None
+                          else ["LlamaForCausalLM"]),
+        "model_type": "mistral" if window is not None else "llama",
+        "hidden_size": dim,
+        "intermediate_size": blk0.mlp.w1.weight.shape[1],
+        "num_attention_heads": heads,
+        "num_key_value_heads": blk0.num_kv_heads,
+        "num_hidden_layers": len(model.blocks),
+        "vocab_size": model.token_embedding.weight.shape[0],
+        "max_position_embeddings": model.context_length,
+        "rope_theta": round(base, 4),
+        "rms_norm_eps": model.final_norm.eps,
+        "tie_word_embeddings": model.lm_head is None,
+        "hidden_act": "silu",
+        "torch_dtype": ("bfloat16" if model.token_embedding.weight.dtype
+                        == jnp.bfloat16 else "float32"),
+    }
+    if window is not None:
+        config["sliding_window"] = window
+    config.update(config_extra or {})
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+
+    tensors: Dict[str, Any] = {
+        "model.embed_tokens.weight": model.token_embedding.weight,
+        "model.norm.weight": model.final_norm.weight,
+    }
+    if model.lm_head is not None:
+        tensors["lm_head.weight"] = model.lm_head.weight.T
+    for i, blk in enumerate(model.blocks):
+        p = f"model.layers.{i}"
+        tensors[f"{p}.input_layernorm.weight"] = blk.norm1.weight
+        tensors[f"{p}.post_attention_layernorm.weight"] = blk.norm2.weight
+        for hf_name, lin in (("self_attn.q_proj", blk.w_q),
+                             ("self_attn.k_proj", blk.w_k),
+                             ("self_attn.v_proj", blk.w_v),
+                             ("self_attn.o_proj", blk.w_o),
+                             ("mlp.gate_proj", blk.mlp.w1),
+                             ("mlp.up_proj", blk.mlp.w3),
+                             ("mlp.down_proj", blk.mlp.w2)):
+            tensors[f"{p}.{hf_name}.weight"] = lin.weight.T
+            if lin.bias is not None:
+                tensors[f"{p}.{hf_name}.bias"] = lin.bias
+    write_safetensors(os.path.join(path, "model.safetensors"), tensors,
+                      metadata={"format": "pt"})

@@ -116,14 +116,14 @@ class LlamaBlock(Module):
     @staticmethod
     def init(dim: int, num_heads: int, *, key, num_kv_heads: Optional[int] = None,
              mlp_hidden: Optional[int] = None, window: Optional[int] = None,
-             dtype=jnp.float32) -> "LlamaBlock":
+             norm_eps: float = 1e-6, dtype=jnp.float32) -> "LlamaBlock":
         kv_heads = num_kv_heads or num_heads
         mlp_hidden = mlp_hidden or int(dim * 8 / 3 // 64 * 64) or dim * 2
         head_dim = dim // num_heads
         keys = jax.random.split(key, 5)
         return LlamaBlock(
-            norm1=RMSNorm.init(dim, dtype=dtype),
-            norm2=RMSNorm.init(dim, dtype=dtype),
+            norm1=RMSNorm.init(dim, eps=norm_eps, dtype=dtype),
+            norm2=RMSNorm.init(dim, eps=norm_eps, dtype=dtype),
             w_q=Linear.init(dim, dim, key=keys[0], bias=False, dtype=dtype),
             w_k=Linear.init(dim, kv_heads * head_dim, key=keys[1], bias=False,
                             dtype=dtype),
@@ -184,7 +184,7 @@ class ModernLM(Module):
              embed_dim: int, num_heads: int, num_kv_heads: Optional[int] = None,
              mlp_hidden: Optional[int] = None, tied: bool = True, key,
              rope_base: float = 10000.0, window=None, remat: bool = False,
-             dtype=jnp.float32) -> "ModernLM":
+             norm_eps: float = 1e-6, dtype=jnp.float32) -> "ModernLM":
         keys = jax.random.split(key, num_blocks + 2)
         cos, sin = rope_frequencies(embed_dim // num_heads, context_length,
                                     base=rope_base)
@@ -207,11 +207,11 @@ class ModernLM(Module):
                 LlamaBlock.init(
                     embed_dim, num_heads, key=keys[i + 1],
                     num_kv_heads=num_kv_heads, mlp_hidden=mlp_hidden,
-                    window=windows[i], dtype=dtype,
+                    window=windows[i], norm_eps=norm_eps, dtype=dtype,
                 )
                 for i in range(num_blocks)
             ),
-            final_norm=RMSNorm.init(embed_dim, dtype=dtype),
+            final_norm=RMSNorm.init(embed_dim, eps=norm_eps, dtype=dtype),
             lm_head=(
                 None if tied
                 else Linear.init(embed_dim, vocab_size, key=keys[-1],

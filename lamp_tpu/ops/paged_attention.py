@@ -232,6 +232,13 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
     b, h, d = q.shape
     total_pages, page, fused = k_pages.shape
     assert fused == num_kv_heads * d, (fused, num_kv_heads, d)
+    if not interpret and fused % 128:
+        # Mosaic requires HBM DMA slices lane-aligned (fused width % 128);
+        # models too narrow for the kernel take the gather-based path.
+        return paged_attention_reference(
+            q, k_pages, v_pages, page_indices, lengths,
+            num_kv_heads=num_kv_heads, sm_scale=sm_scale, window=window,
+        )
     pages_per_seq = page_indices.shape[1]
     assert h % num_kv_heads == 0
     if pages_per_seq % pages_per_block != 0:

@@ -132,3 +132,14 @@ def test_paged_window_wider_than_length_is_full():
                           interpret=True)
     np.testing.assert_allclose(np.asarray(win), np.asarray(full), atol=2e-5,
                                rtol=2e-5)
+
+
+def test_narrow_fused_width_falls_back_to_reference():
+    """fused = H_kv*D below the 128-lane tile dispatches to the gather path
+    even with interpret=False (real-TPU Mosaic rejects unaligned DMA slices;
+    found serving a tiny HF checkpoint)."""
+    args, hkv = _setup(D=16)  # fused = 2*16 = 32, not 128-aligned
+    ref = paged_attention_reference(*args, num_kv_heads=hkv)
+    out = paged_attention(*args, num_kv_heads=hkv, interpret=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)

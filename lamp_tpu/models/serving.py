@@ -59,6 +59,7 @@ class BatchServer:
         self.heads = block.attention.num_heads
         self.kv_heads = self.heads
         self.head_dim = block.attention.w_q.weight.shape[1] // self.heads
+        self._windows = tuple(None for _ in range(self.layers))
 
     PREFILL_BUCKET = 64
     _tp = 1  # tensor-parallel degree; >1 only on ModernBatchServer(mesh=...)
@@ -110,6 +111,11 @@ class BatchServer:
         self.last_token: Dict = {}
         self.seq_params: Dict = {}
         self.seq_adapter: Dict = {}
+        # per-request attention window (None = model default) and the count
+        # of leading logical pages already released back to the pool because
+        # they fell fully below every layer's sliding-window band
+        self.seq_window: Dict = {}
+        self.seq_released: Dict = {}
         self.vocab = model.token_embedding.weight.shape[0]
         # penalty state: host prompt masks per request; device [B, V] count
         # stack cached per batch composition (rebuilt with one gather/scatter
@@ -143,7 +149,8 @@ class BatchServer:
         self._extras = self._precompute_extras(model)
         self._step_fn = jax.jit(self._decode_step, donate_argnums=(1, 2))
         self._chunk_fn = jax.jit(self._decode_chunk, donate_argnums=(1, 2))
-        self._prefill_fn = jax.jit(self._prefill_seq, donate_argnums=(1, 2))
+        self._prefill_fn = jax.jit(self._prefill_seq, donate_argnums=(1, 2),
+                                   static_argnames=("req_window",))
 
     def _quantize_weight(self, w):
         """Weight entry for the decode path: plain array (no quantization)
@@ -201,17 +208,28 @@ class BatchServer:
     # -- request lifecycle --------------------------------------------------
     def add(self, seq_id, prompt_tokens,
             params: Optional[SamplingParams] = None,
-            adapter: Optional[str] = None) -> None:
+            adapter: Optional[str] = None,
+            window: Optional[int] = None) -> None:
         """Admit a request: dense one-shot prefill of the prompt (full-matmul
         efficiency; all K/V rows written into pages in one jitted call).
         ``params`` sets per-request sampling controls (temperature / top-k /
         top-p); default is the server-level ``temperature``. ``adapter``
         names a LoRA adapter previously registered with
-        :meth:`ModernBatchServer.register_adapter`."""
+        :meth:`ModernBatchServer.register_adapter`. ``window`` caps THIS
+        request's attention to its last ``window`` tokens (combined with any
+        per-layer model windows, tighter wins); when every layer ends up
+        windowed, pages that fall fully below the band are released back to
+        the pool mid-generation — KV memory is O(window), not O(length)."""
         if seq_id in self.seq_pages:
             raise ValueError(f"duplicate request {seq_id}")
+        if window is not None:
+            window = int(window)
+            if window <= 0:
+                raise ValueError("window must be a positive int")
         aidx = self._adapter_index(adapter)
         self.seq_adapter[seq_id] = aidx
+        self.seq_window[seq_id] = window
+        self.seq_released[seq_id] = 0
         sp = params or SamplingParams(temperature=self.temperature)
         self.seq_params[seq_id] = sp
         if sp.has_penalties:
@@ -231,9 +249,13 @@ class BatchServer:
         if self.enable_prefix_cache and n_prefill > 0:
             # reuse the longest cached prefix of full pages: shared physical
             # pages, no recompute (chain hash ⇒ identical token history)
+            # the salt partitions the cache: adapters AND windows change the
+            # K/V contents (a window alters layer-1 attention outputs, hence
+            # every later layer's K/V for the same tokens)
             hashes = self._prefix_hashes(
                 prompt[:-1],
-                salt=str(aidx).encode() if aidx else b"",
+                salt=(f"{aidx}:{window}".encode()
+                      if (aidx or window is not None) else b""),
             )
             pages = self.seq_pages[seq_id]
             for h in hashes:
@@ -256,6 +278,7 @@ class BatchServer:
             if self.enable_prefix_cache and hashes:
                 self._register_pages(seq_id, hashes)
             self.last_token[seq_id] = int(prompt[-1])
+            self._release_pages(seq_id)
             return
         if n_prefill > 0:
             # allocate the pages/slots for all prefill tokens
@@ -284,10 +307,12 @@ class BatchServer:
             self.k_pages, self.v_pages = self._prefill_fn(
                 self.model, self.k_pages, self.v_pages,
                 jnp.asarray(tokens), jnp.asarray(tp), jnp.asarray(ts),
+                req_window=window,
             )
         if self.enable_prefix_cache and hashes:
             self._register_pages(seq_id, hashes)
         self.last_token[seq_id] = int(prompt[-1])
+        self._release_pages(seq_id)
 
     # -- prefix cache ----------------------------------------------------
     def _prefix_hashes(self, prompt_kv, salt: bytes = b"") -> List[bytes]:
@@ -359,12 +384,14 @@ class BatchServer:
             self.model, self.k_pages, self.v_pages, jnp.asarray(toks[None]),
             idx, jnp.asarray([start], jnp.int32), jnp.asarray(tp),
             jnp.asarray(ts), self._extras, self._lora_arg([seq_id]),
+            self._windows_arg([seq_id]),
         )
 
     def _prefill_seq(self, model, k_pages, v_pages, tokens, token_pages,
-                     token_slots):
+                     token_slots, req_window=None):
         """Dense prefill of ONE sequence: full causal forward over [T] tokens,
-        writing every layer's K/V rows into (token_pages, token_slots)."""
+        writing every layer's K/V rows into (token_pages, token_slots).
+        ``req_window`` (static) applies this request's attention window."""
         t = tokens.shape[0]
         k_pages = list(k_pages)
         v_pages = list(v_pages)
@@ -392,7 +419,7 @@ class BatchServer:
             v_rows = vv[0].transpose(1, 0, 2).reshape(t, -1)
             k_pages[li] = k_pages[li].at[token_pages, token_slots].set(k_rows)
             v_pages[li] = v_pages[li].at[token_pages, token_slots].set(v_rows)
-            o = mha_reference(q, kk, vv, causal=True)
+            o = mha_reference(q, kk, vv, causal=True, window=req_window)
             o = o.transpose(0, 2, 1, 3).reshape(1, t, -1)
             ow = jnp.matmul(
                 o, att.w_o.weight,
@@ -411,15 +438,72 @@ class BatchServer:
         pages = self.seq_pages.pop(seq_id)
         if self.enable_prefix_cache:
             for pg in pages:
-                self._decref(pg)
+                if pg >= 0:
+                    self._decref(pg)
         else:
-            self.free_pages.extend(pages)
+            self.free_pages.extend(pg for pg in pages if pg >= 0)
         self.seq_len.pop(seq_id)
         self.last_token.pop(seq_id)
         self.seq_params.pop(seq_id, None)
         self.seq_adapter.pop(seq_id, None)
+        self.seq_window.pop(seq_id, None)
+        self.seq_released.pop(seq_id, None)
         self.seq_prompt_mask.pop(seq_id, None)
         self._pen_dirty.discard(seq_id)
+
+    # -- sliding-window KV release ---------------------------------------
+    def kv_bound_for(self, window: Optional[int] = None) -> Optional[int]:
+        """Max tokens of history ANY layer can still attend for a request
+        with per-request ``window``, or None when some layer is unbounded.
+        bound = max over layers of min(layer window, request window)."""
+        bound = 0
+        for w in self._windows:
+            if w is None and window is None:
+                return None
+            eff = (w if window is None
+                   else (window if w is None else min(w, window)))
+            bound = max(bound, eff)
+        return bound
+
+    def _kv_bound(self, seq_id) -> Optional[int]:
+        return self.kv_bound_for(self.seq_window.get(seq_id))
+
+    def _release_pages(self, seq_id) -> None:
+        """Free leading logical pages whose every token is below the
+        sliding-window band for ALL layers — they can never be attended
+        again (lengths only grow; rewind is guarded). Freed entries become
+        -1 sentinels in the logical page list (the table hands the kernel
+        the trash page 0 for them; windowed masking keeps those lanes out
+        of every softmax)."""
+        bound = self._kv_bound(seq_id)
+        if bound is None:
+            return
+        ps = self.page_size
+        pages = self.seq_pages[seq_id]
+        j = self.seq_released[seq_id]
+        # page j holds tokens [j*ps, (j+1)*ps); releasable when its newest
+        # token is below len - bound with one token of slack (the kernel
+        # sees lengths+1 during decode)
+        while j < len(pages) and (j + 1) * ps <= self.seq_len[seq_id] - bound:
+            pg = pages[j]
+            if pg >= 0:
+                if self.enable_prefix_cache:
+                    self._decref(pg)
+                else:
+                    self.free_pages.append(pg)
+                pages[j] = -1
+            j += 1
+        self.seq_released[seq_id] = j
+
+    def _windows_arg(self, seq_ids):
+        """[B] per-request window limits for the kernels (0 = no limit), or
+        None when no active request sets one (STATIC — the compiled program
+        carries no window logic at all)."""
+        if not any(self.seq_window.get(s) for s in seq_ids):
+            return None
+        return jnp.asarray(
+            [self.seq_window.get(s) or 0 for s in seq_ids], jnp.int32
+        )
 
     @property
     def active(self) -> List:
@@ -524,10 +608,14 @@ class BatchServer:
             pages = self.seq_pages[sid]
             idx[i, :len(pages)] = pages
             lens[i] = self.seq_len[sid]
+        # released pages (-1 sentinels) point at the trash page 0: the
+        # kernel's window mask keeps their tokens out of every softmax
+        np.maximum(idx, 0, out=idx)
         return jnp.asarray(idx), jnp.asarray(lens)
 
     def _decode_step(self, model, k_pages, v_pages, tokens, page_idx, lengths,
-                     token_pages, token_slots, extras, lora=None):
+                     token_pages, token_slots, extras, lora=None,
+                     req_windows=None):
         """Process a [B] batch of tokens sitting at positions ``lengths``:
         write their per-layer K/V into (token_pages, token_slots), attend over
         history + self, return (logits [B,V], new_k_pages, new_v_pages)."""
@@ -565,6 +653,7 @@ class BatchServer:
                 q, k_pages[li], v_pages[li], page_idx, lengths + 1,
                 num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block,
+                windows=req_windows,
             )
             o = o.reshape(b, 1, h * self.head_dim)
             ow = jnp.matmul(
@@ -586,7 +675,8 @@ class BatchServer:
         return logits, tuple(k_pages), tuple(v_pages)
 
     def _decode_chunk(self, model, k_pages, v_pages, tokens, page_idx,
-                      lengths, token_pages, token_slots, extras, lora=None):
+                      lengths, token_pages, token_slots, extras, lora=None,
+                      req_windows=None):
         """Process M tokens per sequence in ONE call (chunked decode): write
         all their K/V, then attend with per-token causality by treating each
         of the B·M tokens as a pseudo-sequence sharing its sequence's page
@@ -595,6 +685,8 @@ class BatchServer:
 
         Used for speculative-decoding verification and chunked prefill."""
         b, m = tokens.shape
+        win_r = (None if req_windows is None
+                 else jnp.repeat(req_windows, m))
         wqkv, bqkv = extras
         k_pages = list(k_pages)
         v_pages = list(v_pages)
@@ -624,7 +716,7 @@ class BatchServer:
             o = paged_attention(
                 q.reshape(b * m, h, hd), k_pages[li], v_pages[li], pidx,
                 plen, num_kv_heads=self.kv_heads,
-                pages_per_block=self.pages_per_block,
+                pages_per_block=self.pages_per_block, windows=win_r,
             ).reshape(b, m, h * hd)
             ow = jnp.matmul(
                 o, att.w_o.weight,
@@ -646,13 +738,15 @@ class BatchServer:
 
     def _advance(self, seq_ids, tokens):
         """Write tokens' KV + return logits; bumps lengths."""
+        for s in seq_ids:
+            self._release_pages(s)
         slots = [self._alloc_slot(s) for s in seq_ids]
         idx, lens = self._views(seq_ids)
         tp = jnp.asarray([p for p, _ in slots], jnp.int32)
         ts = jnp.asarray([sl for _, sl in slots], jnp.int32)
         logits, self.k_pages, self.v_pages = self._step_fn(
             self.model, self.k_pages, self.v_pages, tokens, idx, lens, tp, ts,
-            self._extras, self._lora_arg(seq_ids),
+            self._extras, self._lora_arg(seq_ids), self._windows_arg(seq_ids),
         )
         for s in seq_ids:
             self.seq_len[s] += 1
@@ -664,6 +758,8 @@ class BatchServer:
         chunk). Bumps lengths by M."""
         tokens = np.asarray(tokens, np.int32)
         b, m = tokens.shape
+        for s in seq_ids:
+            self._release_pages(s)
         lens0 = jnp.asarray(
             [self.seq_len[s] for s in seq_ids], jnp.int32
         )
@@ -678,7 +774,7 @@ class BatchServer:
         logits, self.k_pages, self.v_pages = self._chunk_fn(
             self.model, self.k_pages, self.v_pages, jnp.asarray(tokens), idx,
             lens0, jnp.asarray(tp), jnp.asarray(ts), self._extras,
-            self._lora_arg(seq_ids),
+            self._lora_arg(seq_ids), self._windows_arg(seq_ids),
         )
         return logits
 
@@ -688,7 +784,17 @@ class BatchServer:
         reused on the next advance."""
         self.seq_len[seq_id] -= n
         assert self.seq_len[seq_id] >= 0
+        rel = self.seq_released.get(seq_id, 0)
+        if rel:
+            bound = self._kv_bound(seq_id)
+            # the rewound band must not re-enter released history
+            if bound is None or self.seq_len[seq_id] + 1 - bound < rel * self.page_size:
+                raise RuntimeError(
+                    f"rewind({n}) crosses KV already released by the "
+                    f"sliding window for {seq_id!r}"
+                )
         keep = -(-self.seq_len[seq_id] // self.page_size)
+        keep = max(keep, rel)
         pages = self.seq_pages[seq_id]
         while len(pages) > keep:
             pg = pages.pop()
@@ -796,8 +902,8 @@ class BatchServer:
 
     def _decode_many(self, model, k_pages, v_pages, tokens0, page_idx,
                      lens0, token_pages, token_slots, extras, lora, key,
-                     temps, top_k, top_p, penalties, n: int,
-                     max_top_k: int = 0):
+                     temps, top_k, top_p, penalties, req_windows=None,
+                     *, n: int, max_top_k: int = 0):
         """``n`` decode steps fused into ONE program: lax.scan over the
         single-token step with on-device per-request sampling (temperature /
         top-k / top-p) feeding each step's output token into the next.
@@ -813,6 +919,7 @@ class BatchServer:
             logits, kp, vp = self._decode_step(
                 model, kp, vp, tok, page_idx, lens0 + i,
                 token_pages[:, i], token_slots[:, i], extras, lora,
+                req_windows,
             )
             k_, sub = jax.random.split(k_)
             pen = None if cnts is None else (cnts, pmask, pres, freq, rep)
@@ -838,6 +945,8 @@ class BatchServer:
         if not seq_ids:
             return {}
         b = len(seq_ids)
+        for s in seq_ids:
+            self._release_pages(s)
         lens0 = jnp.asarray([self.seq_len[s] for s in seq_ids], jnp.int32)
         tokens0 = jnp.asarray(
             [self.last_token[s] for s in seq_ids], jnp.int32
@@ -861,8 +970,8 @@ class BatchServer:
         toks, self.k_pages, self.v_pages, cnts_end = self._many_fn(
             self.model, self.k_pages, self.v_pages, tokens0, idx, lens0,
             jnp.asarray(tp), jnp.asarray(ts), self._extras,
-            self._lora_arg(seq_ids), sub, temps, top_k, top_p, pen, n=n,
-            max_top_k=mtk,
+            self._lora_arg(seq_ids), sub, temps, top_k, top_p, pen,
+            self._windows_arg(seq_ids), n=n, max_top_k=mtk,
         )
         if cnts_end is not None:
             self._pen_store(seq_ids, cnts_end)
@@ -1128,11 +1237,13 @@ class ModernBatchServer(BatchServer):
         return (wqkv, wo, w1, w3, w2, lmh)
 
     def _decode_step(self, model, k_pages, v_pages, tokens, page_idx, lengths,
-                     token_pages, token_slots, extras, lora=None):
+                     token_pages, token_slots, extras, lora=None,
+                     req_windows=None):
         if self._tp > 1:
             return self._tp_call(
                 self._tp_decode_inner, model, k_pages, v_pages, tokens,
                 page_idx, lengths, token_pages, token_slots, extras,
+                req_windows,
             )
         b = tokens.shape[0]
         wqkv, wo, w1, w3, w2, lmh = extras
@@ -1187,7 +1298,7 @@ class ModernBatchServer(BatchServer):
                 q, k_pages[li], v_pages[li], page_idx, lengths + 1,
                 num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block,
-                window=self._windows[li],
+                window=self._windows[li], windows=req_windows,
             )
             o3 = o.reshape(b, 1, -1)
             att = self._mm(o3, wo[li])
@@ -1212,7 +1323,7 @@ class ModernBatchServer(BatchServer):
         return logits, tuple(k_pages), tuple(v_pages)
 
     def _tp_call(self, inner, model, k_pages, v_pages, tokens, page_idx,
-                 lengths, token_pages, token_slots, extras):
+                 lengths, token_pages, token_slots, extras, req_windows=None):
         """shard_map ``inner`` over the tp axis: pools shard on the fused
         head-lane dim, extras per the Megatron column/row pattern, everything
         else replicated. ``inner`` returns replicated logits (psum/gather
@@ -1225,17 +1336,23 @@ class ModernBatchServer(BatchServer):
             P(None, axis), P(axis, None), P(None, axis), P(None, axis),
             P(axis, None), P(None, axis),
         )
+        in_specs = [P(), pool, pool, P(), P(), P(), P(), P(), extras_spec]
+        args = [model, k_pages, v_pages, tokens, page_idx, lengths,
+                token_pages, token_slots, extras]
+        if req_windows is not None:
+            in_specs.append(P())
+            args.append(req_windows)
         return jax.shard_map(
             inner,
             mesh=self._mesh,
-            in_specs=(P(), pool, pool, P(), P(), P(), P(), P(), extras_spec),
+            in_specs=tuple(in_specs),
             out_specs=(P(), pool, pool),
             check_vma=False,
-        )(model, k_pages, v_pages, tokens, page_idx, lengths, token_pages,
-          token_slots, extras)
+        )(*args)
 
     def _tp_decode_inner(self, model, k_pages, v_pages, tokens, page_idx,
-                         lengths, token_pages, token_slots, extras):
+                         lengths, token_pages, token_slots, extras,
+                         req_windows=None):
         """Per-device body of the TP decode step: local q/kv heads, local
         pool lanes, psum after attention-out and MLP-down, vocab all-gather
         for the logits."""
@@ -1277,7 +1394,7 @@ class ModernBatchServer(BatchServer):
             o = paged_attention(
                 q, k_pages[li], v_pages[li], page_idx, lengths + 1,
                 num_kv_heads=hkv_l, pages_per_block=self.pages_per_block,
-                window=self._windows[li],
+                window=self._windows[li], windows=req_windows,
             )
             att = self._mm(o.reshape(b, 1, -1), wo[li])
             x = x + jax.lax.psum(att, axis)
@@ -1292,11 +1409,14 @@ class ModernBatchServer(BatchServer):
         return logits, tuple(k_pages), tuple(v_pages)
 
     def _tp_chunk_inner(self, model, k_pages, v_pages, tokens, page_idx,
-                        lengths, token_pages, token_slots, extras):
+                        lengths, token_pages, token_slots, extras,
+                        req_windows=None):
         """Per-device body of the TP chunked decode ([B, M] tokens with
         per-token causality via pseudo-sequences; also the TP prefill path)."""
         axis = self._tp_axis
         b, m = tokens.shape
+        win_r = (None if req_windows is None
+                 else jnp.repeat(req_windows, m))
         wqkv, wo, w1, w3, w2, lmh = extras
         k_pages = list(k_pages)
         v_pages = list(v_pages)
@@ -1335,7 +1455,7 @@ class ModernBatchServer(BatchServer):
                 q.reshape(b * m, hq_l, hd), k_pages[li], v_pages[li],
                 pidx, plen, num_kv_heads=hkv_l,
                 pages_per_block=self.pages_per_block,
-                window=self._windows[li],
+                window=self._windows[li], windows=win_r,
             ).reshape(b, m, -1)
             x = x + jax.lax.psum(self._mm(o, wo[li]), axis)
             h = block.norm2(x)
@@ -1349,13 +1469,17 @@ class ModernBatchServer(BatchServer):
         return logits, tuple(k_pages), tuple(v_pages)
 
     def _decode_chunk(self, model, k_pages, v_pages, tokens, page_idx,
-                      lengths, token_pages, token_slots, extras, lora=None):
+                      lengths, token_pages, token_slots, extras, lora=None,
+                      req_windows=None):
         if self._tp > 1:
             return self._tp_call(
                 self._tp_chunk_inner, model, k_pages, v_pages, tokens,
                 page_idx, lengths, token_pages, token_slots, extras,
+                req_windows,
             )
         b, m = tokens.shape
+        win_r = (None if req_windows is None
+                 else jnp.repeat(req_windows, m))
         wqkv, wo, w1, w3, w2, lmh = extras
         k_pages = list(k_pages)
         v_pages = list(v_pages)
@@ -1404,7 +1528,7 @@ class ModernBatchServer(BatchServer):
                 q.reshape(b * m, self.heads, hd), k_pages[li], v_pages[li],
                 pidx, plen, num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block,
-                window=self._windows[li],
+                window=self._windows[li], windows=win_r,
             ).reshape(b, m, -1)
             att = self._mm(o, wo[li])
             if lora is not None and "o" in st:
@@ -1428,9 +1552,14 @@ class ModernBatchServer(BatchServer):
         return logits, tuple(k_pages), tuple(v_pages)
 
     def _prefill_seq(self, model, k_pages, v_pages, tokens, token_pages,
-                     token_slots):
+                     token_slots, req_window=None):
         from ..nn.modern import apply_rope
         from ..ops.attention import mha_reference
+
+        def minw(a, b_):
+            if a is None:
+                return b_
+            return a if b_ is None else min(a, b_)
 
         t = tokens.shape[0]
         k_pages = list(k_pages)
@@ -1458,7 +1587,7 @@ class ModernBatchServer(BatchServer):
                 kk = jnp.repeat(kk, rep, axis=1)
                 vv = jnp.repeat(vv, rep, axis=1)
             o = mha_reference(q, kk, vv, causal=True,
-                              window=self._windows[li])
+                              window=minw(self._windows[li], req_window))
             o = o.transpose(0, 2, 1, 3).reshape(1, t, -1)
             x = x + (o @ block.w_o.weight)
             m, _ = block.mlp.forward(block.norm2(x))
@@ -1506,10 +1635,13 @@ class ServingEngine:
         self._next_id = 0
 
     def submit(self, prompt_tokens, params: Optional[SamplingParams] = None,
-               request_id=None, adapter: Optional[str] = None):
+               request_id=None, adapter: Optional[str] = None,
+               window: Optional[int] = None):
         """Queue a request; returns its id. Decoding starts once pages are
         available (see :meth:`step`). ``adapter`` selects a registered LoRA
-        adapter for this request."""
+        adapter for this request; ``window`` caps the request's attention to
+        its last ``window`` tokens (bounded-KV admission: the reservation
+        shrinks to O(window) pages when every layer ends up windowed)."""
         rid = request_id if request_id is not None else f"req{self._next_id}"
         self._next_id += 1
         prompt = [int(t) for t in np.asarray(prompt_tokens).reshape(-1)]
@@ -1522,7 +1654,9 @@ class ServingEngine:
             # same default a direct server.add() would apply
             params = SamplingParams(temperature=self.server.temperature)
         self.server._adapter_index(adapter)  # validate early
-        self.pending.append((rid, prompt, params, adapter))
+        if window is not None and int(window) <= 0:
+            raise ValueError("window must be a positive int")
+        self.pending.append((rid, prompt, params, adapter, window))
         return rid
 
     def _budget(self, prompt_len: int, params: SamplingParams) -> int:
@@ -1533,35 +1667,50 @@ class ServingEngine:
             cap = min(cap, params.max_tokens)
         return max(cap, 1)
 
-    def _pages_for(self, prompt_len: int, max_new: int) -> int:
+    def _pages_for(self, prompt_len: int, max_new: int,
+                   window: Optional[int] = None) -> int:
         # decode always runs full decode_steps chunks (tokens past a
         # request's budget are discarded), so reserve for max_new rounded
         # up to a chunk multiple; a sequence can never hold more than
         # context_length rows
         ds = self.decode_steps
+        ps = self.server.page_size
         chunks = -(-max_new // ds)
         total_rows = min(prompt_len - 1 + chunks * ds,
                          self.server.model.context_length)
-        return -(-max(total_rows, 1) // self.server.page_size)
+        need = -(-max(total_rows, 1) // ps)
+        bound = self.server.kv_bound_for(window)
+        if bound is not None:
+            # sliding-window release keeps concurrent pages O(bound): the
+            # band plus one partially-retired page plus one chunk of
+            # release lag (release runs at chunk starts). Prefill allocates
+            # the whole prompt before the first release, so a long prompt's
+            # transient peak still has to fit.
+            cap = -(-(bound + ps + ds) // ps) + 1
+            prefill_pages = -(-max(prompt_len - 1, 1) // ps)
+            need = min(need, max(cap, prefill_pages))
+        return need
+
+    def _held(self, rid) -> int:
+        s = self.server
+        return len(s.seq_pages[rid]) - s.seq_released.get(rid, 0)
 
     def _admit(self) -> None:
         s = self.server
         # pages still owed to requests already in flight
-        owed = sum(
-            self._reserve[r] - len(s.seq_pages[r]) for r in s.seq_pages
-        )
+        owed = sum(self._reserve[r] - self._held(r) for r in s.seq_pages)
         while self.pending and len(s.seq_pages) < self.max_batch:
-            rid, prompt, params, adapter = self.pending[0]
+            rid, prompt, params, adapter, window = self.pending[0]
             max_new = self._budget(len(prompt), params)
-            need = self._pages_for(len(prompt), max_new)
+            need = self._pages_for(len(prompt), max_new, window)
             if s.available_pages < owed + need:
                 break
             self.pending.popleft()
-            s.add(rid, prompt, params, adapter=adapter)
+            s.add(rid, prompt, params, adapter=adapter, window=window)
             self.generated[rid] = []
             self._reserve[rid] = need
             self._max_new[rid] = max_new
-            owed += need - len(s.seq_pages[rid])
+            owed += need - self._held(rid)
 
     def step(self) -> Dict:
         """Admit + decode one chunk; returns {rid: tokens} for requests that

@@ -35,14 +35,35 @@ __all__ = ["paged_attention", "paged_attention_reference", "PagedKVCache"]
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# "no limit" sentinel for per-request windows (fits int32, larger than any
+# real context length); plain int so kernels don't capture an array constant
+_NO_WINDOW = 0x3FFFFFFF
+
+
+def _effective_window(window, windows, b):
+    """Per-row window limit [B] combining a static ``window`` with an
+    optional per-request ``windows`` array (<=0 entries mean "no limit");
+    None when neither imposes a limit."""
+    if windows is None:
+        if window is None:
+            return None
+        return jnp.full((b,), window, jnp.int32)
+    w = jnp.where(windows > 0, windows.astype(jnp.int32), _NO_WINDOW)
+    if window is not None:
+        w = jnp.minimum(w, jnp.int32(window))
+    return w
+
 
 def paged_attention_reference(q, k_pages, v_pages, page_indices, lengths, *,
                               num_kv_heads: int,
                               sm_scale: Optional[float] = None,
-                              window: Optional[int] = None):
+                              window: Optional[int] = None,
+                              windows=None):
     """jnp reference: gather pages then masked attention. ``window``
     restricts each decode token to its last ``window`` keys (Mistral-style
-    sliding-window attention at serve time)."""
+    sliding-window attention at serve time). ``windows`` is an optional
+    per-request [B] int32 limit (<=0 rows mean "no limit"); when both are
+    given each row uses the tighter of the two."""
     b, h, d = q.shape
     page = k_pages.shape[1]
     pages_per_seq = page_indices.shape[1]
@@ -61,8 +82,9 @@ def paged_attention_reference(q, k_pages, v_pages, page_indices, lengths, *,
                    preferred_element_type=jnp.float32) * sm_scale
     pos = jnp.arange(pages_per_seq * page)[None, None, :]
     keep = pos < lengths[:, None, None]
-    if window is not None:
-        keep = keep & (pos >= lengths[:, None, None] - window)
+    w_eff = _effective_window(window, windows, b)
+    if w_eff is not None:
+        keep = keep & (pos >= lengths[:, None, None] - w_eff[:, None, None])
     s = jnp.where(keep, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhk,bhkd->bhd", p.astype(v.dtype), v,
@@ -76,6 +98,7 @@ def _paged_kernel(
     # scalar prefetch (SMEM; the last two are WRITABLE cross-cell state)
     page_indices_ref,    # [B * pages_per_seq] int32 (flattened)
     lengths_ref,         # [B] int32
+    windows_ref,         # [B] int32 per-request limits (<=0: none)
     cnt_ref,             # [1] int32 — cumulative blocks DMA'd (slot parity)
     init_ref,            # [1] int32 — 1 until the first cell ran
     # inputs
@@ -88,16 +111,17 @@ def _paged_kernel(
     k_buf, v_buf,        # [2, pages_per_block, page, H_kv*D] VMEM
     sems,                # DMA semaphores [2, 2]
     *, pages_per_seq, pages_per_block, page, sm_scale, num_kv_heads,
-    head_dim, batch, window=None,
+    head_dim, batch, window=None, dynamic_window=False,
 ):
     """Grid = (B,), one cell per sequence; an in-cell ``fori_loop`` with a
     DYNAMIC bound walks only the live kv blocks (no dead grid cells), and
     the last live block prefetches the NEXT sequence's first block — the
     double-buffer slot parity rides in a writable scalar-prefetch counter,
     so DMA latency is hidden across cell boundaries too. With ``window``
-    the walk starts at the first block intersecting the sliding band
-    ``[length - window, length)``, so DMA and compute are bounded by the
-    window, not the sequence length."""
+    (static, per-layer) and/or ``dynamic_window`` (per-request limits in
+    ``windows_ref``) the walk starts at the first block intersecting each
+    row's sliding band ``[length - w, length)``, so DMA and compute are
+    bounded by the row's window, not the sequence length."""
     b = pl.program_id(0)
     bk = pages_per_block * page
     n_blocks = pages_per_seq // pages_per_block
@@ -106,18 +130,30 @@ def _paged_kernel(
     hkv = num_kv_heads
     q_per_kv = hq // hkv
 
+    def win_of(b_):
+        """Effective window for row b_: python int, traced int32, or None."""
+        if not dynamic_window:
+            return window
+        w = windows_ref[b_]
+        w = jnp.where(w > 0, w, _NO_WINDOW)
+        if window is not None:
+            w = jnp.minimum(w, jnp.int32(window))
+        return w
+
     # a length-0 sequence still walks one block so the DMA chain stays
     # balanced; its output is explicitly zeroed at the end (matching the
     # reference implementation's convention for no-valid-keys rows)
     def live_range(b_):
         ln = lengths_ref[b_]
         end = jnp.clip((ln + bk - 1) // bk, 1, n_blocks)
-        if window is None:
+        w = win_of(b_)
+        if w is None:
             return jnp.int32(0), end
-        start = jnp.minimum(jnp.maximum(ln - window, 0) // bk, end - 1)
+        start = jnp.minimum(jnp.maximum(ln - w, 0) // bk, end - 1)
         return start, end
 
     length = lengths_ref[b]
+    w_b = win_of(b)
     start, end = live_range(b)
     n_live = end - start
 
@@ -181,8 +217,8 @@ def _paged_kernel(
         ) * sm_scale  # [H, tokens]
         tok = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + (start + i) * bk
         keep = tok < length
-        if window is not None:
-            keep = keep & (tok >= length - window)
+        if w_b is not None:
+            keep = keep & (tok >= length - w_b)
         s = jnp.where(keep, s, NEG_INF)
 
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -218,11 +254,15 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
                     sm_scale: Optional[float] = None,
                     pages_per_block: int = 4,
                     window: Optional[int] = None,
+                    windows=None,
                     interpret: Optional[bool] = None):
     """Decode attention over the paged KV pool (shapes in module docstring).
     Returns [B, H, D]. Grid: one cell per sequence. ``window`` restricts each
     decode token to its last ``window`` keys and skips the pages below the
-    band entirely (sliding-window serving: cost bounded by the window)."""
+    band entirely (sliding-window serving: cost bounded by the window).
+    ``windows`` adds PER-REQUEST limits: a [B] int32 array where entry b
+    caps row b's attention to its last ``windows[b]`` keys (<=0 entries
+    mean "no per-request limit"); rows use the tighter of the two limits."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if window is not None:
@@ -232,12 +272,17 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
     b, h, d = q.shape
     total_pages, page, fused = k_pages.shape
     assert fused == num_kv_heads * d, (fused, num_kv_heads, d)
+    if windows is not None:
+        windows = jnp.asarray(windows, jnp.int32)
+        if windows.shape != (b,):
+            raise ValueError(f"windows must be [B]={b}, got {windows.shape}")
     if not interpret and fused % 128:
         # Mosaic requires HBM DMA slices lane-aligned (fused width % 128);
         # models too narrow for the kernel take the gather-based path.
         return paged_attention_reference(
             q, k_pages, v_pages, page_indices, lengths,
             num_kv_heads=num_kv_heads, sm_scale=sm_scale, window=window,
+            windows=windows,
         )
     pages_per_seq = page_indices.shape[1]
     assert h % num_kv_heads == 0
@@ -250,9 +295,10 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
         _paged_kernel, pages_per_seq=pages_per_seq,
         pages_per_block=pages_per_block, page=page, sm_scale=sm_scale,
         num_kv_heads=num_kv_heads, head_dim=d, batch=b, window=window,
+        dynamic_window=windows is not None,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h, d), lambda bi, *_: (bi, 0, 0)),
@@ -279,6 +325,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
     )(
         page_indices.reshape(-1).astype(jnp.int32),
         lengths.astype(jnp.int32),
+        (jnp.zeros((b,), jnp.int32) if windows is None else windows),
         jnp.zeros((1,), jnp.int32),   # block counter (writable SMEM state)
         jnp.ones((1,), jnp.int32),    # init flag
         q, k_pages, v_pages,

@@ -143,3 +143,41 @@ def test_narrow_fused_width_falls_back_to_reference():
     out = paged_attention(*args, num_kv_heads=hkv, interpret=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=2e-5)
+
+
+def test_paged_per_request_windows():
+    """Per-request window limits: each row independently capped; <=0 rows
+    unlimited. Kernel matches a per-row masked reference built from
+    single-row static-window calls."""
+    (q, kp, vp, idx, lengths), hkv = _setup(seed=6)
+    wins = jnp.asarray([5, 0, 40], jnp.int32)
+    out = paged_attention(q, kp, vp, idx, lengths, num_kv_heads=hkv,
+                          windows=wins, interpret=True)
+    ref = paged_attention_reference(q, kp, vp, idx, lengths,
+                                    num_kv_heads=hkv, windows=wins)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    # row-by-row against static-window calls (the ground truth semantics)
+    for i, w in enumerate([5, None, 40]):
+        row = paged_attention_reference(
+            q[i:i + 1], kp, vp, idx[i:i + 1], lengths[i:i + 1],
+            num_kv_heads=hkv, window=w,
+        )
+        np.testing.assert_allclose(np.asarray(out[i:i + 1]), np.asarray(row),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_paged_per_request_windows_combine_with_static():
+    """Static (layer) window + per-request limits: each row uses the
+    tighter of the two."""
+    (q, kp, vp, idx, lengths), hkv = _setup(seed=7)
+    wins = jnp.asarray([64, 0, 8], jnp.int32)
+    out = paged_attention(q, kp, vp, idx, lengths, num_kv_heads=hkv,
+                          window=16, windows=wins, interpret=True)
+    for i, w in enumerate([16, 16, 8]):
+        row = paged_attention_reference(
+            q[i:i + 1], kp, vp, idx[i:i + 1], lengths[i:i + 1],
+            num_kv_heads=hkv, window=w,
+        )
+        np.testing.assert_allclose(np.asarray(out[i:i + 1]), np.asarray(row),
+                                   atol=2e-5, rtol=2e-5)

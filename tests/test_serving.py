@@ -883,3 +883,91 @@ def test_modern_serving_windowed_matches_full_forward():
             atol=5e-3, rtol=5e-3,
         )
         seq.append(int(np.argmax(np.asarray(logits[0]))))
+
+
+def test_windowed_kv_release_bounds_pages_and_matches_unreleased():
+    """All-windowed ModernLM: pages fully below every layer's band are
+    released mid-generation (KV memory O(window), the Mistral rolling
+    cache), and the emitted tokens are identical to a server with release
+    disabled (released pages can never be attended)."""
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    model = nn.ModernLM.init(
+        vocab_size=19, context_length=64, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, window=6, key=jax.random.PRNGKey(0),
+    )
+    prompt = [1, 4, 7, 2, 9]
+    a = ModernBatchServer(model, page_size=4, total_pages=32)
+    b = ModernBatchServer(model, page_size=4, total_pages=32)
+    b._release_pages = lambda seq_id: None  # keep every page
+    a.add("x", prompt)
+    b.add("x", prompt)
+    ta = [a.step()["x"] for _ in range(40)]
+    tb = [b.step()["x"] for _ in range(40)]
+    assert ta == tb
+    held_a = sum(p >= 0 for p in a.seq_pages["x"])
+    held_b = sum(p >= 0 for p in b.seq_pages["x"])
+    bound = a.kv_bound_for(None)
+    assert bound == 6
+    assert held_b == len(b.seq_pages["x"])      # nothing released
+    assert held_a <= -(-(bound + 4) // 4) + 1   # band + slack pages only
+    assert len(a.free_pages) > len(b.free_pages)
+
+
+def test_per_request_window_matches_model_window():
+    """A per-request window on a windowless model emits the same greedy
+    stream as the same weights built with a static model window; an
+    unwindowed request in the same batch is unaffected."""
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    kw = dict(vocab_size=19, context_length=48, num_blocks=2, embed_dim=32,
+              num_heads=4, num_kv_heads=2)
+    base = nn.ModernLM.init(key=jax.random.PRNGKey(3), **kw)
+    winm = nn.ModernLM.init(key=jax.random.PRNGKey(3), window=5, **kw)
+    prompt = [1, 4, 7, 2, 9, 3, 6, 8]  # longer than the window
+
+    sw = ModernBatchServer(winm, page_size=8, total_pages=32)
+    sw.add("m", prompt)
+    want = [sw.step()["m"] for _ in range(12)]
+
+    sb = ModernBatchServer(base, page_size=8, total_pages=32)
+    sb.add("full", prompt)
+    full_alone = [sb.step()["full"] for _ in range(12)]
+
+    s = ModernBatchServer(base, page_size=8, total_pages=32)
+    s.add("r", prompt, window=5)
+    s.add("full", prompt)
+    got = [s.step() for _ in range(12)]
+    assert [g["r"] for g in got] == want
+    assert [g["full"] for g in got] == full_alone
+    # bounded KV applies to the windowed request only
+    assert s.seq_released["r"] > 0
+    assert s.seq_released["full"] == 0
+
+
+def test_engine_windowed_admission_bounded_pool():
+    """A pool too small for an unbounded generation stalls, but the same
+    request with a per-request window fits (O(window) reservation)."""
+    from lamp_tpu.models.serving import ModernBatchServer, ServingEngine
+    from lamp_tpu.models.sampling import SamplingParams
+
+    model = nn.ModernLM.init(
+        vocab_size=19, context_length=64, num_blocks=1, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(1),
+    )
+
+    def make_engine():
+        server = ModernBatchServer(model, page_size=4, total_pages=8)
+        return ServingEngine(server, decode_steps=4, max_batch=4)
+
+    eng = make_engine()
+    eng.submit([1, 4, 7, 2, 9], SamplingParams(max_tokens=30),
+               request_id="u")
+    with pytest.raises(RuntimeError, match="stalled"):
+        eng.run()
+
+    eng = make_engine()
+    eng.submit([1, 4, 7, 2, 9], SamplingParams(max_tokens=30),
+               request_id="w", window=6)
+    out = eng.run()
+    assert len(out["w"]) == 30

@@ -30,10 +30,17 @@ from .sampling import SamplingParams, sample_tokens
 
 __all__ = [
     "BatchServer", "ModernBatchServer", "SpeculativeDecoder",
-    "ServingEngine", "SamplingParams",
+    "LoRADraftSpeculativeDecoder", "ServingEngine", "SamplingParams",
 ]
 
 
+
+
+def _kv_write(pool, token_pages, token_slots, rows):
+    """Scatter K/V rows into their page slots, cast to the pool dtype.
+    With an fp8 pool (``kv_dtype=jnp.float8_e4m3fn``) this is where the
+    cache quantizes; for bf16/f32 pools the cast is a no-op."""
+    return pool.at[token_pages, token_slots].set(rows.astype(pool.dtype))
 
 
 @jax.jit
@@ -68,7 +75,8 @@ class BatchServer:
                  total_pages: int = 512, temperature: float = 0.0,
                  seed: int = 0, quantize_bits: Optional[int] = None,
                  pages_per_block: int = 4,
-                 enable_prefix_cache: bool = False):
+                 enable_prefix_cache: bool = False,
+                 kv_dtype=None):
         if quantize_bits not in (None, 4, 8):
             raise ValueError("quantize_bits must be None, 4 or 8")
         self.quantize_bits = quantize_bits
@@ -81,7 +89,13 @@ class BatchServer:
         self.max_pages_per_seq = (
             model.context_length + page_size - 1
         ) // page_size
-        dt = model.token_embedding.weight.dtype
+        # ``kv_dtype`` overrides the pool precision: jnp.float8_e4m3fn
+        # stores the cache in fp8 — half the KV HBM of bf16, so double the
+        # concurrent batch x context per chip; the paged kernel DMAs half
+        # the bytes and upcasts in VMEM (see ops.paged_attention)
+        dt = (model.token_embedding.weight.dtype if kv_dtype is None
+              else jnp.dtype(kv_dtype))
+        self.kv_dtype = dt
         # one pool PER LAYER: [P, page, H_kv*D] (heads fused into lanes so
         # DMA slices stay 128-aligned for any head_dim). Per-layer arrays —
         # not one [L, ...] block — so each layer's scatter-update and kernel
@@ -417,8 +431,8 @@ class BatchServer:
             # write kv rows: [T, H*D] into page slots
             k_rows = kk[0].transpose(1, 0, 2).reshape(t, -1)
             v_rows = vv[0].transpose(1, 0, 2).reshape(t, -1)
-            k_pages[li] = k_pages[li].at[token_pages, token_slots].set(k_rows)
-            v_pages[li] = v_pages[li].at[token_pages, token_slots].set(v_rows)
+            k_pages[li] = _kv_write(k_pages[li], token_pages, token_slots, k_rows)
+            v_pages[li] = _kv_write(v_pages[li], token_pages, token_slots, v_rows)
             o = mha_reference(q, kk, vv, causal=True, window=req_window)
             o = o.transpose(0, 2, 1, 3).reshape(1, t, -1)
             ow = jnp.matmul(
@@ -643,10 +657,10 @@ class BatchServer:
             kk = y[:, nq:2 * nq].reshape(b, h, hd)
             vv = y[:, 2 * nq:].reshape(b, h, hd)
             # write this token's fused-head kv row into its page slot
-            k_pages[li] = k_pages[li].at[token_pages, token_slots].set(
+            k_pages[li] = _kv_write(k_pages[li], token_pages, token_slots, 
                 kk.reshape(b, -1)
             )
-            v_pages[li] = v_pages[li].at[token_pages, token_slots].set(
+            v_pages[li] = _kv_write(v_pages[li], token_pages, token_slots, 
                 vv.reshape(b, -1)
             )
             o = paged_attention(
@@ -711,8 +725,8 @@ class BatchServer:
             q = y[..., :nq].reshape(b, m, h, hd)
             kk = y[..., nq:2 * nq]
             vv = y[..., 2 * nq:]
-            k_pages[li] = k_pages[li].at[token_pages, token_slots].set(kk)
-            v_pages[li] = v_pages[li].at[token_pages, token_slots].set(vv)
+            k_pages[li] = _kv_write(k_pages[li], token_pages, token_slots, kk)
+            v_pages[li] = _kv_write(v_pages[li], token_pages, token_slots, vv)
             o = paged_attention(
                 q.reshape(b * m, h, hd), k_pages[li], v_pages[li], pidx,
                 plen, num_kv_heads=self.kv_heads,
@@ -1288,10 +1302,10 @@ class ModernBatchServer(BatchServer):
             q = rot(yq.reshape(b, self.heads, hd))
             kk = rot(yk.reshape(b, self.kv_heads, hd))
             vv = yv.reshape(b, self.kv_heads, hd)
-            k_pages[li] = k_pages[li].at[token_pages, token_slots].set(
+            k_pages[li] = _kv_write(k_pages[li], token_pages, token_slots, 
                 kk.reshape(b, -1)
             )
-            v_pages[li] = v_pages[li].at[token_pages, token_slots].set(
+            v_pages[li] = _kv_write(v_pages[li], token_pages, token_slots, 
                 vv.reshape(b, -1)
             )
             o = paged_attention(
@@ -1385,10 +1399,10 @@ class ModernBatchServer(BatchServer):
             q = rot(y[:, :nq].reshape(b, hq_l, hd))
             kk = rot(y[:, nq:nq + nkv].reshape(b, hkv_l, hd))
             vv = y[:, nq + nkv:].reshape(b, hkv_l, hd)
-            k_pages[li] = k_pages[li].at[token_pages, token_slots].set(
+            k_pages[li] = _kv_write(k_pages[li], token_pages, token_slots, 
                 kk.reshape(b, -1)
             )
-            v_pages[li] = v_pages[li].at[token_pages, token_slots].set(
+            v_pages[li] = _kv_write(v_pages[li], token_pages, token_slots, 
                 vv.reshape(b, -1)
             )
             o = paged_attention(
@@ -1447,10 +1461,10 @@ class ModernBatchServer(BatchServer):
             q = rot(y[..., :nq].reshape(b, m, hq_l, hd))
             kk = rot(y[..., nq:nq + nkv].reshape(b, m, hkv_l, hd))
             vv = y[..., nq + nkv:]
-            k_pages[li] = k_pages[li].at[token_pages, token_slots].set(
+            k_pages[li] = _kv_write(k_pages[li], token_pages, token_slots, 
                 kk.reshape(b, m, -1)
             )
-            v_pages[li] = v_pages[li].at[token_pages, token_slots].set(vv)
+            v_pages[li] = _kv_write(v_pages[li], token_pages, token_slots, vv)
             o = paged_attention(
                 q.reshape(b * m, hq_l, hd), k_pages[li], v_pages[li],
                 pidx, plen, num_kv_heads=hkv_l,
@@ -1520,10 +1534,10 @@ class ModernBatchServer(BatchServer):
             q = rot(yq.reshape(b, m, self.heads, hd))
             kk = rot(yk.reshape(b, m, self.kv_heads, hd))
             vv = yv
-            k_pages[li] = k_pages[li].at[token_pages, token_slots].set(
+            k_pages[li] = _kv_write(k_pages[li], token_pages, token_slots, 
                 kk.reshape(b, m, -1)
             )
-            v_pages[li] = v_pages[li].at[token_pages, token_slots].set(vv)
+            v_pages[li] = _kv_write(v_pages[li], token_pages, token_slots, vv)
             o = paged_attention(
                 q.reshape(b * m, self.heads, hd), k_pages[li], v_pages[li],
                 pidx, plen, num_kv_heads=self.kv_heads,
@@ -1580,8 +1594,8 @@ class ModernBatchServer(BatchServer):
             kk = apply_rope(kk, cos, sin)
             k_rows = kk[0].transpose(1, 0, 2).reshape(t, -1)
             v_rows = vv[0].transpose(1, 0, 2).reshape(t, -1)
-            k_pages[li] = k_pages[li].at[token_pages, token_slots].set(k_rows)
-            v_pages[li] = v_pages[li].at[token_pages, token_slots].set(v_rows)
+            k_pages[li] = _kv_write(k_pages[li], token_pages, token_slots, k_rows)
+            v_pages[li] = _kv_write(v_pages[li], token_pages, token_slots, v_rows)
             if self.kv_heads != self.heads:
                 rep = self.heads // self.kv_heads
                 kk = jnp.repeat(kk, rep, axis=1)
@@ -1906,3 +1920,79 @@ class SpeculativeDecoder:
             self.draft.last_token[s] = emitted[-1]
             out[s] = emitted
         return out
+
+
+def draft_view(model, num_blocks: int):
+    """A truncated VIEW of a :class:`~lamp_tpu.nn.ModernLM`: the first
+    ``num_blocks`` transformer blocks plus the shared final norm / LM head /
+    embeddings. Every weight is the SAME jax array as the full model's —
+    no HBM is copied. Train a LoRA adapter on ``lora_inject(draft_view(m,
+    L), ...)`` (self-distillation against the full model's next-token
+    output) and serve it with :class:`LoRADraftSpeculativeDecoder`."""
+    if not 0 < num_blocks <= len(model.blocks):
+        raise ValueError(
+            f"num_blocks must be in [1, {len(model.blocks)}], got {num_blocks}"
+        )
+    return model.replace(blocks=model.blocks[:num_blocks])
+
+
+class LoRADraftSpeculativeDecoder(SpeculativeDecoder):
+    """Speculative decoding whose DRAFT shares the target's weights: the
+    draft is the target's first ``L`` blocks (an early-exit stack) with a
+    LoRA adapter on the block projections, so the only extra HBM is the
+    adapter's low-rank factors and a KV pool for ``L`` layers — no separate
+    draft model. (The plain :class:`SpeculativeDecoder` keeps a full second
+    model's weights resident; CLAUDE.md backlog item.)
+
+    ``lora_draft`` is a ``lora_inject``-ed :func:`draft_view` of the target
+    (adapter restricted to the block q/k/v/o/w1/w3/w2 projections — the
+    same constraint as :meth:`ModernBatchServer.register_adapter`); its
+    block count sets the draft depth. Acceptance/rollback semantics are
+    inherited unchanged, so the emitted stream keeps the exact
+    target-distribution guarantee regardless of draft quality.
+    """
+
+    def __init__(self, model, lora_draft, *, k: int = 4,
+                 page_size: int = 128, total_pages: int = 512,
+                 draft_total_pages: Optional[int] = None,
+                 temperature: float = 0.0, seed: int = 0, **server_kwargs):
+        if hasattr(model, "encoder"):
+            raise NotImplementedError(
+                "LoRA-draft speculation serves the ModernLM family"
+            )
+        n_draft = len(lora_draft.blocks)
+        if n_draft > len(model.blocks):
+            raise ValueError(
+                f"draft has {n_draft} blocks but the target only "
+                f"{len(model.blocks)}"
+            )
+        self.k = k
+        self.temperature = temperature
+        self.rng = np.random.default_rng(seed)
+        self.target = ModernBatchServer(
+            model, page_size=page_size, total_pages=total_pages,
+            **server_kwargs,
+        )
+        te = self.target._extras
+
+        class _SharedExtrasServer(ModernBatchServer):
+            """Draft server whose projection/LM-head weights are slices of
+            the target server's extras tuples — references to the same jax
+            arrays, so the fused-QKV concatenation is not re-materialized."""
+
+            def _precompute_extras(self, m):
+                wqkv, wo, w1, w3, w2, lmh = te
+                n = len(m.blocks)
+                return (wqkv[:n], wo[:n], w1[:n], w3[:n], w2[:n], lmh)
+
+        self.draft = _SharedExtrasServer(
+            draft_view(model, n_draft), page_size=page_size,
+            total_pages=(total_pages if draft_total_pages is None
+                         else draft_total_pages),
+            **server_kwargs,
+        )
+        self.draft.register_adapter("draft", lora_draft)
+
+    def add(self, seq_id, prompt_tokens) -> None:
+        self.target.add(seq_id, prompt_tokens)
+        self.draft.add(seq_id, prompt_tokens, adapter="draft")

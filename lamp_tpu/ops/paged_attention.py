@@ -18,6 +18,10 @@ head_dim):
 
 ``H_kv * D`` must be a multiple of 128 on real TPUs (lane tiling).
 A pure-jnp reference backs the kernel on CPU and in tests.
+
+Pools may be stored in fp8 (``jnp.float8_e4m3fn``): half the KV HBM and
+half the DMA bytes of bf16; the kernel upcasts blocks to bf16 in VMEM
+before the MXU dots. Serve with ``BatchServer(kv_dtype=jnp.float8_e4m3fn)``.
 """
 
 from __future__ import annotations
@@ -38,6 +42,16 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 # "no limit" sentinel for per-request windows (fits int32, larger than any
 # real context length); plain int so kernels don't capture an array constant
 _NO_WINDOW = 0x3FFFFFFF
+
+
+def _is_low_precision_kv(dtype) -> bool:
+    """True for KV-pool dtypes that need an in-kernel upcast before the
+    attention dots (fp8 storage: half the KV HBM of bf16, so double the
+    concurrent batch/context per chip; dequantization is a free elementwise
+    cast fused into the VMEM read)."""
+    return jnp.dtype(dtype) in (
+        jnp.dtype(jnp.float8_e4m3fn), jnp.dtype(jnp.float8_e5m2),
+    )
 
 
 def _effective_window(window, windows, b):
@@ -70,6 +84,11 @@ def paged_attention_reference(q, k_pages, v_pages, page_indices, lengths, *,
     h_kv = num_kv_heads
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
+    if _is_low_precision_kv(k_pages.dtype):
+        # fp8 KV cache: dequantize after the gather (f8 has no implicit
+        # promotion path, so the einsums below would reject it)
+        k_pages = k_pages.astype(q.dtype)
+        v_pages = v_pages.astype(q.dtype)
     # gather: [B, pages, page, H_kv*D] -> [B, T, H_kv, D] -> [B, H_kv, T, D]
     k = k_pages[page_indices].reshape(b, pages_per_seq * page, h_kv, d)
     v = v_pages[page_indices].reshape(b, pages_per_seq * page, h_kv, d)
@@ -111,7 +130,7 @@ def _paged_kernel(
     k_buf, v_buf,        # [2, pages_per_block, page, H_kv*D] VMEM
     sems,                # DMA semaphores [2, 2]
     *, pages_per_seq, pages_per_block, page, sm_scale, num_kv_heads,
-    head_dim, batch, window=None, dynamic_window=False,
+    head_dim, batch, window=None, dynamic_window=False, cast_kv=False,
 ):
     """Grid = (B,), one cell per sequence; an in-cell ``fori_loop`` with a
     DYNAMIC bound walks only the live kv blocks (no dead grid cells), and
@@ -211,6 +230,11 @@ def _paged_kernel(
 
         k = k_buf[slot].reshape(bk, hkv * d)
         v = v_buf[slot].reshape(bk, hkv * d)
+        if cast_kv:
+            # fp8 pool: upcast to bf16 for the MXU dots (elementwise, fused
+            # into the VMEM read; the DMA above moved half the bytes)
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q_exp, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -296,6 +320,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
         pages_per_block=pages_per_block, page=page, sm_scale=sm_scale,
         num_kv_heads=num_kv_heads, head_dim=d, batch=b, window=window,
         dynamic_window=windows is not None,
+        cast_kv=_is_low_precision_kv(k_pages.dtype),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,

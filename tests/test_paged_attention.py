@@ -181,3 +181,39 @@ def test_paged_per_request_windows_combine_with_static():
         )
         np.testing.assert_allclose(np.asarray(out[i:i + 1]), np.asarray(row),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_paged_fp8_kv_pool():
+    """fp8 (e4m3) KV pool: kernel matches the fp8 reference tightly (both
+    attend over identical dequantized values) and stays close to the full-
+    precision result (quantization noise only)."""
+    (q, kp, vp, idx, lengths), hkv = _setup(seed=8)
+    f8 = jnp.float8_e4m3fn
+    kp8, vp8 = kp.astype(f8), vp.astype(f8)
+    out8 = paged_attention(q, kp8, vp8, idx, lengths, num_kv_heads=hkv,
+                           interpret=True)
+    ref8 = paged_attention_reference(q, kp8, vp8, idx, lengths,
+                                     num_kv_heads=hkv)
+    # kernel dequantizes f8 -> bf16 for the MXU dots; the reference runs
+    # f32 after the gather, so agreement is bf16-rounding-bounded
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(ref8),
+                               atol=4e-3, rtol=4e-2)
+    full = paged_attention_reference(q, kp, vp, idx, lengths,
+                                     num_kv_heads=hkv)
+    a = np.asarray(out8, np.float64).reshape(-1)
+    b = np.asarray(full, np.float64).reshape(-1)
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.98, cos
+
+
+def test_paged_fp8_with_windows():
+    """fp8 pool composes with per-request window limits."""
+    (q, kp, vp, idx, lengths), hkv = _setup(seed=9)
+    f8 = jnp.float8_e4m3fn
+    wins = jnp.asarray([5, 0, 40], jnp.int32)
+    out = paged_attention(q, kp.astype(f8), vp.astype(f8), idx, lengths,
+                          num_kv_heads=hkv, windows=wins, interpret=True)
+    ref = paged_attention_reference(q, kp.astype(f8), vp.astype(f8), idx,
+                                    lengths, num_kv_heads=hkv, windows=wins)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=4e-3, rtol=4e-2)

@@ -971,3 +971,154 @@ def test_engine_windowed_admission_bounded_pool():
                request_id="w", window=6)
     out = eng.run()
     assert len(out["w"]) == 30
+
+
+def test_lora_draft_speculative_matches_target_greedy():
+    """LoRA-draft speculation (early-exit draft sharing the target's
+    weights + a LoRA adapter): the emitted greedy stream is identical to
+    target-only decoding even with a randomized (untrained) adapter."""
+    from lamp_tpu.models.serving import (
+        LoRADraftSpeculativeDecoder, ModernBatchServer, draft_view,
+    )
+    from lamp_tpu.nn.lora import LoRALinear, _map_linears, lora_inject
+
+    model = nn.ModernLM.init(
+        vocab_size=19, context_length=64, num_blocks=3, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(0),
+    )
+    lora = lora_inject(draft_view(model, 1), rank=2,
+                       key=jax.random.PRNGKey(1))
+    # randomize lora_b (wrap inits it to zero) so the adapter actually
+    # perturbs the draft's predictions
+    box = [jax.random.PRNGKey(2)]
+
+    def visit(path, node):
+        if type(node) is LoRALinear:
+            box[0], sub = jax.random.split(box[0])
+            return node.replace(lora_b=0.3 * jax.random.normal(
+                sub, node.lora_b.shape, node.lora_b.dtype))
+        return None
+
+    lora = _map_linears(lora, visit, ())
+
+    prompt = [1, 4, 7, 2, 9]
+    n_tokens = 12
+    plain = ModernBatchServer(model, page_size=8, total_pages=64)
+    plain.add("x", prompt)
+    expected = [plain.step()["x"] for _ in range(n_tokens)]
+
+    spec = LoRADraftSpeculativeDecoder(model, lora, k=3, page_size=8,
+                                       total_pages=64)
+    spec.add("x", prompt)
+    got = []
+    while len(got) < n_tokens:
+        got.extend(spec.step()["x"])
+    assert got[:n_tokens] == expected
+
+
+def test_lora_draft_shares_weight_buffers():
+    """The draft server's projection/LM-head extras are the SAME arrays as
+    the target server's (no re-materialized fused weights); a full-depth
+    zero-delta adapter accepts every proposal."""
+    from lamp_tpu.models.serving import LoRADraftSpeculativeDecoder, draft_view
+    from lamp_tpu.nn.lora import lora_inject
+
+    model = nn.ModernLM.init(
+        vocab_size=19, context_length=64, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(3),
+    )
+    # full depth, lora_b = 0 (wrap default) => draft == target exactly
+    lora = lora_inject(draft_view(model, 2), rank=2,
+                       key=jax.random.PRNGKey(4))
+    spec = LoRADraftSpeculativeDecoder(model, lora, k=4, page_size=8,
+                                       total_pages=64)
+    te, de = spec.target._extras, spec.draft._extras
+    for t_group, d_group in zip(te[:-1], de[:-1]):
+        for t_w, d_w in zip(t_group, d_group):
+            assert t_w is d_w
+    assert te[-1] is de[-1]  # lm head
+
+    spec.add("x", [1, 4, 7, 2, 9])
+    for _ in range(3):
+        assert len(spec.step()["x"]) == 4  # all k accepted every round
+
+
+def test_lora_draft_depth_and_family_validation():
+    from lamp_tpu.models.serving import LoRADraftSpeculativeDecoder, draft_view
+    from lamp_tpu.nn.lora import lora_inject
+
+    model = nn.ModernLM.init(
+        vocab_size=19, context_length=32, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(5),
+    )
+    with pytest.raises(ValueError):
+        draft_view(model, 3)
+    with pytest.raises(ValueError):
+        draft_view(model, 0)
+    lm = _model()  # LanguageModelModule family
+    lora = lora_inject(draft_view(model, 1), rank=2,
+                       key=jax.random.PRNGKey(6))
+    with pytest.raises(NotImplementedError):
+        LoRADraftSpeculativeDecoder(lm, lora)
+
+
+def test_modern_serving_fp8_kv_cache():
+    """kv_dtype=float8_e4m3fn: pools store fp8 (half the KV HBM), decode
+    logits track the bf16-cache server (cosine), streams stay valid."""
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    model = nn.ModernLM.init(
+        vocab_size=19, context_length=64, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(0),
+    )
+    prompt = [1, 4, 7, 2, 9, 3]
+    ref = ModernBatchServer(model, page_size=8, total_pages=32)
+    s8 = ModernBatchServer(model, page_size=8, total_pages=32,
+                           kv_dtype=jnp.float8_e4m3fn)
+    assert s8.k_pages[0].dtype == jnp.float8_e4m3fn
+    assert s8.k_pages[0].nbytes * 4 == ref.k_pages[0].nbytes  # f32 model
+    ref.add("a", prompt)
+    s8.add("a", prompt)
+    for _ in range(8):
+        ref.step()
+        t8 = s8.step()["a"]
+        assert 0 <= t8 < 19
+    # compare the next-step logits directly (cosine over vocab)
+    import numpy as _np
+
+    def logits_of(server):
+        idx, lens = server._views(["a"])
+        tp, ts = server._alloc_slot("a")
+        logits, server.k_pages, server.v_pages = server._step_fn(
+            server.model, server.k_pages, server.v_pages,
+            jnp.asarray([server.last_token["a"]], jnp.int32), idx, lens,
+            jnp.asarray([tp], jnp.int32), jnp.asarray([ts], jnp.int32),
+            server._extras, None, None,
+        )
+        server.seq_len["a"] += 1
+        return _np.asarray(logits[0], _np.float64)
+
+    la, lb = logits_of(ref), logits_of(s8)
+    cos = la @ lb / (_np.linalg.norm(la) * _np.linalg.norm(lb))
+    assert cos > 0.98, cos
+
+
+def test_fp8_kv_speculative_and_chunked_paths():
+    """fp8 cache works through chunked decode + rewind (the speculative
+    verification path)."""
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    model = nn.ModernLM.init(
+        vocab_size=19, context_length=64, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(2),
+    )
+    s = ModernBatchServer(model, page_size=8, total_pages=32,
+                          kv_dtype=jnp.float8_e4m3fn)
+    s.add("a", [1, 4, 7, 2, 9])
+    base_len = s.seq_len["a"]
+    logits = s.advance_chunk(["a"], np.asarray([[3, 4, 5]], np.int32))
+    assert logits.shape[1] == 3
+    s.rewind("a", 2)
+    assert s.seq_len["a"] == base_len + 1
+    out = s.step()
+    assert 0 <= out["a"] < 19

@@ -14,7 +14,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import flash_attention, mha_reference
+from ..ops.attention import (compact_attention, flash_attention,
+                             mha_reference)
 from . import init as initializers
 from .layers import Embedding, Linear
 from .module import Module, buffer_field, static_field
@@ -154,9 +155,14 @@ class LlamaBlock(Module):
             k = jnp.repeat(k, h // hk, axis=1)
             v = jnp.repeat(v, h // hk, axis=1)
         on_tpu = jax.default_backend() == "tpu"
+        # length crossovers measured on v5e (see ops.attention dispatch):
+        # XLA <= 512 < compact <= 1024 < flash; the compact kernels don't
+        # take segment ids, so packed-document batches skip them
         if on_tpu and t > 1024:
             o = flash_attention(q, k, v, causal=True, window=self.window,
                                 segment_ids=segment_ids)
+        elif on_tpu and t > 512 and segment_ids is None:
+            o = compact_attention(q, k, v, causal=True, window=self.window)
         else:
             o = mha_reference(q, k, v, causal=True, window=self.window,
                               segment_ids=segment_ids)

@@ -22,7 +22,8 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import dot_product_attention, flash_attention, mha_reference
+from ..ops.attention import (compact_attention, dot_product_attention,
+                             flash_attention, mha_reference)
 from . import init as initializers
 from .layers import Dropout, LayerNorm, Linear
 from .module import Module, buffer_field, static_field
@@ -172,13 +173,18 @@ class MultiheadAttention(Module):
             use_dropout = train and self.dropout > 0.0
             on_tpu = jax.default_backend() == "tpu"
             # same eligibility gate as the reference (no dropout; length
-            # masks stay in-kernel) plus a measured length crossover: XLA's
-            # fused unflashed attention wins below ~1k kv positions on v5e;
-            # the Pallas kernel wins beyond (and is the only option once S^2
-            # stops fitting in HBM)
-            if on_tpu and not use_dropout and k.shape[2] > 1024:
+            # masks stay in-kernel) plus measured length crossovers on v5e:
+            # XLA's fused unflashed attention wins at kv <= 512; the compact
+            # whole-tile-in-VMEM kernels win 2-3x f+b in (512, 1024]; the
+            # flash kernels win beyond (and are the only option once S^2
+            # stops fitting)
+            skv = k.shape[2]
+            if on_tpu and not use_dropout and skv > 1024:
                 o = flash_attention(q, k, v, causal=self.causal,
                                     kv_lengths=lengths)
+            elif on_tpu and not use_dropout and skv > 512:
+                o = compact_attention(q, k, v, causal=self.causal,
+                                      kv_lengths=lengths)
             else:
                 acc = jnp.promote_types(q.dtype, jnp.float32)
                 sm_scale = 1.0 / math.sqrt(q.shape[-1])

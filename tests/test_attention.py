@@ -394,3 +394,134 @@ def test_flash_segment_ids_qkv_pair():
     ref = mha_reference(q, k, v, causal=True, segment_ids=(q_ids, kv_ids))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# compact kernels (short sequences: whole score tile in VMEM)
+# ---------------------------------------------------------------------------
+
+from lamp_tpu.ops.attention import compact_attention  # noqa: E402
+
+
+def _compact_grads(fn, kwargs, q, k, v):
+    def loss(q, k, v):
+        o = fn(q, k, v, **kwargs)
+        w = jnp.cos(jnp.arange(o.size, dtype=jnp.float32)).reshape(o.shape)
+        return jnp.sum(o.astype(jnp.float32) * w)
+
+    return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("shape", [(2, 3, 128, 64), (1, 2, 384, 32)])
+def test_compact_matches_reference(causal, shape):
+    b, h, s, d = shape
+    keys = jax.random.split(jax.random.PRNGKey(31), 3)
+    q, k, v = (_rand(kk, shape) for kk in keys)
+    out = compact_attention(q, k, v, causal=causal, interpret=True)
+    ref = mha_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    g1 = _compact_grads(compact_attention, dict(causal=causal, interpret=True),
+                        q, k, v)
+    g2 = _compact_grads(mha_reference, dict(causal=causal), q, k, v)
+    for a, b_, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4, err_msg=f"grad {name}")
+
+
+def test_compact_non_multiple_and_decode():
+    """Non-128-multiple lengths are padded in-wrapper; Sq != Skv aligns the
+    causal diagonal to the end of kv (decode convention)."""
+    keys = jax.random.split(jax.random.PRNGKey(32), 3)
+    q = _rand(keys[0], (2, 2, 100, 64))
+    k = _rand(keys[1], (2, 2, 200, 64))
+    v = _rand(keys[2], (2, 2, 200, 64))
+    out = compact_attention(q, k, v, causal=True, interpret=True)
+    ref = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    g1 = _compact_grads(compact_attention, dict(causal=True, interpret=True),
+                        q, k, v)
+    g2 = _compact_grads(mha_reference, dict(causal=True), q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4)
+
+
+@pytest.mark.parametrize("lengths", [[100, 256], [0, 17]])
+def test_compact_kv_lengths_1d(lengths):
+    """1D kv_lengths mask keys per batch element; zero-length rows get the
+    reference's where-semantics gradients (dv uniform, dq/dk zero)."""
+    skv = 256
+    keys = jax.random.split(jax.random.PRNGKey(33), 3)
+    q = _rand(keys[0], (2, 2, 128, 64))
+    k = _rand(keys[1], (2, 2, skv, 64))
+    v = _rand(keys[2], (2, 2, skv, 64))
+    L = jnp.asarray(lengths, jnp.int32)
+    mask = jnp.arange(skv)[None, None, None, :] < L[:, None, None, None]
+    out = compact_attention(q, k, v, kv_lengths=L, interpret=True)
+    ref = mha_reference(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    g1 = _compact_grads(compact_attention,
+                        dict(kv_lengths=L, interpret=True), q, k, v)
+    g2 = _compact_grads(mha_reference, dict(mask=mask), q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4)
+
+
+def test_compact_kv_lengths_2d():
+    """2D (per-query-row) limits — the reference's 2D maxLength protocol."""
+    sq, skv = 128, 256
+    keys = jax.random.split(jax.random.PRNGKey(34), 3)
+    q = _rand(keys[0], (2, 2, sq, 64))
+    k = _rand(keys[1], (2, 2, skv, 64))
+    v = _rand(keys[2], (2, 2, skv, 64))
+    L = jnp.tile(jnp.arange(1, sq + 1, dtype=jnp.int32)[None] + 64, (2, 1))
+    mask = (jnp.arange(skv)[None, None, None, :]
+            < L[:, None, :, None])
+    out = compact_attention(q, k, v, kv_lengths=L, interpret=True)
+    ref = mha_reference(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+@pytest.mark.parametrize("window", [32, 128])
+def test_compact_sliding_window(window):
+    keys = jax.random.split(jax.random.PRNGKey(35), 3)
+    shape = (2, 2, 384, 64)
+    q, k, v = (_rand(kk, shape) for kk in keys)
+    out = compact_attention(q, k, v, causal=True, window=window,
+                            interpret=True)
+    ref = mha_reference(q, k, v, causal=True, window=window)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    g1 = _compact_grads(
+        compact_attention,
+        dict(causal=True, window=window, interpret=True), q, k, v)
+    g2 = _compact_grads(mha_reference, dict(causal=True, window=window),
+                        q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4)
+
+
+def test_compact_rejects_oversize_kv():
+    keys = jax.random.split(jax.random.PRNGKey(36), 3)
+    q = _rand(keys[0], (1, 1, 2048, 64))
+    with pytest.raises(ValueError, match="exceeds"):
+        compact_attention(q, q, q, causal=True, interpret=True)
+
+
+def test_dot_product_attention_compact_route():
+    """implementation='compact' produces reference numerics."""
+    keys = jax.random.split(jax.random.PRNGKey(37), 3)
+    shape = (1, 2, 640, 64)
+    q, k, v = (_rand(kk, shape) for kk in keys)
+    out = dot_product_attention(q, k, v, causal=True,
+                                implementation="compact")
+    ref = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)

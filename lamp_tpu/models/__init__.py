@@ -1,10 +1,12 @@
 """Model zoo: vision nets, KV-cached generation."""
 
+from .constrained import TokenDFA, byte_vocab, json_value_regex
 from .hf import modernlm_from_hf_llama, modernlm_from_hf_state, modernlm_to_hf_llama
 from .generate import KVCache, decode_step, generate, init_cache, prefill
 from .sampling import SamplingParams, sample_tokens
 from .serving import (
     BatchServer,
+    LoRADraftSpeculativeDecoder,
     ModernBatchServer,
     ServingEngine,
     SpeculativeDecoder,
@@ -24,6 +26,10 @@ __all__ = [
     "ModernBatchServer",
     "ServingEngine",
     "SpeculativeDecoder",
+    "LoRADraftSpeculativeDecoder",
+    "TokenDFA",
+    "byte_vocab",
+    "json_value_regex",
     "SamplingParams",
     "sample_tokens",
     "modernlm_from_hf_llama",

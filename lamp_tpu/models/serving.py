@@ -138,6 +138,15 @@ class BatchServer:
         self._pen_cache = None  # (ids tuple, counts [B,V], pmask [B,V])
         self._pen_dirty: set = set()
         self.temperature = temperature
+        # constrained decoding (models.constrained): registered TokenDFA
+        # transition tables stacked into ONE [sum_states, V] device array;
+        # row 0 is the "free" automaton (every token allowed, self-loop) so
+        # unconstrained requests cost nothing extra when mixed in
+        self._constraints: Dict = {}
+        self._c_offsets: Dict = {}
+        self._ctable_host = np.zeros((1, self.vocab), np.int32)
+        self._ctable_dev = None
+        self.seq_cstate: Dict = {}
         self.key = jax.random.PRNGKey(seed)
         self._sample_fn = jax.jit(sample_tokens, static_argnames=("max_top_k",))
         # prefix cache (vLLM-style): full prompt pages are content-addressed
@@ -223,7 +232,8 @@ class BatchServer:
     def add(self, seq_id, prompt_tokens,
             params: Optional[SamplingParams] = None,
             adapter: Optional[str] = None,
-            window: Optional[int] = None) -> None:
+            window: Optional[int] = None,
+            constraint: Optional[str] = None) -> None:
         """Admit a request: dense one-shot prefill of the prompt (full-matmul
         efficiency; all K/V rows written into pages in one jitted call).
         ``params`` sets per-request sampling controls (temperature / top-k /
@@ -233,13 +243,21 @@ class BatchServer:
         request's attention to its last ``window`` tokens (combined with any
         per-layer model windows, tighter wins); when every layer ends up
         windowed, pages that fall fully below the band are released back to
-        the pool mid-generation — KV memory is O(window), not O(length)."""
+        the pool mid-generation — KV memory is O(window), not O(length).
+        ``constraint`` names a :meth:`register_constraint`-ed TokenDFA: the
+        request's output is grammar-constrained (masked sampling), see
+        :mod:`lamp_tpu.models.constrained`."""
         if seq_id in self.seq_pages:
             raise ValueError(f"duplicate request {seq_id}")
         if window is not None:
             window = int(window)
             if window <= 0:
                 raise ValueError("window must be a positive int")
+        if constraint is not None:
+            if constraint not in self._c_offsets:
+                raise ValueError(f"unknown constraint {constraint!r}")
+            # global state index into the stacked table (DFA start is 0)
+            self.seq_cstate[seq_id] = self._c_offsets[constraint]
         aidx = self._adapter_index(adapter)
         self.seq_adapter[seq_id] = aidx
         self.seq_window[seq_id] = window
@@ -462,6 +480,7 @@ class BatchServer:
         self.seq_adapter.pop(seq_id, None)
         self.seq_window.pop(seq_id, None)
         self.seq_released.pop(seq_id, None)
+        self.seq_cstate.pop(seq_id, None)
         self.seq_prompt_mask.pop(seq_id, None)
         self._pen_dirty.discard(seq_id)
 
@@ -817,6 +836,53 @@ class BatchServer:
             else:
                 self.free_pages.append(pg)
 
+    def register_constraint(self, name: str, dfa) -> None:
+        """Register a :class:`~lamp_tpu.models.constrained.TokenDFA` under
+        ``name`` for use by ``add(..., constraint=name)``. The transition
+        table is appended to the server's stacked device table once; per
+        decode step a constrained batch pays one row gather (which doubles
+        as the state advance). Compile the DFA with ``eos_token`` so every
+        accepting state keeps an out-edge (emitting EOS ends the request
+        with a guaranteed-complete match)."""
+        if name in self._constraints:
+            raise ValueError(f"duplicate constraint {name!r}")
+        if dfa.vocab_size != self.vocab:
+            raise ValueError(
+                f"constraint vocab {dfa.vocab_size} != model vocab "
+                f"{self.vocab}"
+            )
+        offset = self._ctable_host.shape[0]
+        block = dfa.table.astype(np.int32).copy()
+        block[block >= 0] += offset
+        self._constraints[name] = dfa
+        self._c_offsets[name] = offset
+        self._ctable_host = np.concatenate([self._ctable_host, block], 0)
+        self._ctable_dev = jnp.asarray(self._ctable_host)
+
+    def _constraint_arrays(self, seq_ids):
+        """(table, states [B]) for the batch, or (None, None) — STATIC —
+        when no active request is constrained (keeps the gather/mask out of
+        the compiled program entirely)."""
+        states = [self.seq_cstate.get(sid, 0) for sid in seq_ids]
+        if not any(states):
+            return None, None
+        return self._ctable_dev, jnp.asarray(states, jnp.int32)
+
+    def _constraint_advance(self, seq_ids, toks_host):
+        """Host-side automaton advance after sampling: toks_host is [B]
+        or [n, B]."""
+        tt = toks_host if toks_host.ndim == 2 else toks_host[None]
+        for i, sid in enumerate(seq_ids):
+            st = self.seq_cstate.get(sid, 0)
+            if st == 0:
+                continue
+            for t in tt[:, i]:
+                st = int(self._ctable_host[st, int(t)])
+                if st < 0:  # no out-edges (see register_constraint note):
+                    st = 0  # fall back to unconstrained rather than wrap
+                    break
+            self.seq_cstate[sid] = st
+
     def _sampling_arrays(self, seq_ids):
         """(temperature [B], top_k [B] | None, top_p [B] | None) for the
         active requests. The filter arrays are None (STATIC — skips the
@@ -899,12 +965,16 @@ class BatchServer:
         tokens = jnp.asarray([self.last_token[s] for s in seq_ids], jnp.int32)
         logits = self._advance(seq_ids, tokens)
         temps, top_k, top_p, pen, mtk = self._sampling_arrays(seq_ids)
+        ctable, cstates = self._constraint_arrays(seq_ids)
+        rows = None if ctable is None else jnp.take(ctable, cstates, axis=0)
         self.key, sub = jax.random.split(self.key)
         nxt = self._sample_fn(logits, sub, temps, top_k, top_p, pen,
-                              max_top_k=mtk)
+                              rows, max_top_k=mtk)
         # ONE device->host transfer for the whole batch (per-element int()
         # would pay a full round trip per sequence)
         nxt_host = np.asarray(nxt)
+        if ctable is not None:
+            self._constraint_advance(seq_ids, nxt_host)
         if pen is not None:
             self._pen_store(seq_ids, _bump_counts(pen[0], nxt))
         out = {}
@@ -917,6 +987,7 @@ class BatchServer:
     def _decode_many(self, model, k_pages, v_pages, tokens0, page_idx,
                      lens0, token_pages, token_slots, extras, lora, key,
                      temps, top_k, top_p, penalties, req_windows=None,
+                     ctable=None, cstates=None,
                      *, n: int, max_top_k: int = 0):
         """``n`` decode steps fused into ONE program: lax.scan over the
         single-token step with on-device per-request sampling (temperature /
@@ -929,7 +1000,7 @@ class BatchServer:
             counts0, pmask, pres, freq, rep = penalties
 
         def body(carry, i):
-            tok, kp, vp, k_, cnts = carry
+            tok, kp, vp, k_, cnts, cst = carry
             logits, kp, vp = self._decode_step(
                 model, kp, vp, tok, page_idx, lens0 + i,
                 token_pages[:, i], token_slots[:, i], extras, lora,
@@ -937,19 +1008,26 @@ class BatchServer:
             )
             k_, sub = jax.random.split(k_)
             pen = None if cnts is None else (cnts, pmask, pres, freq, rep)
+            # constrained rows double as mask and automaton step
+            rows = None if cst is None else jnp.take(ctable, cst, axis=0)
             nxt = sample_tokens(logits, sub, temps, top_k, top_p, pen,
-                                max_top_k)
+                                rows, max_top_k)
+            if cst is not None:
+                stepped = rows[jnp.arange(nxt.shape[0]), nxt]
+                # dead-end guard (mirrors _constraint_advance): fall back
+                # to the free automaton instead of wrapping to the last row
+                cst = jnp.maximum(stepped, 0)
             if cnts is not None:  # track generated tokens inside the scan
                 cnts = cnts.at[jnp.arange(nxt.shape[0]), nxt].add(1)
-            return (nxt, kp, vp, k_, cnts), nxt
+            return (nxt, kp, vp, k_, cnts, cst), nxt
 
-        (_, k_pages, v_pages, _, cnts_end), toks = jax.lax.scan(
+        (_, k_pages, v_pages, _, cnts_end, cst_end), toks = jax.lax.scan(
             body,
             (tokens0, k_pages, v_pages, key,
-             None if penalties is None else counts0),
+             None if penalties is None else counts0, cstates),
             jnp.arange(n),
         )
-        return toks, k_pages, v_pages, cnts_end
+        return toks, k_pages, v_pages, cnts_end, cst_end
 
     def step_many(self, n: int) -> Dict:
         """Decode ``n`` tokens for every active request in ONE dispatched
@@ -980,16 +1058,19 @@ class BatchServer:
                 static_argnames=("n", "max_top_k"),
             )
         temps, top_k, top_p, pen, mtk = self._sampling_arrays(seq_ids)
+        ctable, cstates = self._constraint_arrays(seq_ids)
         self.key, sub = jax.random.split(self.key)
-        toks, self.k_pages, self.v_pages, cnts_end = self._many_fn(
+        toks, self.k_pages, self.v_pages, cnts_end, cst_end = self._many_fn(
             self.model, self.k_pages, self.v_pages, tokens0, idx, lens0,
             jnp.asarray(tp), jnp.asarray(ts), self._extras,
             self._lora_arg(seq_ids), sub, temps, top_k, top_p, pen,
-            self._windows_arg(seq_ids), n=n, max_top_k=mtk,
+            self._windows_arg(seq_ids), ctable, cstates, n=n, max_top_k=mtk,
         )
         if cnts_end is not None:
             self._pen_store(seq_ids, cnts_end)
         toks_host = np.asarray(toks)  # [n, B]
+        if ctable is not None:
+            self._constraint_advance(seq_ids, toks_host)
         out = {}
         for i, s in enumerate(seq_ids):
             seq_toks = [int(t) for t in toks_host[:, i]]
@@ -1650,12 +1731,18 @@ class ServingEngine:
 
     def submit(self, prompt_tokens, params: Optional[SamplingParams] = None,
                request_id=None, adapter: Optional[str] = None,
-               window: Optional[int] = None):
+               window: Optional[int] = None,
+               constraint: Optional[str] = None):
         """Queue a request; returns its id. Decoding starts once pages are
         available (see :meth:`step`). ``adapter`` selects a registered LoRA
         adapter for this request; ``window`` caps the request's attention to
         its last ``window`` tokens (bounded-KV admission: the reservation
-        shrinks to O(window) pages when every layer ends up windowed)."""
+        shrinks to O(window) pages when every layer ends up windowed);
+        ``constraint`` names a DFA registered on the server with
+        :meth:`BatchServer.register_constraint` — the request's output is
+        grammar-constrained (compile the DFA with the request's EOS token
+        and list that token in ``params.stop_tokens`` to stop on a complete
+        match)."""
         rid = request_id if request_id is not None else f"req{self._next_id}"
         self._next_id += 1
         prompt = [int(t) for t in np.asarray(prompt_tokens).reshape(-1)]
@@ -1670,7 +1757,9 @@ class ServingEngine:
         self.server._adapter_index(adapter)  # validate early
         if window is not None and int(window) <= 0:
             raise ValueError("window must be a positive int")
-        self.pending.append((rid, prompt, params, adapter, window))
+        if constraint is not None and constraint not in self.server._c_offsets:
+            raise ValueError(f"unknown constraint {constraint!r}")
+        self.pending.append((rid, prompt, params, adapter, window, constraint))
         return rid
 
     def _budget(self, prompt_len: int, params: SamplingParams) -> int:
@@ -1714,13 +1803,15 @@ class ServingEngine:
         # pages still owed to requests already in flight
         owed = sum(self._reserve[r] - self._held(r) for r in s.seq_pages)
         while self.pending and len(s.seq_pages) < self.max_batch:
-            rid, prompt, params, adapter, window = self.pending[0]
+            rid, prompt, params, adapter, window, constraint = \
+                self.pending[0]
             max_new = self._budget(len(prompt), params)
             need = self._pages_for(len(prompt), max_new, window)
             if s.available_pages < owed + need:
                 break
             self.pending.popleft()
-            s.add(rid, prompt, params, adapter=adapter, window=window)
+            s.add(rid, prompt, params, adapter=adapter, window=window,
+                  constraint=constraint)
             self.generated[rid] = []
             self._reserve[rid] = need
             self._max_new[rid] = max_new

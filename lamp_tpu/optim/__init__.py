@@ -2,7 +2,8 @@
 
 from .base import Optimizer, resolve_hyper, apply_updates
 from .clip import clip_by_global_norm, clip_by_value, global_norm
-from .optimizers import SGDW, Adafactor, AdamW, Lamb, Lion, RAdam, Yogi
+from .optimizers import (SGDW, Adafactor, AdamW, Lamb, Lion, Muon, RAdam,
+                         Yogi, newton_schulz_orthogonalize)
 from .shampoo import Shampoo
 from . import schedules
 
@@ -21,5 +22,7 @@ __all__ = [
     "Shampoo",
     "Lion",
     "Adafactor",
+    "Muon",
+    "newton_schulz_orthogonalize",
     "schedules",
 ]

@@ -1,4 +1,4 @@
-"""Optimizers: SGDW, AdamW, RAdam, Yogi, Lamb, Lion, Adafactor.
+"""Optimizers: SGDW, AdamW, RAdam, Yogi, Lamb, Lion, Adafactor, Muon.
 
 Capability parity with the reference suite
 (reference: lamp-core/src/main/scala/lamp/nn/{SGD,AdamW,RAdam,Yogi}.scala),
@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from .base import Hyper, Optimizer, resolve_hyper
 
-__all__ = ["SGDW", "AdamW", "RAdam", "Yogi", "Lamb", "Lion", "Adafactor"]
+__all__ = ["SGDW", "AdamW", "RAdam", "Yogi", "Lamb", "Lion", "Adafactor",
+           "Muon", "newton_schulz_orthogonalize"]
 
 
 def _is_none(x):
@@ -492,3 +493,134 @@ class Adafactor(Optimizer):
             "mt": pick(4) if self.beta1 is not None else None,
         }
         return pick(0), new_state
+
+
+def newton_schulz_orthogonalize(g, steps: int = 5, eps: float = 1e-7):
+    """Quintic Newton-Schulz iteration approximating UV^T of the SVD
+    g = U S V^T — i.e. it replaces the singular values with ~1 (the official
+    Muon coefficients land them in about [0.7, 1.3], which is what the
+    method wants: a bounded, well-conditioned update direction, not an exact
+    polar factor). Pure matmuls — MXU-native work, no host linalg.
+    g: [m, n] (any dtype; computed in f32)."""
+    a, b, c = 3.4445, -4.7750, 2.0315
+    x = g.astype(jnp.float32)
+    transpose = x.shape[0] > x.shape[1]
+    if transpose:
+        x = x.T
+    x = x / (jnp.linalg.norm(x) + eps)
+
+    def body(x, _):
+        xxt = jnp.matmul(x, x.T, preferred_element_type=jnp.float32)
+        bterm = b * xxt + c * jnp.matmul(xxt, xxt,
+                                         preferred_element_type=jnp.float32)
+        return a * x + jnp.matmul(bterm, x,
+                                  preferred_element_type=jnp.float32), None
+
+    x, _ = jax.lax.scan(body, x, None, length=steps)
+    return (x.T if transpose else x)
+
+
+class Muon(Optimizer):
+    """Muon (Jordan et al. 2024, "Muon: an optimizer for the hidden layers
+    of neural networks"): SGD-momentum whose 2D updates are orthogonalized
+    by a quintic Newton-Schulz iteration. Beyond reference parity — the
+    orthogonalization is five matmuls per weight matrix, which on TPU rides
+    the MXU, making Muon's overhead small exactly where this framework runs.
+
+    Parameters with ``ndim >= 2`` (convs are flattened to
+    ``[out, -1]``) take the Muon step scaled by
+    ``sqrt(max(1, rows/cols))``; everything else — biases, norm gains,
+    scalars, and any parameter whose tag contains one of ``adam_tags``
+    substrings (use it for embeddings / output heads, which Muon's authors
+    keep on Adam) — takes an embedded AdamW step with ``adam_lr``.
+    """
+
+    def __init__(self, learning_rate: Hyper = 0.02, momentum: float = 0.95,
+                 nesterov: bool = True, ns_steps: int = 5,
+                 weight_decay: Hyper = 0.0,
+                 adam_lr: float = 3e-4, adam_betas=(0.9, 0.95),
+                 adam_eps: float = 1e-8, adam_tags=(), tags=None):
+        self.learning_rate = learning_rate
+        self.momentum = momentum
+        self.nesterov = nesterov
+        self.ns_steps = ns_steps
+        self.weight_decay = weight_decay
+        self.adam_lr = adam_lr
+        self.adam_betas = adam_betas
+        self.adam_eps = adam_eps
+        self.adam_tags = tuple(adam_tags)
+        self.tags = tags
+
+    def _is_muon(self, p, tag: str) -> bool:
+        return p is not None and p.ndim >= 2 and not any(
+            t in tag for t in self.adam_tags
+        )
+
+    def init(self, params):
+        tags = self.tags if self.tags is not None else _map(
+            lambda p: "", params)
+        mt = _map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        # adam second moments only where the adam path runs (None elsewhere
+        # keeps the state pytree lean)
+        vt = _map(
+            lambda p, t: (None if self._is_muon(p, t)
+                          else jnp.zeros(p.shape, jnp.float32)),
+            params, tags)
+        return {"mt": mt, "vt": vt, "t": jnp.zeros((), jnp.int32)}
+
+    def step(self, params, grads, state, lr_factor=1.0):
+        tags = self.tags if self.tags is not None else _map(
+            lambda p: "", params)
+        lr = resolve_hyper(self.learning_rate, tags, params)
+        wd = resolve_hyper(self.weight_decay, tags, params)
+        mu, nest = self.momentum, self.nesterov
+        b1, b2 = self.adam_betas
+        t = state["t"] + 1
+
+        class _Res:  # NOT a pytree node => a leaf to tree_map, so the
+            # (params, mt, vt) results can't be confused with structural
+            # tuples inside the params tree (e.g. Sequential.layers)
+            __slots__ = ("p", "m", "v")
+
+            def __init__(self, p, m, v):
+                self.p, self.m, self.v = p, m, v
+
+        def upd(path_p, m, v, g, l, w, tag):
+            p = path_p
+            gf = _f32(g)
+            if self._is_muon(p, tag):
+                m = mu * m + gf
+                u = gf + mu * m if nest else m
+                shape = u.shape
+                if u.ndim > 2:  # conv kernels etc: [out, everything else]
+                    u2 = u.reshape(shape[0], -1)
+                else:
+                    u2 = u
+                o = newton_schulz_orthogonalize(u2, self.ns_steps)
+                o = o.reshape(shape)
+                scale = jnp.sqrt(
+                    jnp.maximum(1.0, u2.shape[0] / u2.shape[1]))
+                pf = _f32(p)
+                pf = pf * (1.0 - lr_factor * l * w)
+                return _Res(
+                    (pf - lr_factor * l * scale * o).astype(p.dtype), m, v)
+            # AdamW path (biases / tagged params)
+            m = b1 * m + (1 - b1) * gf
+            v = b2 * v + (1 - b2) * gf * gf
+            mhat = m / (1 - b1 ** t.astype(jnp.float32))
+            vhat = v / (1 - b2 ** t.astype(jnp.float32))
+            pf = _f32(p)
+            pf = pf * (1.0 - lr_factor * self.adam_lr * w)
+            return _Res(
+                (pf - lr_factor * self.adam_lr * mhat
+                 / (jnp.sqrt(vhat) + self.adam_eps)).astype(p.dtype), m, v)
+
+        triples = _map(upd, params, state["mt"], state["vt"], grads, lr, wd,
+                       tags)
+
+        def pick(f):
+            return jax.tree_util.tree_map(
+                lambda tr: None if tr is None else getattr(tr, f), triples,
+                is_leaf=lambda x: x is None or isinstance(x, _Res))
+
+        return pick("p"), {"mt": pick("m"), "vt": pick("v"), "t": t}

@@ -245,3 +245,75 @@ def test_reduce_lr_on_plateau():
     import json
 
     json.dumps(state)
+
+
+def test_muon_converges():
+    # vector params take the embedded AdamW path
+    _quadratic_convergence(optim.Muon(learning_rate=0.05, adam_lr=0.1))
+
+
+def test_muon_newton_schulz_orthogonalizes():
+    """NS output ~ UV^T of the SVD: singular values in ~[0.68, 1.13] (the
+    official quintic coefficients' fixed band), direction matched."""
+    from lamp_tpu.optim.optimizers import newton_schulz_orthogonalize
+
+    for shape, seed in [((64, 256), 0), ((256, 64), 1), ((48, 48), 2)]:
+        g = jax.random.normal(jax.random.PRNGKey(seed), shape)
+        o = newton_schulz_orthogonalize(g)
+        sv = jnp.linalg.svd(o, compute_uv=False)
+        # random square matrices can have a near-zero smallest singular
+        # value, which NS lifts only slowly — allow it a wider floor
+        assert 0.3 < float(sv.min()) and float(sv.max()) < 1.5, shape
+        u, s, vt = jnp.linalg.svd(g, full_matrices=False)
+        uvt = u @ vt
+        cos = jnp.sum(o * uvt) / (jnp.linalg.norm(o) * jnp.linalg.norm(uvt))
+        assert float(cos) > 0.97, (shape, float(cos))
+
+
+def test_muon_trains_mlp():
+    """Muon on the matrices + embedded AdamW on the biases overfits a tiny
+    regression, jitted end to end."""
+    model = nn.MLP(8, 16, 1, key=jax.random.PRNGKey(2))
+    params, static = nn.partition_params(model)
+    X = jax.random.normal(jax.random.PRNGKey(3), (64, 8))
+    yt = jnp.sin(X.sum(1, keepdims=True))
+    opt = optim.Muon(0.05, adam_lr=1e-2)
+    state = opt.init(params)
+
+    def loss_fn(p):
+        y, _ = nn.combine(p, static).forward(X)
+        return jnp.mean((y - yt) ** 2)
+
+    @jax.jit
+    def step(p, st):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        p2, st2 = opt.step(p, g, st)
+        return p2, st2, l
+
+    l0 = float(loss_fn(params))
+    for _ in range(150):
+        params, state, l = step(params, state)
+    assert float(l) < 0.1 * l0
+    # structure preserved (tuples in the params tree must not be unpacked)
+    import jax.tree_util as tu
+
+    assert tu.tree_structure(params) == tu.tree_structure(
+        nn.partition_params(model)[0])
+
+
+def test_muon_adam_tags_route_to_adam():
+    """Params whose tag matches adam_tags get the AdamW path (vt state
+    allocated); by default 2D params are Muon'd (vt None)."""
+    import jax.tree_util as tu
+
+    params = {"emb": jnp.ones((8, 4)), "w": jnp.ones((4, 4)),
+              "b": jnp.ones((4,))}
+    tags = {"emb": "Embedding.weight", "w": "Linear.weight",
+            "b": "Linear.bias"}
+    opt = optim.Muon(0.05, adam_tags=("Embedding",), tags=tags)
+    st = opt.init(params)
+    assert st["vt"]["emb"] is not None     # routed to adam by tag
+    assert st["vt"]["w"] is None           # muon
+    assert st["vt"]["b"] is not None       # 1D -> adam
+    p2, st2 = opt.step(params, tu.tree_map(jnp.ones_like, params), st)
+    assert p2["w"].shape == (4, 4)

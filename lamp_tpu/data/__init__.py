@@ -9,6 +9,7 @@ from .batchstream import (
     prefetch_to_device,
     staged_from_indices,
 )
+from .hf_tokenizer import HFTokenizer
 from .tokenizer import (
     ByteSegmentCodec,
     Codec,
@@ -40,6 +41,7 @@ from .images import (
 )
 
 __all__ = [
+    "HFTokenizer",
     "BatchStream",
     "from_full_batch",
     "from_function",

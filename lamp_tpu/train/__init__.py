@@ -12,6 +12,7 @@ from .loops import (
     run_batch_stream,
     validation_one_epoch,
 )
+from .ema import ema_init, ema_params, ema_swap, ema_update
 from .swa import (
     constant_swa_schedule,
     cyclic_swa_schedule,
@@ -31,6 +32,10 @@ __all__ = [
     "run_batch_stream",
     "parallel_run_batch_stream",
     "swa_epochs",
+    "ema_init",
+    "ema_update",
+    "ema_params",
+    "ema_swap",
     "constant_swa_schedule",
     "cyclic_swa_schedule",
     "recalibrate_batchnorm",

@@ -429,3 +429,25 @@ def test_chained_steps_handle_ragged_tail():
     )
     assert n == 100.0
     assert np.isfinite(loss)
+
+
+def test_ema_tracks_and_swaps():
+    """EMA shadow: warmup correction averages fast early; converged params
+    pull the shadow toward them; swap is reversible."""
+    from lamp_tpu.train import ema_init, ema_params, ema_swap, ema_update
+
+    params = {"w": jnp.full((4,), 2.0, jnp.bfloat16), "none": None}
+    ema = ema_init(params)
+    assert ema["w"].dtype == jnp.float32
+    # constant params: shadow converges to them
+    for t in range(1, 200):
+        ema = ema_update(ema, params, decay=0.99, step=t)
+    np.testing.assert_allclose(np.asarray(ema["w"]), 2.0, atol=1e-3)
+    # warmup: after 1 step with step-correction, shadow moved substantially
+    e2 = ema_update(ema_init({"w": jnp.zeros((4,))}),
+                    {"w": jnp.ones((4,))}, decay=0.999, step=1)
+    assert float(e2["w"][0]) > 0.5
+    # swap returns params-dtype average and re-shadows the raw weights
+    avg, shadow = ema_swap(ema, params)
+    assert avg["w"].dtype == jnp.bfloat16
+    assert shadow["w"].dtype == jnp.float32

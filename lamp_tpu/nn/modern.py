@@ -156,13 +156,14 @@ class LlamaBlock(Module):
             v = jnp.repeat(v, h // hk, axis=1)
         on_tpu = jax.default_backend() == "tpu"
         # length crossovers measured on v5e (see ops.attention dispatch):
-        # XLA <= 512 < compact <= 1024 < flash; the compact kernels don't
-        # take segment ids, so packed-document batches skip them
+        # XLA <= 512 < compact <= 1024 < flash (segment ids ride both
+        # kernel paths, so packed-document batches keep the fast path)
         if on_tpu and t > 1024:
             o = flash_attention(q, k, v, causal=True, window=self.window,
                                 segment_ids=segment_ids)
-        elif on_tpu and t > 512 and segment_ids is None:
-            o = compact_attention(q, k, v, causal=True, window=self.window)
+        elif on_tpu and t > 512:
+            o = compact_attention(q, k, v, causal=True, window=self.window,
+                                  segment_ids=segment_ids)
         else:
             o = mha_reference(q, k, v, causal=True, window=self.window,
                               segment_ids=segment_ids)

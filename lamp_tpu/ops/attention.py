@@ -821,9 +821,12 @@ def flash_attention(q, k, v, *, causal: bool = False,
 # kernels (see dispatch gate in :func:`dot_product_attention`).
 
 
-def _compact_mask(tq, tkv, q_offset, causal, window, lim):
-    """Boolean keep-mask [tq, tkv] combining causal band, sliding window and
-    per-row kv limits. ``lim`` is an int32 [tq] row of kv-length limits."""
+def _compact_mask(tq, tkv, q_offset, causal, window, lim,
+                  seg_q=None, seg_kv=None):
+    """Boolean keep-mask [tq, tkv] combining causal band, sliding window,
+    per-row kv limits and (optional) segment-id equality. ``lim`` is an
+    int32 [tq] row of kv-length limits; ``seg_q``/``seg_kv`` are int32
+    [tq]/[tkv] packed-document ids."""
     kpos = jax.lax.broadcasted_iota(jnp.int32, (tq, tkv), 1)
     keep = kpos < lim[:, None]
     if causal:
@@ -831,6 +834,8 @@ def _compact_mask(tq, tkv, q_offset, causal, window, lim):
         keep &= kpos <= qpos
         if window is not None:
             keep &= kpos > qpos - window
+    if seg_q is not None:
+        keep &= seg_q[:, None] == seg_kv[None, :]
     return keep
 
 
@@ -843,15 +848,18 @@ def _compact_softmax(s, keep):
     return p / jnp.sum(p, axis=1, keepdims=True)
 
 
-def _compact_fwd_kernel(lim_ref, q_ref, k_ref, v_ref, o_ref, *,
-                        sm_scale, causal, window, q_offset):
+def _compact_fwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref,
+                        o_ref, *, sm_scale, causal, window, q_offset):
+    # sq_ref/sk_ref ([1, 1, T] int32 segment ids) are None when unsegmented
     q = q_ref[0]  # [Tq, D]
     s = jax.lax.dot_general(
         q, k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * sm_scale  # [Tq, Tkv] f32, resident in VMEM
     keep = _compact_mask(s.shape[0], s.shape[1], q_offset, causal, window,
-                         lim_ref[0, 0])
+                         lim_ref[0, 0],
+                         None if sq_ref is None else sq_ref[0, 0],
+                         None if sk_ref is None else sk_ref[0, 0])
     p = _compact_softmax(s, keep)
     o_ref[0] = jax.lax.dot_general(
         p.astype(q.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -859,8 +867,8 @@ def _compact_fwd_kernel(lim_ref, q_ref, k_ref, v_ref, o_ref, *,
     ).astype(o_ref.dtype)
 
 
-def _compact_bwd_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
-                        dq_ref, dk_ref, dv_ref, *,
+def _compact_bwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref,
+                        do_ref, o_ref, dq_ref, dk_ref, dv_ref, *,
                         sm_scale, causal, window, q_offset):
     q = q_ref[0]
     k = k_ref[0]
@@ -869,7 +877,9 @@ def _compact_bwd_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     ) * sm_scale
     keep = _compact_mask(s.shape[0], s.shape[1], q_offset, causal, window,
-                         lim_ref[0, 0])
+                         lim_ref[0, 0],
+                         None if sq_ref is None else sq_ref[0, 0],
+                         None if sk_ref is None else sk_ref[0, 0])
     p = _compact_softmax(s, keep)
     pb = p.astype(q.dtype)
     dv_ref[0] = jax.lax.dot_general(
@@ -895,64 +905,82 @@ def _compact_bwd_kernel(lim_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
 
 
 def _compact_specs(heads, tq, tkv, d):
-    # limits ride as [B, 1, Tq] so the trailing block dims satisfy Mosaic's
-    # (8, 128)-or-full-dim tiling rule
+    # limits/segment ids ride as [B, 1, T] so the trailing block dims
+    # satisfy Mosaic's (8, 128)-or-full-dim tiling rule
     lim = pl.BlockSpec((1, 1, tq), lambda bh: (bh // heads, 0, 0))
+    skv_spec = pl.BlockSpec((1, 1, tkv), lambda bh: (bh // heads, 0, 0))
     qs = pl.BlockSpec((1, tq, d), lambda bh: (bh, 0, 0))
     ks = pl.BlockSpec((1, tkv, d), lambda bh: (bh, 0, 0))
-    return lim, qs, ks
+    return lim, skv_spec, qs, ks
 
 
-def _compact_run_fwd(q, k, v, limits, sm_scale, causal, window, q_offset,
-                     heads, interpret):
+def _compact_opt_segs(seg_q, seg_kv, lim_spec, skv_spec):
+    """(extra specs, extra args, wrap) for the optional segment-id inputs,
+    mirroring _opt_inputs: wrap(base) adapts a kernel expecting
+    (lim_ref, sq_ref, sk_ref, ...) to only the refs that are present."""
+    if seg_q is None:
+        def wrap(base):
+            def kernel(lim_ref, *rest):
+                return base(lim_ref, None, None, *rest)
+
+            return kernel
+
+        return [], (), wrap
+    return [lim_spec, skv_spec], (seg_q, seg_kv), lambda base: base
+
+
+def _compact_run_fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal,
+                     window, q_offset, heads, interpret):
     bh, tq, d = q.shape
     tkv = k.shape[1]
-    lim, qs, ks = _compact_specs(heads, tq, tkv, d)
-    kernel = functools.partial(
+    lim, skv_spec, qs, ks = _compact_specs(heads, tq, tkv, d)
+    seg_specs, seg_args, wrap = _compact_opt_segs(seg_q, seg_kv, lim, skv_spec)
+    kernel = wrap(functools.partial(
         _compact_fwd_kernel, sm_scale=sm_scale, causal=causal, window=window,
         q_offset=q_offset,
-    )
+    ))
     return pl.pallas_call(
         kernel,
         grid=(bh,),
-        in_specs=[lim, qs, ks, ks],
+        in_specs=[lim] + seg_specs + [qs, ks, ks],
         out_specs=qs,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(limits, q, k, v)
+    )(limits, *seg_args, q, k, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
-def _compact(q, k, v, limits, sm_scale, causal, window, q_offset, heads,
-             interpret):
-    return _compact_run_fwd(q, k, v, limits, sm_scale, causal, window,
-                            q_offset, heads, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _compact(q, k, v, limits, seg_q, seg_kv, sm_scale, causal, window,
+             q_offset, heads, interpret):
+    return _compact_run_fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal,
+                            window, q_offset, heads, interpret)
 
 
-def _compact_vjp_fwd(q, k, v, limits, sm_scale, causal, window, q_offset,
-                     heads, interpret):
-    o = _compact_run_fwd(q, k, v, limits, sm_scale, causal, window, q_offset,
-                         heads, interpret)
-    return o, (q, k, v, limits, o)
+def _compact_vjp_fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal,
+                     window, q_offset, heads, interpret):
+    o = _compact_run_fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal,
+                         window, q_offset, heads, interpret)
+    return o, (q, k, v, limits, seg_q, seg_kv, o)
 
 
 def _compact_vjp_bwd(sm_scale, causal, window, q_offset, heads, interpret,
                      res, g):
-    q, k, v, limits, o = res
+    q, k, v, limits, seg_q, seg_kv, o = res
     bh, tq, d = q.shape
     tkv = k.shape[1]
-    lim, qs, ks = _compact_specs(heads, tq, tkv, d)
-    kernel = functools.partial(
+    lim, skv_spec, qs, ks = _compact_specs(heads, tq, tkv, d)
+    seg_specs, seg_args, wrap = _compact_opt_segs(seg_q, seg_kv, lim, skv_spec)
+    kernel = wrap(functools.partial(
         _compact_bwd_kernel, sm_scale=sm_scale, causal=causal, window=window,
         q_offset=q_offset,
-    )
+    ))
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(bh,),
-        in_specs=[lim, qs, ks, ks, qs, qs],
+        in_specs=[lim] + seg_specs + [qs, ks, ks, qs, qs],
         out_specs=(qs, ks, ks),
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -963,8 +991,8 @@ def _compact_vjp_bwd(sm_scale, causal, window, q_offset, heads, interpret,
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(limits, q, k, v, g, o)
-    return (dq, dk, dv) + _int_grads(limits)
+    )(limits, *seg_args, q, k, v, g, o)
+    return (dq, dk, dv) + _int_grads(limits, seg_q, seg_kv)
 
 
 _compact.defvjp(_compact_vjp_fwd, _compact_vjp_bwd)
@@ -978,13 +1006,17 @@ COMPACT_MAX_KV = 1024
 def compact_attention(q, k, v, *, causal: bool = False,
                       sm_scale: Optional[float] = None,
                       kv_lengths=None, window: Optional[int] = None,
+                      segment_ids=None,
                       interpret: Optional[bool] = None):
     """Short-sequence fused attention on [B, H, S, D] tensors: one Pallas
     grid cell per (batch, head) with the whole score tile resident in VMEM.
     Differentiable (fused single-kernel backward with in-cell recompute).
     Same masking semantics as :func:`flash_attention`: ``causal`` (diagonal
     aligned to the end of kv when Sq != Skv), ``kv_lengths`` [B] or [B, Sq],
-    ``window`` (requires causal). Padded Skv must stay <= COMPACT_MAX_KV.
+    ``window`` (requires causal), ``segment_ids`` ([B, S] int or a
+    ``(q_ids, kv_ids)`` pair — packed-document masking; a VPU compare on
+    the resident tile, no tile-skipping needed at these sizes). Padded Skv
+    must stay <= COMPACT_MAX_KV.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1028,9 +1060,27 @@ def compact_attention(q, k, v, *, causal: bool = False,
             limits = jnp.pad(limits, ((0, 0), (0, sq_p - sq)),
                              constant_values=skv)
 
+    seg_q = seg_kv = None
+    if segment_ids is not None:
+        q_ids, kv_ids = (segment_ids if isinstance(segment_ids, tuple)
+                         else (segment_ids, segment_ids))
+        seg_q = jnp.asarray(q_ids, jnp.int32)
+        seg_kv = jnp.asarray(kv_ids, jnp.int32)
+        # distinct negative pad ids (same scheme as flash_attention):
+        # padded q rows match nothing and are sliced off; real q rows never
+        # match padded kv columns (which the limits row also masks)
+        if sq_p != sq:
+            seg_q = jnp.pad(seg_q, ((0, 0), (0, sq_p - sq)),
+                            constant_values=-1)
+        if skv_p != skv:
+            seg_kv = jnp.pad(seg_kv, ((0, 0), (0, skv_p - skv)),
+                             constant_values=-2)
+        seg_q = seg_q[:, None, :]
+        seg_kv = seg_kv[:, None, :]
+
     q_offset = skv - sq if causal else 0
-    o = _compact(qr, kr, vr, limits[:, None, :], sm_scale, causal, window,
-                 q_offset, h, interpret)
+    o = _compact(qr, kr, vr, limits[:, None, :], seg_q, seg_kv, sm_scale,
+                 causal, window, q_offset, h, interpret)
     return o[:, :sq, :].reshape(b, h, sq, d)
 
 
@@ -1057,20 +1107,19 @@ def dot_product_attention(q, k, v, *, causal: bool = False, mask=None,
         skv = k.shape[2]
         if not on_tpu or mask is not None:
             implementation = "xla"
-        elif _round_up(skv, LANES) <= COMPACT_MAX_KV and skv > 512 \
-                and segment_ids is None:
+        elif _round_up(skv, LANES) <= COMPACT_MAX_KV and skv > 512:
             implementation = "compact"
         elif skv > 1024:
             implementation = "flash"
         else:
             implementation = "xla"
     if implementation == "compact":
-        if mask is not None or segment_ids is not None:
+        if mask is not None:
             raise ValueError(
-                "compact path supports causal/window/kv_lengths masking only"
+                "compact path does not support arbitrary masks"
             )
         return compact_attention(q, k, v, causal=causal, sm_scale=sm_scale,
-                                 window=window)
+                                 window=window, segment_ids=segment_ids)
     if implementation == "flash":
         if mask is not None:
             raise ValueError("flash path does not support arbitrary masks yet")

@@ -525,3 +525,41 @@ def test_dot_product_attention_compact_route():
     ref = mha_reference(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=2e-5)
+
+
+def test_compact_segment_ids():
+    """Packed-document masking on the compact path: equal-id attention only,
+    composed with causal; gradients match the reference's where-cotangent
+    semantics."""
+    B, H, T, D = 2, 2, 256, 64
+    keys = jax.random.split(jax.random.PRNGKey(40), 3)
+    q, k, v = (_rand(kk, (B, H, T, D)) for kk in keys)
+    seg = jnp.asarray([[0] * 100 + [1] * 80 + [2] * 76, [0] * 256], jnp.int32)
+    out = compact_attention(q, k, v, causal=True, segment_ids=seg,
+                            interpret=True)
+    ref = mha_reference(q, k, v, causal=True, segment_ids=seg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    g1 = _compact_grads(compact_attention,
+                        dict(causal=True, segment_ids=seg, interpret=True),
+                        q, k, v)
+    g2 = _compact_grads(mha_reference, dict(causal=True, segment_ids=seg),
+                        q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4)
+
+
+def test_compact_segment_ids_pair_nonmultiple():
+    """(q_ids, kv_ids) tuple with Sq != Skv and non-128-multiple lengths."""
+    keys = jax.random.split(jax.random.PRNGKey(41), 3)
+    q = _rand(keys[0], (1, 2, 50, 64))
+    k = _rand(keys[1], (1, 2, 200, 64))
+    v = _rand(keys[2], (1, 2, 200, 64))
+    kv_ids = jnp.asarray([[0] * 120 + [1] * 80], jnp.int32)
+    q_ids = kv_ids[:, -50:]
+    out = compact_attention(q, k, v, causal=True,
+                            segment_ids=(q_ids, kv_ids), interpret=True)
+    ref = mha_reference(q, k, v, causal=True, segment_ids=(q_ids, kv_ids))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)

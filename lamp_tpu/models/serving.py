@@ -135,6 +135,9 @@ class BatchServer:
         # stack cached per batch composition (rebuilt with one gather/scatter
         # when requests join/leave)
         self.seq_prompt_mask: Dict = {}
+        # per-request chosen-token logprobs (populated when
+        # SamplingParams.logprobs is set)
+        self.seq_logprobs: Dict = {}
         self._pen_cache = None  # (ids tuple, counts [B,V], pmask [B,V])
         self._pen_dirty: set = set()
         self.temperature = temperature
@@ -148,7 +151,10 @@ class BatchServer:
         self._ctable_dev = None
         self.seq_cstate: Dict = {}
         self.key = jax.random.PRNGKey(seed)
-        self._sample_fn = jax.jit(sample_tokens, static_argnames=("max_top_k",))
+        self._sample_fn = jax.jit(
+            sample_tokens,
+            static_argnames=("max_top_k", "return_logprobs"),
+        )
         # prefix cache (vLLM-style): full prompt pages are content-addressed
         # by a chain hash over page-sized token chunks; matching prefixes of
         # later requests share the physical pages (refcounted). Pages whose
@@ -264,6 +270,8 @@ class BatchServer:
         self.seq_released[seq_id] = 0
         sp = params or SamplingParams(temperature=self.temperature)
         self.seq_params[seq_id] = sp
+        if sp.logprobs:
+            self.seq_logprobs[seq_id] = []
         if sp.has_penalties:
             # host-side prompt mask; the [B, V] count state lives on device
             # in a batch-composition cache (_pen_cache) updated inside the
@@ -481,6 +489,7 @@ class BatchServer:
         self.seq_window.pop(seq_id, None)
         self.seq_released.pop(seq_id, None)
         self.seq_cstate.pop(seq_id, None)
+        self.seq_logprobs.pop(seq_id, None)
         self.seq_prompt_mask.pop(seq_id, None)
         self._pen_dirty.discard(seq_id)
 
@@ -908,6 +917,9 @@ class BatchServer:
         top_p = None
         if any(p.top_p < 1.0 for p in ps):
             top_p = jnp.asarray([p.top_p for p in ps], jnp.float32)
+        min_p = None
+        if any(p.min_p > 0.0 for p in ps):
+            min_p = jnp.asarray([p.min_p for p in ps], jnp.float32)
         penalties = None
         if any(p.has_penalties for p in ps):
             counts, pmask = self._pen_stacks(seq_ids)
@@ -917,7 +929,8 @@ class BatchServer:
                 jnp.asarray([p.frequency_penalty for p in ps], jnp.float32),
                 jnp.asarray([p.repetition_penalty for p in ps], jnp.float32),
             )
-        return temps, top_k, top_p, penalties, max_top_k
+        want_lp = any(p.logprobs for p in ps)
+        return temps, top_k, top_p, min_p, penalties, max_top_k, want_lp
 
     def _pen_stacks(self, seq_ids):
         """Device [B, V] (counts, prompt_mask) for the current batch.
@@ -964,15 +977,23 @@ class BatchServer:
             return {}
         tokens = jnp.asarray([self.last_token[s] for s in seq_ids], jnp.int32)
         logits = self._advance(seq_ids, tokens)
-        temps, top_k, top_p, pen, mtk = self._sampling_arrays(seq_ids)
+        temps, top_k, top_p, min_p, pen, mtk, want_lp = \
+            self._sampling_arrays(seq_ids)
         ctable, cstates = self._constraint_arrays(seq_ids)
         rows = None if ctable is None else jnp.take(ctable, cstates, axis=0)
         self.key, sub = jax.random.split(self.key)
-        nxt = self._sample_fn(logits, sub, temps, top_k, top_p, pen,
-                              rows, max_top_k=mtk)
+        out = self._sample_fn(logits, sub, temps, top_k, top_p, pen,
+                              rows, min_p, max_top_k=mtk,
+                              return_logprobs=want_lp)
+        nxt, lps = out if want_lp else (out, None)
         # ONE device->host transfer for the whole batch (per-element int()
         # would pay a full round trip per sequence)
         nxt_host = np.asarray(nxt)
+        if lps is not None:
+            lps_host = np.asarray(lps)
+            for i, sid in enumerate(seq_ids):
+                if sid in self.seq_logprobs:
+                    self.seq_logprobs[sid].append(float(lps_host[i]))
         if ctable is not None:
             self._constraint_advance(seq_ids, nxt_host)
         if pen is not None:
@@ -987,8 +1008,9 @@ class BatchServer:
     def _decode_many(self, model, k_pages, v_pages, tokens0, page_idx,
                      lens0, token_pages, token_slots, extras, lora, key,
                      temps, top_k, top_p, penalties, req_windows=None,
-                     ctable=None, cstates=None,
-                     *, n: int, max_top_k: int = 0):
+                     ctable=None, cstates=None, min_p=None,
+                     *, n: int, max_top_k: int = 0,
+                     return_logprobs: bool = False):
         """``n`` decode steps fused into ONE program: lax.scan over the
         single-token step with on-device per-request sampling (temperature /
         top-k / top-p) feeding each step's output token into the next.
@@ -1010,8 +1032,10 @@ class BatchServer:
             pen = None if cnts is None else (cnts, pmask, pres, freq, rep)
             # constrained rows double as mask and automaton step
             rows = None if cst is None else jnp.take(ctable, cst, axis=0)
-            nxt = sample_tokens(logits, sub, temps, top_k, top_p, pen,
-                                rows, max_top_k)
+            out = sample_tokens(logits, sub, temps, top_k, top_p, pen,
+                                rows, min_p, max_top_k,
+                                return_logprobs=return_logprobs)
+            nxt, lp = out if return_logprobs else (out, jnp.zeros(()))
             if cst is not None:
                 stepped = rows[jnp.arange(nxt.shape[0]), nxt]
                 # dead-end guard (mirrors _constraint_advance): fall back
@@ -1019,15 +1043,17 @@ class BatchServer:
                 cst = jnp.maximum(stepped, 0)
             if cnts is not None:  # track generated tokens inside the scan
                 cnts = cnts.at[jnp.arange(nxt.shape[0]), nxt].add(1)
-            return (nxt, kp, vp, k_, cnts, cst), nxt
+            return (nxt, kp, vp, k_, cnts, cst), (nxt, lp)
 
-        (_, k_pages, v_pages, _, cnts_end, cst_end), toks = jax.lax.scan(
-            body,
-            (tokens0, k_pages, v_pages, key,
-             None if penalties is None else counts0, cstates),
-            jnp.arange(n),
-        )
-        return toks, k_pages, v_pages, cnts_end, cst_end
+        (_, k_pages, v_pages, _, cnts_end, cst_end), (toks, lps) = \
+            jax.lax.scan(
+                body,
+                (tokens0, k_pages, v_pages, key,
+                 None if penalties is None else counts0, cstates),
+                jnp.arange(n),
+            )
+        return toks, k_pages, v_pages, cnts_end, (
+            lps if return_logprobs else None)
 
     def step_many(self, n: int) -> Dict:
         """Decode ``n`` tokens for every active request in ONE dispatched
@@ -1055,20 +1081,28 @@ class BatchServer:
         if not hasattr(self, "_many_fn"):
             self._many_fn = jax.jit(
                 self._decode_many, donate_argnums=(1, 2),
-                static_argnames=("n", "max_top_k"),
+                static_argnames=("n", "max_top_k", "return_logprobs"),
             )
-        temps, top_k, top_p, pen, mtk = self._sampling_arrays(seq_ids)
+        temps, top_k, top_p, min_p, pen, mtk, want_lp = \
+            self._sampling_arrays(seq_ids)
         ctable, cstates = self._constraint_arrays(seq_ids)
         self.key, sub = jax.random.split(self.key)
-        toks, self.k_pages, self.v_pages, cnts_end, cst_end = self._many_fn(
+        toks, self.k_pages, self.v_pages, cnts_end, lps = self._many_fn(
             self.model, self.k_pages, self.v_pages, tokens0, idx, lens0,
             jnp.asarray(tp), jnp.asarray(ts), self._extras,
             self._lora_arg(seq_ids), sub, temps, top_k, top_p, pen,
-            self._windows_arg(seq_ids), ctable, cstates, n=n, max_top_k=mtk,
+            self._windows_arg(seq_ids), ctable, cstates, min_p, n=n,
+            max_top_k=mtk, return_logprobs=want_lp,
         )
         if cnts_end is not None:
             self._pen_store(seq_ids, cnts_end)
         toks_host = np.asarray(toks)  # [n, B]
+        if lps is not None:
+            lps_host = np.asarray(lps)  # [n, B]
+            for i, sid in enumerate(seq_ids):
+                if sid in self.seq_logprobs:
+                    self.seq_logprobs[sid].extend(
+                        float(x) for x in lps_host[:, i])
         if ctable is not None:
             self._constraint_advance(seq_ids, toks_host)
         out = {}
@@ -1725,6 +1759,10 @@ class ServingEngine:
         self.pending = deque()       # (rid, prompt list, params)
         self.generated: Dict = {}    # rid -> [tokens so far]
         self.results: Dict = {}      # rid -> finished token list
+        # chosen-token logprobs for requests with SamplingParams.logprobs,
+        # aligned 1:1 with the emitted tokens (stop token excluded)
+        self.result_logprobs: Dict = {}
+        self._generated_lp: Dict = {}
         self._reserve: Dict = {}     # rid -> worst-case total pages
         self._max_new: Dict = {}     # rid -> decode budget
         self._next_id = 0
@@ -1813,6 +1851,8 @@ class ServingEngine:
             s.add(rid, prompt, params, adapter=adapter, window=window,
                   constraint=constraint)
             self.generated[rid] = []
+            if params.logprobs:
+                self._generated_lp[rid] = []
             self._reserve[rid] = need
             self._max_new[rid] = max_new
             owed += need - self._held(rid)
@@ -1839,12 +1879,16 @@ class ServingEngine:
         for rid, toks in chunk.items():
             g = self.generated[rid]
             params = s.seq_params[rid]
+            lp_tail = (s.seq_logprobs[rid][-len(toks):]
+                       if rid in self._generated_lp else None)
             done = False
-            for t in toks:
+            for i, t in enumerate(toks):
                 if t in params.stop_tokens:
                     done = True
                     break  # stop token is not emitted
                 g.append(t)
+                if lp_tail is not None:
+                    self._generated_lp[rid].append(lp_tail[i])
                 if len(g) >= self._max_new[rid]:
                     done = True
                     break
@@ -1853,6 +1897,8 @@ class ServingEngine:
         for rid in finished:
             s.remove(rid)
             self.results[rid] = self.generated.pop(rid)
+            if rid in self._generated_lp:
+                self.result_logprobs[rid] = self._generated_lp.pop(rid)
             self._reserve.pop(rid)
             self._max_new.pop(rid)
         return finished

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from lamp_tpu import nn
+from lamp_tpu.models.sampling import SamplingParams
 from lamp_tpu.models.serving import BatchServer
 
 
@@ -839,7 +840,8 @@ def test_nucleus_candidate_cap_matches_exact_reference():
     saved = S.NUCLEUS_CAND
     S.NUCLEUS_CAND = 8
     try:
-        got = np.asarray(_apply_filters(scaled, top_k, top_p, 8))
+        got = np.asarray(_apply_filters(scaled, top_k, top_p,
+                                        max_top_k=8))
     finally:
         S.NUCLEUS_CAND = saved
     want = seq_ref(scaled, top_k, top_p)
@@ -1122,3 +1124,96 @@ def test_fp8_kv_speculative_and_chunked_paths():
     assert s.seq_len["a"] == base_len + 1
     out = s.step()
     assert 0 <= out["a"] < 19
+
+
+def _modern_model():
+    return nn.ModernLM.init(
+        vocab_size=23, context_length=64, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(0),
+    )
+
+
+def test_min_p_filters_unlikely_tokens():
+    """min-p: tokens below min_p * max-prob are never sampled; min_p=0 rows
+    are unaffected."""
+    from lamp_tpu.models.sampling import sample_tokens
+
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05],
+                                  [0.5, 0.3, 0.15, 0.05]], jnp.float32))
+    temps = jnp.ones(2, jnp.float32)
+    min_p = jnp.asarray([0.5, 0.0], jnp.float32)  # row0 keeps probs >= 0.25
+    seen0, seen1 = set(), set()
+    for i in range(200):
+        t = sample_tokens(logits, jax.random.PRNGKey(i), temps,
+                          min_p=min_p)
+        seen0.add(int(t[0]))
+        seen1.add(int(t[1]))
+    assert seen0 <= {0, 1}, seen0           # 0.15/0.05 < 0.5*0.5
+    assert seen1 == {0, 1, 2, 3}, seen1     # unfiltered row samples all
+
+
+def test_sample_tokens_logprobs():
+    """Returned logprob is log_softmax at the chosen token (model
+    distribution, pre-temperature)."""
+    from lamp_tpu.models.sampling import sample_tokens
+
+    logits = jax.random.normal(jax.random.PRNGKey(0), (3, 16))
+    # greedy (temperature None)
+    toks, lps = sample_tokens(logits, jax.random.PRNGKey(1), None,
+                              return_logprobs=True)
+    want = jax.nn.log_softmax(logits, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(lps),
+        np.asarray(jnp.take_along_axis(want, toks[:, None], 1)[:, 0]),
+        rtol=1e-5)
+    # sampled path
+    temps = jnp.asarray([1.0, 0.7, 0.0], jnp.float32)
+    toks2, lps2 = sample_tokens(logits, jax.random.PRNGKey(2), temps,
+                                return_logprobs=True)
+    np.testing.assert_allclose(
+        np.asarray(lps2),
+        np.asarray(jnp.take_along_axis(want, toks2[:, None], 1)[:, 0]),
+        rtol=1e-5)
+
+
+def test_serving_logprobs_step_and_step_many():
+    """Server accumulates per-token logprobs; step_many matches step;
+    values equal log_softmax of the step's logits at the emitted token."""
+    model = _modern_model()
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    prompt = [1, 4, 7, 2]
+    s1 = ModernBatchServer(model, page_size=8, total_pages=32)
+    s1.add("a", prompt, SamplingParams(temperature=0.0, logprobs=True))
+    toks1 = [s1.step()["a"] for _ in range(6)]
+    lps1 = list(s1.seq_logprobs["a"])
+    assert len(lps1) == 6 and all(l <= 0.0 for l in lps1)
+
+    s2 = ModernBatchServer(model, page_size=8, total_pages=32)
+    s2.add("a", prompt, SamplingParams(temperature=0.0, logprobs=True))
+    out = s2.step_many(6)
+    assert out["a"] == toks1
+    np.testing.assert_allclose(np.asarray(s2.seq_logprobs["a"]),
+                               np.asarray(lps1), rtol=1e-4, atol=1e-5)
+
+    # oracle: recompute the first step's logits on a fresh server
+    s3 = ModernBatchServer(model, page_size=8, total_pages=32)
+    s3.add("a", prompt)
+    logits = s3._advance(["a"], jnp.asarray([prompt[-1]], jnp.int32))
+    want = float(jax.nn.log_softmax(
+        logits.astype(jnp.float32), axis=-1)[0, toks1[0]])
+    np.testing.assert_allclose(lps1[0], want, rtol=1e-3, atol=1e-4)
+
+
+def test_engine_returns_logprobs():
+    model = _modern_model()
+    from lamp_tpu.models.serving import ModernBatchServer, ServingEngine
+
+    srv = ModernBatchServer(model, page_size=8, total_pages=64)
+    eng = ServingEngine(srv, decode_steps=4)
+    eng.submit([1, 2, 3], SamplingParams(max_tokens=7, logprobs=True),
+               request_id="a")
+    eng.submit([4, 5], SamplingParams(max_tokens=5), request_id="b")
+    res = eng.run()
+    assert len(eng.result_logprobs["a"]) == len(res["a"]) == 7
+    assert "b" not in eng.result_logprobs

@@ -6,6 +6,7 @@ from .mesh import (
     fsdp_rules,
     initialize_multihost,
     lm_tensor_parallel_rules,
+    modern_lm_tensor_parallel_rules,
     make_mesh,
     replicate,
     shard_tree,
@@ -35,6 +36,7 @@ __all__ = [
     "replicate",
     "batch_sharding",
     "lm_tensor_parallel_rules",
+    "modern_lm_tensor_parallel_rules",
     "fsdp_rules",
     "initialize_multihost",
     "shard_train_state",

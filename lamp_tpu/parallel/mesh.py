@@ -136,6 +136,29 @@ def lm_tensor_parallel_rules(axis: str = "tp") -> ShardingRules:
     ])
 
 
+def modern_lm_tensor_parallel_rules(axis: str = "tp") -> ShardingRules:
+    """Megatron-style tensor parallelism for :class:`~lamp_tpu.nn.ModernLM`
+    (the LlamaBlock paths differ from the classic transformer's:
+    projections live directly on the block, the MLP is SwiGLU w1/w3/w2):
+
+    - w_q/w_k/w_v: output dim sharded (head parallelism — requires
+      num_heads % tp == 0 and num_kv_heads % tp == 0),
+    - w_o: input dim sharded (psum after),
+    - SwiGLU w1/w3: output sharded; w2: input sharded,
+    - token embedding (and an untied lm_head): FEATURE dim sharded, so the
+      tied fused-CE logits matmul contracts over the sharded dim and XLA
+      inserts one psum — logits/loss stay replicated, no vocab gather.
+    """
+    return ShardingRules([
+        (r"blocks/\d+/w_[qkv]/weight", P(None, axis)),
+        (r"blocks/\d+/w_o/weight", P(axis, None)),
+        (r"mlp/w[13]/weight", P(None, axis)),
+        (r"mlp/w2/weight", P(axis, None)),
+        (r"token_embedding/weight", P(None, axis)),
+        (r"lm_head/weight", P(axis, None)),
+    ])
+
+
 def fsdp_rules(axis: str = "fsdp", min_size: int = 2 ** 14) -> ShardingRules:
     """ZeRO-3-style fully-sharded rules: shard every large 2D+ parameter's
     first axis over the fsdp axis (XLA all-gathers weights per layer and

@@ -603,3 +603,50 @@ def test_sharded_checkpoint_ignores_stale_shards(tmp_path):
         f.write(stale)
     got = load_pytree_sharded(path, {"x": jnp.zeros_like(x)})
     np.testing.assert_array_equal(np.asarray(got["x"]), np.asarray(x))
+
+
+def test_modern_lm_tensor_parallel_training():
+    """ModernLM (GQA + SwiGLU + tied fused-CE loss) trains under
+    megatron-style TP; the sharded loss matches the unsharded model."""
+    mesh = parallel.make_mesh({"dp": 4, "tp": 2})
+    model = nn.ModernLM.init(
+        vocab_size=32, context_length=16, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(0),
+    )
+    opt = optim.AdamW(1e-2)
+
+    def loss_fn(model, batch, key, train_mode):
+        tokens, target = batch
+        loss = model.loss(tokens, target, key=key, train=train_mode)
+        return loss, jnp.asarray(tokens.shape[0], jnp.float32), model
+
+    state = train.TrainState.init(model, opt)
+    sstate = parallel.shard_train_state(
+        state, mesh, parallel.modern_lm_tensor_parallel_rules("tp")
+    )
+    w_q = sstate.params.blocks[0].w_q.weight
+    assert "tp" in str(w_q.sharding.spec)
+    w3 = sstate.params.blocks[0].mlp.w3.weight
+    assert "tp" in str(w3.sharding.spec)
+    emb = sstate.params.token_embedding.weight
+    assert "tp" in str(emb.sharding.spec)
+
+    tokens = np.random.RandomState(0).randint(0, 32, (8, 16)).astype(np.int32)
+    target = np.roll(tokens, -1, axis=1)
+    batch = parallel.shard_batch((tokens, target), mesh)
+
+    step = parallel.make_sharded_train_step(opt, loss_fn, mesh, donate=False)
+    # reference: unsharded single-device step
+    ref_step = jax.jit(train.make_train_step(opt, loss_fn))
+    rstate = train.TrainState.init(model, opt)
+
+    losses, ref_losses = [], []
+    for i in range(8):
+        sstate, (loss, _) = step(sstate, batch, jax.random.PRNGKey(i))
+        rstate, (rloss, _) = ref_step(
+            rstate, (jnp.asarray(tokens), jnp.asarray(target)),
+            jax.random.PRNGKey(i))
+        losses.append(float(loss))
+        ref_losses.append(float(rloss))
+    np.testing.assert_allclose(losses, ref_losses, rtol=2e-4, atol=2e-4)
+    assert losses[-1] < losses[0]

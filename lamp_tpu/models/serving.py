@@ -1129,6 +1129,13 @@ class ModernBatchServer(BatchServer):
     how a model larger than one chip's HBM serves on a TPU pod slice."""
 
     def __init__(self, model, *, mesh=None, tp_axis: str = "tp", **kwargs):
+        if any(not hasattr(b.mlp, "w1") or not hasattr(b.mlp.w1, "weight")
+               for b in model.blocks):
+            raise NotImplementedError(
+                "ModernBatchServer serves dense-MLP ModernLM models; "
+                "MoE (SwiGLUMoE) serving is not wired into the paged "
+                "decode paths yet"
+            )
         if mesh is not None:
             self._tp = int(mesh.shape[tp_axis])
             self._mesh = mesh

@@ -69,7 +69,7 @@ from .graph import (
     gcn_aggregation,
     vertex_pooling,
 )
-from .moe import MoEMLP, moe_sharding_rules
+from .moe import MoEMLP, SwiGLUMoE, moe_sharding_rules
 from .modern import (
     LlamaBlock,
     ModernLM,
@@ -111,6 +111,7 @@ __all__ = [
     "init",
     "losses",
     "MoEMLP",
+    "SwiGLUMoE",
     "moe_sharding_rules",
     "RMSNorm",
     "SwiGLU",

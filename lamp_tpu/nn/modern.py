@@ -100,6 +100,14 @@ class SwiGLU(Module):
         return self.w2(jax.nn.silu(self.w1(x)) * self.w3(x)), self
 
 
+def _moe_mlp(dim, hidden, experts, top_k, key, dtype):
+    """Mixtral-style sparse MLP for ``ModernLM.init(moe_experts=...)``."""
+    from .moe import SwiGLUMoE
+
+    return SwiGLUMoE.init(dim, hidden, experts, key=key, top_k=top_k,
+                          dtype=dtype)
+
+
 class LlamaBlock(Module):
     """Pre-RMSNorm decoder block: RoPE attention (GQA) + SwiGLU."""
 
@@ -109,7 +117,7 @@ class LlamaBlock(Module):
     w_k: Linear
     w_v: Linear
     w_o: Linear
-    mlp: SwiGLU
+    mlp: SwiGLU  # or SwiGLUMoE (ModernLM.init(moe_experts=...))
     num_heads: int = static_field()
     num_kv_heads: int = static_field()
     window: Optional[int] = static_field(default=None)
@@ -117,7 +125,8 @@ class LlamaBlock(Module):
     @staticmethod
     def init(dim: int, num_heads: int, *, key, num_kv_heads: Optional[int] = None,
              mlp_hidden: Optional[int] = None, window: Optional[int] = None,
-             norm_eps: float = 1e-6, dtype=jnp.float32) -> "LlamaBlock":
+             norm_eps: float = 1e-6, moe_experts: Optional[int] = None,
+             moe_top_k: int = 2, dtype=jnp.float32) -> "LlamaBlock":
         kv_heads = num_kv_heads or num_heads
         mlp_hidden = mlp_hidden or int(dim * 8 / 3 // 64 * 64) or dim * 2
         head_dim = dim // num_heads
@@ -131,16 +140,22 @@ class LlamaBlock(Module):
             w_v=Linear.init(dim, kv_heads * head_dim, key=keys[2], bias=False,
                             dtype=dtype),
             w_o=Linear.init(dim, dim, key=keys[3], bias=False, dtype=dtype),
-            mlp=SwiGLU.init(dim, mlp_hidden, key=keys[4], dtype=dtype),
+            mlp=(
+                SwiGLU.init(dim, mlp_hidden, key=keys[4], dtype=dtype)
+                if moe_experts is None else _moe_mlp(
+                    dim, mlp_hidden, moe_experts, moe_top_k, keys[4], dtype)
+            ),
             num_heads=num_heads,
             num_kv_heads=kv_heads,
             window=window,
         )
 
     def forward(self, x_and_rope, *, key=None, train=False,
-                segment_ids=None, positions=None):
+                segment_ids=None, positions=None, with_aux=False):
         # segment_ids/positions ([B, T] int): packed-document training —
         # attention stays within each document and RoPE restarts per document
+        # with_aux: additionally return the MoE load-balancing aux scalar
+        # (0 for dense blocks) as a third output
         x, (cos, sin) = x_and_rope
         b, t, d = x.shape
         h, hk = self.num_heads, self.num_kv_heads
@@ -168,8 +183,14 @@ class LlamaBlock(Module):
             o = mha_reference(q, k, v, causal=True, window=self.window,
                               segment_ids=segment_ids)
         x = x + self.w_o(o.transpose(0, 2, 1, 3).reshape(b, t, d))
-        m, _ = self.mlp.forward(self.norm2(x), key=key, train=train)
+        a2 = self.norm2(x)
+        m, _ = self.mlp.forward(a2, key=key, train=train)
         x = x + m
+        if with_aux:
+            aux = (self.mlp.load_balancing_loss(a2)
+                   if hasattr(self.mlp, "load_balancing_loss")
+                   else jnp.zeros((), jnp.float32))
+            return (x, (cos, sin)), self, aux
         return (x, (cos, sin)), self
 
 
@@ -191,7 +212,8 @@ class ModernLM(Module):
              embed_dim: int, num_heads: int, num_kv_heads: Optional[int] = None,
              mlp_hidden: Optional[int] = None, tied: bool = True, key,
              rope_base: float = 10000.0, window=None, remat: bool = False,
-             norm_eps: float = 1e-6, dtype=jnp.float32) -> "ModernLM":
+             norm_eps: float = 1e-6, moe_experts: Optional[int] = None,
+             moe_top_k: int = 2, dtype=jnp.float32) -> "ModernLM":
         keys = jax.random.split(key, num_blocks + 2)
         cos, sin = rope_frequencies(embed_dim // num_heads, context_length,
                                     base=rope_base)
@@ -214,7 +236,9 @@ class ModernLM(Module):
                 LlamaBlock.init(
                     embed_dim, num_heads, key=keys[i + 1],
                     num_kv_heads=num_kv_heads, mlp_hidden=mlp_hidden,
-                    window=windows[i], norm_eps=norm_eps, dtype=dtype,
+                    window=windows[i], norm_eps=norm_eps,
+                    moe_experts=moe_experts, moe_top_k=moe_top_k,
+                    dtype=dtype,
                 )
                 for i in range(num_blocks)
             ),
@@ -231,13 +255,15 @@ class ModernLM(Module):
         )
 
     def hidden(self, tokens, *, key=None, train=False, segment_ids=None,
-               positions=None):
+               positions=None, with_aux=False):
         """Final-norm hidden states [B, T, D] (no logits projection).
 
         ``segment_ids``/``positions`` ([B, T] int) enable packed-document
         (sequence-packing) training: attention is restricted to each
         document and RoPE angles restart at document starts (see
-        :func:`lamp_tpu.data.lm_data.pack_documents`).
+        :func:`lamp_tpu.data.lm_data.pack_documents`). ``with_aux``
+        additionally returns the summed MoE load-balancing loss of the
+        blocks (0.0 for a dense model).
         """
         if isinstance(tokens, tuple):
             tokens = tokens[0]
@@ -249,15 +275,19 @@ class ModernLM(Module):
         )
 
         def run_block(block, x, rope, k, seg, pos):
-            (y, _), _ = block.forward((x, rope), key=k, train=train,
-                                      segment_ids=seg, positions=pos)
-            return y
+            (y, _), _, aux = block.forward((x, rope), key=k, train=train,
+                                           segment_ids=seg, positions=pos,
+                                           with_aux=True)
+            return y, aux
 
         if self.remat:  # recompute each block's activations on backward
             run_block = jax.checkpoint(run_block, static_argnums=())
+        aux_total = jnp.zeros((), jnp.float32)
         for block, k in zip(self.blocks, keys):
-            x = run_block(block, x, rope, k, segment_ids, positions)
-        return self.final_norm(x)
+            x, aux = run_block(block, x, rope, k, segment_ids, positions)
+            aux_total = aux_total + aux
+        h = self.final_norm(x)
+        return (h, aux_total) if with_aux else h
 
     @property
     def output_weight(self):
@@ -278,13 +308,18 @@ class ModernLM(Module):
 
     def loss(self, tokens, targets, *, key=None, train=False,
              ignore_index: int = -100, row_chunk=None, segment_ids=None,
-             positions=None):
+             positions=None, moe_aux_coef: float = 0.0):
         """Mean next-token CE WITHOUT materializing the [B, T, V] logits —
         routes through the chunked fused linear+cross-entropy
         (:mod:`lamp_tpu.ops.fused_ce`). At vocab 32k / ctx 2k the logits are
         the largest tensor of the whole training step; this removes them."""
         from ..ops.fused_ce import fused_lm_loss
-        x = self.hidden(tokens, key=key, train=train,
-                        segment_ids=segment_ids, positions=positions)
-        return fused_lm_loss(x, self.output_weight, targets,
+        x, aux = self.hidden(tokens, key=key, train=train,
+                             segment_ids=segment_ids, positions=positions,
+                             with_aux=True)
+        loss = fused_lm_loss(x, self.output_weight, targets,
                              ignore_index=ignore_index, row_chunk=row_chunk)
+        if moe_aux_coef:
+            # Switch-style balancing objective (see SwiGLUMoE); scale ~1e-2
+            loss = loss + moe_aux_coef * aux
+        return loss

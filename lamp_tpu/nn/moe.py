@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from . import init as initializers
 from .module import Module, static_field
 
-__all__ = ["MoEMLP", "moe_sharding_rules"]
+__all__ = ["MoEMLP", "SwiGLUMoE", "moe_sharding_rules"]
 
 
 class MoEMLP(Module):
@@ -118,6 +118,92 @@ def moe_sharding_rules(axis: str = "ep"):
     return ShardingRules([
         (r"/w1$", P(axis, None, None)),
         (r"/w2$", P(axis, None, None)),
+        (r"/w3$", P(axis, None, None)),
         (r"/b1$", P(axis, None)),
         (r"/b2$", P(axis, None)),
     ])
+
+
+class SwiGLUMoE(Module):
+    """Mixtral-style sparse MLP: top-k gated SwiGLU experts.
+
+    Drop-in replacement for :class:`~lamp_tpu.nn.modern.SwiGLU` inside
+    :class:`~lamp_tpu.nn.modern.LlamaBlock` (``ModernLM.init(moe_experts=E,
+    moe_top_k=k)``). Experts are stacked along a leading axis
+    (w1/w3 [E, d, h], w2 [E, h, d]) so they shard over an "ep" mesh axis
+    with :func:`moe_sharding_rules`; dispatch is dense (every expert
+    computes every token, combined with the sparse gate weights) — exact,
+    static-shaped, and the right regime for moderate expert counts; see
+    :class:`MoEMLP` for the tradeoff discussion.
+    """
+
+    w_gate: jax.Array          # [d, E]
+    w1: jax.Array              # [E, d, h]
+    w3: jax.Array              # [E, d, h]
+    w2: jax.Array              # [E, h, d]
+    top_k: int = static_field()
+
+    @staticmethod
+    def init(dim: int, hidden: int, num_experts: int, *, key,
+             top_k: int = 2, dtype=jnp.float32) -> "SwiGLUMoE":
+        if not 1 <= top_k <= num_experts:
+            raise ValueError("need 1 <= top_k <= num_experts")
+        k0, k1, k2, k3 = jax.random.split(key, 4)
+        return SwiGLUMoE(
+            w_gate=initializers.normal(0.02)(k0, (dim, num_experts), dtype),
+            w1=initializers.kaiming_normal(k1, (num_experts, dim, hidden),
+                                           dtype, fan_in=dim),
+            w3=initializers.kaiming_normal(k2, (num_experts, dim, hidden),
+                                           dtype, fan_in=dim),
+            w2=initializers.kaiming_normal(k3, (num_experts, hidden, dim),
+                                           dtype, fan_in=hidden),
+            top_k=top_k,
+        )
+
+    @property
+    def num_experts(self):
+        return self.w_gate.shape[1]
+
+    def _combine_weights(self, flat, acc):
+        logits = jnp.dot(flat, self.w_gate.astype(flat.dtype),
+                         preferred_element_type=acc)
+        probs = jax.nn.softmax(logits, axis=-1)                  # [T, E]
+        top_vals, top_idx = jax.lax.top_k(probs, self.top_k)
+        top_vals = top_vals / jnp.maximum(
+            jnp.sum(top_vals, axis=-1, keepdims=True), 1e-9
+        )
+        combine = jnp.zeros(probs.shape, acc).at[
+            jnp.arange(flat.shape[0])[:, None], top_idx
+        ].set(top_vals.astype(acc))
+        return combine, probs
+
+    def forward(self, x, *, key=None, train=False):
+        orig_shape = x.shape
+        flat = x.reshape(-1, x.shape[-1])
+        acc = jnp.promote_types(x.dtype, jnp.float32)
+        combine, _ = self._combine_weights(flat, acc)
+        h = jax.nn.silu(jnp.einsum(
+            "td,edh->eth", flat, self.w1.astype(flat.dtype),
+            preferred_element_type=acc,
+        )) * jnp.einsum(
+            "td,edh->eth", flat, self.w3.astype(flat.dtype),
+            preferred_element_type=acc,
+        )
+        out = jnp.einsum(
+            "eth,ehd->etd", h.astype(flat.dtype), self.w2.astype(flat.dtype),
+            preferred_element_type=acc,
+        )
+        y = jnp.einsum("te,etd->td", combine, out)
+        return y.reshape(orig_shape).astype(x.dtype), self
+
+    def load_balancing_loss(self, x):
+        """Switch-style aux objective: E * sum_e frac_routed_e * mean_prob_e
+        (top-1 routing fraction). 1.0 = perfectly balanced."""
+        flat = x.reshape(-1, x.shape[-1])
+        acc = jnp.promote_types(x.dtype, jnp.float32)
+        _, probs = self._combine_weights(flat, acc)
+        top_idx = jnp.argmax(probs, axis=-1)
+        frac = jnp.mean(
+            jax.nn.one_hot(top_idx, self.num_experts, dtype=acc), axis=0
+        )
+        return jnp.sum(frac * jnp.mean(probs, axis=0)) * self.num_experts

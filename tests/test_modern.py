@@ -197,3 +197,77 @@ def test_pack_documents_layout():
     np.testing.assert_array_equal(p["tokens"][1], np.arange(1, 9))
     np.testing.assert_array_equal(p["targets"][1],
                                   list(range(2, 9)) + [-100])
+
+
+def test_swiglu_moe_single_expert_equals_dense():
+    """A 1-expert top-1 SwiGLUMoE with copied weights is exactly the dense
+    SwiGLU (gate prob is 1 after renormalization)."""
+    from lamp_tpu.nn.modern import SwiGLU
+    from lamp_tpu.nn.moe import SwiGLUMoE
+
+    dense = SwiGLU.init(16, 32, key=jax.random.PRNGKey(0))
+    moe = SwiGLUMoE.init(16, 32, 1, key=jax.random.PRNGKey(1), top_k=1)
+    moe = moe.replace(w1=dense.w1.weight[None], w3=dense.w3.weight[None],
+                      w2=dense.w2.weight[None])
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, 5, 16))
+    y1, _ = dense.forward(x)
+    y2, _ = moe.forward(x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_moe_modern_lm_trains_with_aux():
+    """ModernLM(moe_experts=4): trains (fused-CE + balancing aux), aux is
+    positive for MoE and exactly 0 for dense; remat composes."""
+    from lamp_tpu import optim, train
+
+    model = nn.ModernLM.init(
+        vocab_size=64, context_length=32, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, moe_experts=4, moe_top_k=2,
+        key=jax.random.PRNGKey(3))
+    opt = optim.AdamW(1e-2)
+
+    def loss_fn(m, batch, key, train_mode):
+        t, tg = batch
+        return (m.loss(t, tg, key=key, train=train_mode, moe_aux_coef=0.01),
+                jnp.asarray(1.0), m)
+
+    state = train.TrainState.init(model, opt)
+    step = jax.jit(train.make_train_step(opt, loss_fn))
+    rng = np.random.RandomState(0)
+    toks = jnp.asarray(rng.randint(0, 64, (4, 32)).astype(np.int32))
+    batch = (toks, jnp.roll(toks, -1, axis=1))
+    losses = []
+    for i in range(30):
+        state, (l, _) = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.8
+
+    _, aux = model.hidden(toks, with_aux=True)
+    assert float(aux) > 0
+    dense = nn.ModernLM.init(
+        vocab_size=64, context_length=32, num_blocks=2, embed_dim=32,
+        num_heads=4, key=jax.random.PRNGKey(4))
+    _, aux0 = dense.hidden(toks, with_aux=True)
+    assert float(aux0) == 0.0
+
+    remat = nn.ModernLM.init(
+        vocab_size=64, context_length=32, num_blocks=2, embed_dim=32,
+        num_heads=4, moe_experts=2, remat=True, key=jax.random.PRNGKey(5))
+    g = jax.grad(lambda m: m.loss(
+        toks, jnp.roll(toks, -1, axis=1), moe_aux_coef=0.01
+    ).astype(jnp.float32))(remat)
+    assert all(np.isfinite(np.asarray(x, np.float32)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
+def test_moe_modern_lm_serving_gated():
+    import pytest
+
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    model = nn.ModernLM.init(
+        vocab_size=32, context_length=16, num_blocks=1, embed_dim=16,
+        num_heads=2, moe_experts=2, key=jax.random.PRNGKey(0))
+    with pytest.raises(NotImplementedError, match="MoE"):
+        ModernBatchServer(model, page_size=8, total_pages=16)

@@ -650,3 +650,42 @@ def test_modern_lm_tensor_parallel_training():
         ref_losses.append(float(rloss))
     np.testing.assert_allclose(losses, ref_losses, rtol=2e-4, atol=2e-4)
     assert losses[-1] < losses[0]
+
+
+def test_moe_modern_lm_expert_parallel_training():
+    """ModernLM(moe_experts=4) trains over a dp x ep mesh with the stacked
+    expert weights sharded on ep; loss matches the unsharded model."""
+    mesh = parallel.make_mesh({"dp": 2, "ep": 4})
+    model = nn.ModernLM.init(
+        vocab_size=32, context_length=16, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, moe_experts=4, moe_top_k=2,
+        key=jax.random.PRNGKey(0))
+    opt = optim.AdamW(1e-2)
+
+    def loss_fn(m, batch, key, train_mode):
+        t, tg = batch
+        return (m.loss(t, tg, key=key, train=train_mode, moe_aux_coef=0.01),
+                jnp.asarray(t.shape[0], jnp.float32), m)
+
+    state = train.TrainState.init(model, opt)
+    sstate = parallel.shard_train_state(state, mesh,
+                                        nn.moe_sharding_rules("ep"))
+    w1 = sstate.params.blocks[0].mlp.w1
+    assert "ep" in str(w1.sharding.spec)
+
+    tokens = np.random.RandomState(0).randint(0, 32, (8, 16)).astype(np.int32)
+    target = np.roll(tokens, -1, axis=1)
+    batch = parallel.shard_batch((tokens, target), mesh)
+    step = parallel.make_sharded_train_step(opt, loss_fn, mesh, donate=False)
+    ref_step = jax.jit(train.make_train_step(opt, loss_fn))
+    rstate = train.TrainState.init(model, opt)
+    losses, ref_losses = [], []
+    for i in range(6):
+        sstate, (loss, _) = step(sstate, batch, jax.random.PRNGKey(i))
+        rstate, (rloss, _) = ref_step(
+            rstate, (jnp.asarray(tokens), jnp.asarray(target)),
+            jax.random.PRNGKey(i))
+        losses.append(float(loss))
+        ref_losses.append(float(rloss))
+    np.testing.assert_allclose(losses, ref_losses, rtol=3e-4, atol=3e-4)
+    assert losses[-1] < losses[0]

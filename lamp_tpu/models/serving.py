@@ -1129,13 +1129,20 @@ class ModernBatchServer(BatchServer):
     how a model larger than one chip's HBM serves on a TPU pod slice."""
 
     def __init__(self, model, *, mesh=None, tp_axis: str = "tp", **kwargs):
-        if any(not hasattr(b.mlp, "w1") or not hasattr(b.mlp.w1, "weight")
-               for b in model.blocks):
-            raise NotImplementedError(
-                "ModernBatchServer serves dense-MLP ModernLM models; "
-                "MoE (SwiGLUMoE) serving is not wired into the paged "
-                "decode paths yet"
-            )
+        # MoE (SwiGLUMoE) blocks: dense-dispatch expert MLP on the decode
+        # paths; composes with paging/windows/constraints/sampling but not
+        # (yet) with weight quantization, tensor parallelism or LoRA
+        self._moe = any(not hasattr(b.mlp, "w1")
+                        or not hasattr(b.mlp.w1, "weight")
+                        for b in model.blocks)
+        if self._moe:
+            self._moe_top_k = int(model.blocks[0].mlp.top_k)
+            if kwargs.get("quantize_bits"):
+                raise NotImplementedError("quantize_bits with MoE serving")
+            if mesh is not None:
+                raise NotImplementedError(
+                    "tensor-parallel MoE serving not wired yet"
+                )
         if mesh is not None:
             self._tp = int(mesh.shape[tp_axis])
             self._mesh = mesh
@@ -1215,6 +1222,8 @@ class ModernBatchServer(BatchServer):
 
         if self._tp > 1:
             raise NotImplementedError("adapters under tensor parallelism")
+        if getattr(self, "_moe", False):
+            raise NotImplementedError("adapters on MoE models")
         if not hasattr(self, "_adapters"):
             self._adapters: Dict[str, int] = {}
             self._adapter_defs: Dict[str, dict] = {}
@@ -1333,6 +1342,39 @@ class ModernBatchServer(BatchServer):
             "btr,bro->bto", h, b_g, preferred_element_type=jnp.float32
         ).astype(x.dtype)
 
+    def _moe_mlp_rows(self, h, li, w1, w3, w2):
+        """Sparse-MLP decode: dense dispatch (every expert computes the few
+        decode rows, combined by the renormalized top-k gates) — at decode
+        batch sizes gathering per-token expert weights would materialize
+        more bytes than computing all experts, so dense dispatch is also
+        the fast path, exactly like training (nn.moe.SwiGLUMoE)."""
+        wg, w1s = w1[li]
+        w3s, w2s = w3[li], w2[li]
+        shape = h.shape
+        flat = h.reshape(-1, shape[-1])
+        acc = jnp.promote_types(h.dtype, jnp.float32)
+        logits = jnp.matmul(flat, wg.astype(flat.dtype),
+                            preferred_element_type=acc)
+        probs = jax.nn.softmax(logits, axis=-1)
+        tv, ti = jax.lax.top_k(probs, self._moe_top_k)
+        tv = tv / jnp.maximum(jnp.sum(tv, axis=-1, keepdims=True), 1e-9)
+        combine = jnp.zeros(probs.shape, acc).at[
+            jnp.arange(flat.shape[0])[:, None], ti
+        ].set(tv.astype(acc))
+        g = jax.nn.silu(jnp.einsum(
+            "td,edh->eth", flat, w1s.astype(flat.dtype),
+            preferred_element_type=acc,
+        )) * jnp.einsum(
+            "td,edh->eth", flat, w3s.astype(flat.dtype),
+            preferred_element_type=acc,
+        )
+        out = jnp.einsum(
+            "eth,ehd->etd", g.astype(flat.dtype), w2s.astype(flat.dtype),
+            preferred_element_type=acc,
+        )
+        y = jnp.einsum("te,etd->td", combine, out)
+        return y.reshape(shape).astype(h.dtype)
+
     def _precompute_extras(self, model):
         """All decode-path weights ride in extras (jit args, not closure
         constants): fused per-layer QKV, attention out-projection, the three
@@ -1361,9 +1403,15 @@ class ModernBatchServer(BatchServer):
 
         wqkv = tuple(q(cat_qkv(blk)) for blk in model.blocks)
         wo = tuple(q(blk.w_o.weight) for blk in model.blocks)
-        w1 = tuple(q(blk.mlp.w1.weight) for blk in model.blocks)
-        w3 = tuple(q(blk.mlp.w3.weight) for blk in model.blocks)
-        w2 = tuple(q(blk.mlp.w2.weight) for blk in model.blocks)
+        if self._moe:
+            # per layer: w1 entry carries (gate [D, E], stacked w1 [E, D, H])
+            w1 = tuple((blk.mlp.w_gate, blk.mlp.w1) for blk in model.blocks)
+            w3 = tuple(blk.mlp.w3 for blk in model.blocks)
+            w2 = tuple(blk.mlp.w2 for blk in model.blocks)
+        else:
+            w1 = tuple(q(blk.mlp.w1.weight) for blk in model.blocks)
+            w3 = tuple(q(blk.mlp.w3.weight) for blk in model.blocks)
+            w2 = tuple(q(blk.mlp.w2.weight) for blk in model.blocks)
         if model.lm_head is not None:
             lmh = q(model.lm_head.weight)
         else:
@@ -1442,17 +1490,20 @@ class ModernBatchServer(BatchServer):
                 att = att + dl(o3, st["o"], ids, li)
             x = x + att
             h = block.norm2(x)
-            g1 = self._mm(h, w1[li])
-            g3 = self._mm(h, w3[li])
-            if lora is not None:
-                if "w1" in st:
-                    g1 = g1 + dl(h, st["w1"], ids, li)
-                if "w3" in st:
-                    g3 = g3 + dl(h, st["w3"], ids, li)
-            gate = jax.nn.silu(g1) * g3
-            down = self._mm(gate, w2[li])
-            if lora is not None and "w2" in st:
-                down = down + dl(gate, st["w2"], ids, li)
+            if self._moe:
+                down = self._moe_mlp_rows(h, li, w1, w3, w2)
+            else:
+                g1 = self._mm(h, w1[li])
+                g3 = self._mm(h, w3[li])
+                if lora is not None:
+                    if "w1" in st:
+                        g1 = g1 + dl(h, st["w1"], ids, li)
+                    if "w3" in st:
+                        g3 = g3 + dl(h, st["w3"], ids, li)
+                gate = jax.nn.silu(g1) * g3
+                down = self._mm(gate, w2[li])
+                if lora is not None and "w2" in st:
+                    down = down + dl(gate, st["w2"], ids, li)
             x = x + down
         x = model.final_norm(x)
         logits = self._mm(x, lmh, out_dtype=jnp.float32)[:, 0]
@@ -1671,17 +1722,20 @@ class ModernBatchServer(BatchServer):
                 att = att + dl(o, st["o"], ids, li)
             x = x + att
             h = block.norm2(x)
-            g1 = self._mm(h, w1[li])
-            g3 = self._mm(h, w3[li])
-            if lora is not None:
-                if "w1" in st:
-                    g1 = g1 + dl(h, st["w1"], ids, li)
-                if "w3" in st:
-                    g3 = g3 + dl(h, st["w3"], ids, li)
-            gate = jax.nn.silu(g1) * g3
-            down = self._mm(gate, w2[li])
-            if lora is not None and "w2" in st:
-                down = down + dl(gate, st["w2"], ids, li)
+            if self._moe:
+                down = self._moe_mlp_rows(h, li, w1, w3, w2)
+            else:
+                g1 = self._mm(h, w1[li])
+                g3 = self._mm(h, w3[li])
+                if lora is not None:
+                    if "w1" in st:
+                        g1 = g1 + dl(h, st["w1"], ids, li)
+                    if "w3" in st:
+                        g3 = g3 + dl(h, st["w3"], ids, li)
+                gate = jax.nn.silu(g1) * g3
+                down = self._mm(gate, w2[li])
+                if lora is not None and "w2" in st:
+                    down = down + dl(gate, st["w2"], ids, li)
             x = x + down
         x = model.final_norm(x)
         logits = self._mm(x, lmh, out_dtype=jnp.float32)

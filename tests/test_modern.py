@@ -261,13 +261,64 @@ def test_moe_modern_lm_trains_with_aux():
                for x in jax.tree_util.tree_leaves(g))
 
 
-def test_moe_modern_lm_serving_gated():
+def _moe_model():
+    return nn.ModernLM.init(
+        vocab_size=32, context_length=64, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, moe_experts=4, moe_top_k=2,
+        key=jax.random.PRNGKey(0))
+
+
+def test_moe_paged_serving_matches_forward():
+    """MoE ModernLM paged decode: logits match the full forward; the fused
+    step_many scan matches step()."""
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    model = _moe_model()
+    prompt = [1, 4, 7, 2, 9, 3]
+    srv = ModernBatchServer(model, page_size=8, total_pages=32)
+    srv.add("a", prompt)
+    logits = srv._advance(["a"], jnp.asarray([prompt[-1]], jnp.int32))
+    full, _ = model.forward(jnp.asarray([prompt], jnp.int32), train=False)
+    np.testing.assert_allclose(np.asarray(logits[0]), np.asarray(full[0, -1]),
+                               atol=5e-3, rtol=5e-3)
+    s1 = ModernBatchServer(model, page_size=8, total_pages=32)
+    s1.add("x", prompt)
+    expected = [s1.step()["x"] for _ in range(8)]
+    s2 = ModernBatchServer(model, page_size=8, total_pages=32)
+    s2.add("x", prompt)
+    assert s2.step_many(8)["x"] == expected
+
+
+def test_moe_serving_chunked_prefix_cache_path():
+    """The m-token chunk decode path (exercised by prefix-cache suffix
+    prefill) produces the same stream as cold prefill for MoE models."""
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    model = _moe_model()
+    prompt = [1, 4, 7, 2, 9, 3, 8, 5, 11, 6, 2, 4]  # > one 8-token page
+    cold = ModernBatchServer(model, page_size=8, total_pages=64)
+    cold.add("a", prompt)
+    expected = [cold.step()["a"] for _ in range(6)]
+    warm = ModernBatchServer(model, page_size=8, total_pages=64,
+                             enable_prefix_cache=True)
+    warm.add("a", prompt)
+    warm.remove("a")
+    warm.add("b", prompt)   # cached prefix -> chunked suffix prefill
+    assert warm.cache_hit_tokens > 0
+    got = [warm.step()["b"] for _ in range(6)]
+    assert got == expected
+
+
+def test_moe_serving_unsupported_combos():
     import pytest
 
     from lamp_tpu.models.serving import ModernBatchServer
+    from lamp_tpu.nn.lora import lora_inject
 
-    model = nn.ModernLM.init(
-        vocab_size=32, context_length=16, num_blocks=1, embed_dim=16,
-        num_heads=2, moe_experts=2, key=jax.random.PRNGKey(0))
+    model = _moe_model()
+    with pytest.raises(NotImplementedError, match="quantize"):
+        ModernBatchServer(model, page_size=8, total_pages=16,
+                          quantize_bits=8)
+    srv = ModernBatchServer(model, page_size=8, total_pages=16)
     with pytest.raises(NotImplementedError, match="MoE"):
-        ModernBatchServer(model, page_size=8, total_pages=16)
+        srv.register_adapter("x", model)

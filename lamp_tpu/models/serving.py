@@ -1811,10 +1811,15 @@ class ServingEngine:
     """
 
     def __init__(self, server: BatchServer, *, decode_steps: int = 8,
-                 max_batch: int = 64):
+                 max_batch: int = 64, on_token=None):
+        """``on_token(request_id, token)`` streams tokens as they are
+        accepted (after stop/budget filtering) — the serving-layer streaming
+        hook; it fires once per emitted token, in order, from :meth:`step`.
+        """
         self.server = server
         self.decode_steps = decode_steps
         self.max_batch = max_batch
+        self.on_token = on_token
         from collections import deque
 
         self.pending = deque()       # (rid, prompt list, params)
@@ -1950,6 +1955,8 @@ class ServingEngine:
                 g.append(t)
                 if lp_tail is not None:
                     self._generated_lp[rid].append(lp_tail[i])
+                if self.on_token is not None:
+                    self.on_token(rid, t)
                 if len(g) >= self._max_new[rid]:
                     done = True
                     break

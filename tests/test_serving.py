@@ -1217,3 +1217,19 @@ def test_engine_returns_logprobs():
     res = eng.run()
     assert len(eng.result_logprobs["a"]) == len(res["a"]) == 7
     assert "b" not in eng.result_logprobs
+
+
+def test_engine_on_token_streaming():
+    """on_token fires once per emitted token, in order, matching results."""
+    from lamp_tpu.models.serving import ModernBatchServer, ServingEngine
+
+    model = _modern_model()
+    srv = ModernBatchServer(model, page_size=8, total_pages=64)
+    streamed = []
+    eng = ServingEngine(srv, decode_steps=4,
+                        on_token=lambda rid, t: streamed.append((rid, t)))
+    eng.submit([1, 2, 3], SamplingParams(max_tokens=6), request_id="a")
+    eng.submit([4, 5], SamplingParams(max_tokens=5), request_id="b")
+    res = eng.run()
+    for rid in ("a", "b"):
+        assert [t for r, t in streamed if r == rid] == res[rid]

@@ -30,7 +30,7 @@ __all__ = ["modernlm_from_hf_llama", "modernlm_to_hf_llama",
 
 
 _SUPPORTED_ARCHS = {"LlamaForCausalLM", "MistralForCausalLM",
-                    "Qwen2ForCausalLM"}
+                    "Qwen2ForCausalLM", "MixtralForCausalLM"}
 
 
 def _load_dir(path: str):
@@ -79,6 +79,8 @@ def modernlm_from_hf_state(state: Dict[str, Any], config: Dict[str, Any], *,
     if config.get("rope_scaling"):
         raise NotImplementedError("rope_scaling is not supported")
     tied = bool(config.get("tie_word_embeddings", False))
+    moe_experts = config.get("num_local_experts")  # Mixtral
+    moe_top_k = config.get("num_experts_per_tok", 2)
     ctx = context_length or config.get("max_position_embeddings", 2048)
     window = config.get("sliding_window")  # Mistral/Qwen2; None for Llama
     if window is not None and config.get("use_sliding_window", True) is False:
@@ -97,7 +99,8 @@ def modernlm_from_hf_state(state: Dict[str, Any], config: Dict[str, Any], *,
         num_kv_heads=kv_heads, mlp_hidden=config["intermediate_size"],
         tied=tied, key=jax.random.PRNGKey(0),
         rope_base=float(config.get("rope_theta", 10000.0)), window=window,
-        norm_eps=float(config.get("rms_norm_eps", 1e-6)), dtype=dtype,
+        norm_eps=float(config.get("rms_norm_eps", 1e-6)),
+        moe_experts=moe_experts, moe_top_k=moe_top_k, dtype=dtype,
     )
 
     def linear(lin, name):
@@ -118,11 +121,25 @@ def modernlm_from_hf_state(state: Dict[str, Any], config: Dict[str, Any], *,
             w_k=linear(blk.w_k, f"{p}.self_attn.k_proj"),
             w_v=linear(blk.w_v, f"{p}.self_attn.v_proj"),
             w_o=linear(blk.w_o, f"{p}.self_attn.o_proj"),
-            mlp=blk.mlp.replace(
+            mlp=(blk.mlp.replace(
                 w1=linear(blk.mlp.w1, f"{p}.mlp.gate_proj"),
                 w3=linear(blk.mlp.w3, f"{p}.mlp.up_proj"),
                 w2=linear(blk.mlp.w2, f"{p}.mlp.down_proj"),
-            ),
+            ) if moe_experts is None else blk.mlp.replace(
+                # Mixtral block_sparse_moe: gate [E, D] -> [D, E]; per-expert
+                # w1/w3 [H, D] -> stacked [E, D, H], w2 [D, H] -> [E, H, D]
+                w_gate=get(f"{p}.block_sparse_moe.gate.weight",
+                           transpose=True),
+                w1=jnp.stack([
+                    get(f"{p}.block_sparse_moe.experts.{e}.w1.weight",
+                        transpose=True) for e in range(moe_experts)]),
+                w3=jnp.stack([
+                    get(f"{p}.block_sparse_moe.experts.{e}.w3.weight",
+                        transpose=True) for e in range(moe_experts)]),
+                w2=jnp.stack([
+                    get(f"{p}.block_sparse_moe.experts.{e}.w2.weight",
+                        transpose=True) for e in range(moe_experts)]),
+            )),
         ))
 
     lm_head = model.lm_head
@@ -147,6 +164,7 @@ def modernlm_to_hf_llama(model: ModernLM, path: str, *,
     blk0 = model.blocks[0]
     dim = blk0.w_q.weight.shape[0]
     heads = blk0.num_heads
+    moe = not hasattr(blk0.mlp, "w1") or not hasattr(blk0.mlp.w1, "weight")
     windows = {b.window for b in model.blocks}
     if len(windows) > 1:
         raise NotImplementedError(
@@ -160,12 +178,18 @@ def modernlm_to_hf_llama(model: ModernLM, path: str, *,
         base = (1.0 / angle) ** (hd / 2.0)
     else:
         base = 10000.0
+    if moe:
+        arch, mtype = ["MixtralForCausalLM"], "mixtral"
+    elif window is not None:
+        arch, mtype = ["MistralForCausalLM"], "mistral"
+    else:
+        arch, mtype = ["LlamaForCausalLM"], "llama"
     config = {
-        "architectures": (["MistralForCausalLM"] if window is not None
-                          else ["LlamaForCausalLM"]),
-        "model_type": "mistral" if window is not None else "llama",
+        "architectures": arch,
+        "model_type": mtype,
         "hidden_size": dim,
-        "intermediate_size": blk0.mlp.w1.weight.shape[1],
+        "intermediate_size": (blk0.mlp.w1.shape[2] if moe
+                              else blk0.mlp.w1.weight.shape[1]),
         "num_attention_heads": heads,
         "num_key_value_heads": blk0.num_kv_heads,
         "num_hidden_layers": len(model.blocks),
@@ -180,6 +204,9 @@ def modernlm_to_hf_llama(model: ModernLM, path: str, *,
     }
     if window is not None:
         config["sliding_window"] = window
+    if moe:
+        config["num_local_experts"] = int(blk0.mlp.num_experts)
+        config["num_experts_per_tok"] = int(blk0.mlp.top_k)
     config.update(config_extra or {})
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(config, f, indent=2)
@@ -194,15 +221,24 @@ def modernlm_to_hf_llama(model: ModernLM, path: str, *,
         p = f"model.layers.{i}"
         tensors[f"{p}.input_layernorm.weight"] = blk.norm1.weight
         tensors[f"{p}.post_attention_layernorm.weight"] = blk.norm2.weight
-        for hf_name, lin in (("self_attn.q_proj", blk.w_q),
-                             ("self_attn.k_proj", blk.w_k),
-                             ("self_attn.v_proj", blk.w_v),
-                             ("self_attn.o_proj", blk.w_o),
-                             ("mlp.gate_proj", blk.mlp.w1),
-                             ("mlp.up_proj", blk.mlp.w3),
-                             ("mlp.down_proj", blk.mlp.w2)):
+        proj = [("self_attn.q_proj", blk.w_q),
+                ("self_attn.k_proj", blk.w_k),
+                ("self_attn.v_proj", blk.w_v),
+                ("self_attn.o_proj", blk.w_o)]
+        if not moe:
+            proj += [("mlp.gate_proj", blk.mlp.w1),
+                     ("mlp.up_proj", blk.mlp.w3),
+                     ("mlp.down_proj", blk.mlp.w2)]
+        for hf_name, lin in proj:
             tensors[f"{p}.{hf_name}.weight"] = lin.weight.T
             if lin.bias is not None:
                 tensors[f"{p}.{hf_name}.bias"] = lin.bias
+        if moe:
+            bs = f"{p}.block_sparse_moe"
+            tensors[f"{bs}.gate.weight"] = blk.mlp.w_gate.T
+            for e in range(int(blk.mlp.num_experts)):
+                tensors[f"{bs}.experts.{e}.w1.weight"] = blk.mlp.w1[e].T
+                tensors[f"{bs}.experts.{e}.w3.weight"] = blk.mlp.w3[e].T
+                tensors[f"{bs}.experts.{e}.w2.weight"] = blk.mlp.w2[e].T
     write_safetensors(os.path.join(path, "model.safetensors"), tensors,
                       metadata={"format": "pt"})

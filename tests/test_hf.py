@@ -5,6 +5,7 @@ reference's safetensors import test, SafeTensorReader round-trips)."""
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -97,3 +98,52 @@ def test_hf_mistral_sliding_window_import(tmp_path):
     assert all(b.window == 4 for b in model.blocks)
     toks = np.array([[3, 14, 9, 55, 2, 7, 1, 0, 31, 44]], np.int32)
     _logits_match(model, tm, toks)
+
+
+def _tiny_mixtral_config(**over):
+    kw = dict(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10000.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, num_local_experts=4,
+        num_experts_per_tok=2, sliding_window=None,
+    )
+    kw.update(over)
+    return transformers.MixtralConfig(**kw)
+
+
+def test_hf_mixtral_import_logits_parity(tmp_path):
+    torch.manual_seed(0)
+    cfg = _tiny_mixtral_config()
+    tm = transformers.MixtralForCausalLM(cfg).eval()
+    tm.save_pretrained(tmp_path, safe_serialization=True)
+
+    model = modernlm_from_hf_llama(str(tmp_path))
+    from lamp_tpu.nn.moe import SwiGLUMoE
+
+    assert type(model.blocks[0].mlp) is SwiGLUMoE
+    assert model.blocks[0].mlp.num_experts == 4
+    assert model.blocks[0].mlp.top_k == 2
+    toks = np.array([[3, 14, 9, 55, 2, 7, 96, 0, 31, 44]], np.int32)
+    _logits_match(model, tm, toks, atol=5e-4)
+
+
+def test_hf_mixtral_export_roundtrip(tmp_path):
+    """ModernLM(moe_experts=) -> Mixtral dir -> transformers -> logits."""
+    import lamp_tpu.nn as nn
+    from lamp_tpu.models import modernlm_to_hf_llama
+
+    model = nn.ModernLM.init(
+        vocab_size=61, context_length=32, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, mlp_hidden=48, tied=False,
+        moe_experts=3, moe_top_k=2, key=jax.random.PRNGKey(7))
+    out = str(tmp_path / "export")
+    modernlm_to_hf_llama(model, out)
+    tm = transformers.MixtralForCausalLM.from_pretrained(out).eval()
+    toks = np.array([[5, 1, 33, 60, 2, 9]], np.int32)
+    _logits_match(model, tm, toks, atol=5e-4)
+    # and the re-import matches too
+    back = modernlm_from_hf_llama(out)
+    a, _ = model.forward(jnp.asarray(toks))
+    b, _ = back.forward(jnp.asarray(toks))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -822,15 +822,17 @@ def flash_attention(q, k, v, *, causal: bool = False,
 
 
 def _compact_mask(tq, tkv, q_offset, causal, window, lim,
-                  seg_q=None, seg_kv=None):
+                  seg_q=None, seg_kv=None, row0=0):
     """Boolean keep-mask [tq, tkv] combining causal band, sliding window,
     per-row kv limits and (optional) segment-id equality. ``lim`` is an
     int32 [tq] row of kv-length limits; ``seg_q``/``seg_kv`` are int32
-    [tq]/[tkv] packed-document ids."""
+    [tq]/[tkv] packed-document ids; ``row0`` is the (traced) absolute query
+    row of this tile's first row when the q axis is grid-blocked."""
     kpos = jax.lax.broadcasted_iota(jnp.int32, (tq, tkv), 1)
     keep = kpos < lim[:, None]
     if causal:
-        qpos = jax.lax.broadcasted_iota(jnp.int32, (tq, tkv), 0) + q_offset
+        qpos = (jax.lax.broadcasted_iota(jnp.int32, (tq, tkv), 0)
+                + q_offset + row0)
         keep &= kpos <= qpos
         if window is not None:
             keep &= kpos > qpos - window
@@ -851,7 +853,8 @@ def _compact_softmax(s, keep):
 def _compact_fwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref,
                         o_ref, *, sm_scale, causal, window, q_offset):
     # sq_ref/sk_ref ([1, 1, T] int32 segment ids) are None when unsegmented
-    q = q_ref[0]  # [Tq, D]
+    q = q_ref[0]  # [Tq, D] (Tq = q block; kv stays fully resident)
+    row0 = pl.program_id(1) * q.shape[0]
     s = jax.lax.dot_general(
         q, k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -859,7 +862,8 @@ def _compact_fwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref,
     keep = _compact_mask(s.shape[0], s.shape[1], q_offset, causal, window,
                          lim_ref[0, 0],
                          None if sq_ref is None else sq_ref[0, 0],
-                         None if sk_ref is None else sk_ref[0, 0])
+                         None if sk_ref is None else sk_ref[0, 0],
+                         row0=row0)
     p = _compact_softmax(s, keep)
     o_ref[0] = jax.lax.dot_general(
         p.astype(q.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -869,22 +873,29 @@ def _compact_fwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref,
 
 def _compact_bwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref,
                         do_ref, o_ref, dq_ref, dk_ref, dv_ref, *,
-                        sm_scale, causal, window, q_offset):
+                        sm_scale, causal, window, q_offset, accumulate):
+    # ``accumulate``: when the q axis is grid-blocked (nq > 1), dk/dv blocks
+    # map to the same (batch*head) slab for every q step — qi is the minor
+    # grid dim, so the block stays VMEM-resident and this kernel adds each q
+    # block's contribution into it (f32 out dtype; cast happens outside)
     q = q_ref[0]
     k = k_ref[0]
     do = do_ref[0]
+    qi = pl.program_id(1)
+    row0 = qi * q.shape[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     ) * sm_scale
     keep = _compact_mask(s.shape[0], s.shape[1], q_offset, causal, window,
                          lim_ref[0, 0],
                          None if sq_ref is None else sq_ref[0, 0],
-                         None if sk_ref is None else sk_ref[0, 0])
+                         None if sk_ref is None else sk_ref[0, 0],
+                         row0=row0)
     p = _compact_softmax(s, keep)
     pb = p.astype(q.dtype)
-    dv_ref[0] = jax.lax.dot_general(
+    dv = jax.lax.dot_general(
         pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ).astype(dv_ref.dtype)
+    )
     dp = jax.lax.dot_general(
         do, v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -899,18 +910,33 @@ def _compact_bwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref,
     dq_ref[0] = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ).astype(dq_ref.dtype)
-    dk_ref[0] = jax.lax.dot_general(
+    dk = jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ).astype(dk_ref.dtype)
+    )
+    if not accumulate:
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv.astype(dv_ref.dtype)
+    else:
+        @pl.when(qi == 0)
+        def _store_first():
+            dk_ref[0] = dk.astype(dk_ref.dtype)
+            dv_ref[0] = dv.astype(dv_ref.dtype)
+
+        @pl.when(qi > 0)
+        def _accumulate():
+            dk_ref[0] += dk.astype(dk_ref.dtype)
+            dv_ref[0] += dv.astype(dv_ref.dtype)
 
 
-def _compact_specs(heads, tq, tkv, d):
+def _compact_specs(heads, block_q, tkv, d):
     # limits/segment ids ride as [B, 1, T] so the trailing block dims
-    # satisfy Mosaic's (8, 128)-or-full-dim tiling rule
-    lim = pl.BlockSpec((1, 1, tq), lambda bh: (bh // heads, 0, 0))
-    skv_spec = pl.BlockSpec((1, 1, tkv), lambda bh: (bh // heads, 0, 0))
-    qs = pl.BlockSpec((1, tq, d), lambda bh: (bh, 0, 0))
-    ks = pl.BlockSpec((1, tkv, d), lambda bh: (bh, 0, 0))
+    # satisfy Mosaic's (8, 128)-or-full-dim tiling rule; the q-side inputs
+    # are blocked along the (possibly trivial) second grid dim, the kv-side
+    # blocks stay whole per (batch, head) cell
+    lim = pl.BlockSpec((1, 1, block_q), lambda bh, qi: (bh // heads, 0, qi))
+    skv_spec = pl.BlockSpec((1, 1, tkv), lambda bh, qi: (bh // heads, 0, 0))
+    qs = pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0))
+    ks = pl.BlockSpec((1, tkv, d), lambda bh, qi: (bh, 0, 0))
     return lim, skv_spec, qs, ks
 
 
@@ -930,10 +956,10 @@ def _compact_opt_segs(seg_q, seg_kv, lim_spec, skv_spec):
 
 
 def _compact_run_fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal,
-                     window, q_offset, heads, interpret):
+                     window, q_offset, heads, block_q, interpret):
     bh, tq, d = q.shape
     tkv = k.shape[1]
-    lim, skv_spec, qs, ks = _compact_specs(heads, tq, tkv, d)
+    lim, skv_spec, qs, ks = _compact_specs(heads, block_q, tkv, d)
     seg_specs, seg_args, wrap = _compact_opt_segs(seg_q, seg_kv, lim, skv_spec)
     kernel = wrap(functools.partial(
         _compact_fwd_kernel, sm_scale=sm_scale, causal=causal, window=window,
@@ -941,66 +967,96 @@ def _compact_run_fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal,
     ))
     return pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(bh, tq // block_q),
         in_specs=[lim] + seg_specs + [qs, ks, ks],
         out_specs=qs,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(limits, *seg_args, q, k, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def _compact(q, k, v, limits, seg_q, seg_kv, sm_scale, causal, window,
-             q_offset, heads, interpret):
+             q_offset, heads, block_q, interpret):
     return _compact_run_fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal,
-                            window, q_offset, heads, interpret)
+                            window, q_offset, heads, block_q, interpret)
 
 
 def _compact_vjp_fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal,
-                     window, q_offset, heads, interpret):
+                     window, q_offset, heads, block_q, interpret):
     o = _compact_run_fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal,
-                         window, q_offset, heads, interpret)
+                         window, q_offset, heads, block_q, interpret)
     return o, (q, k, v, limits, seg_q, seg_kv, o)
 
 
-def _compact_vjp_bwd(sm_scale, causal, window, q_offset, heads, interpret,
-                     res, g):
+def _compact_vjp_bwd(sm_scale, causal, window, q_offset, heads, block_q,
+                     interpret, res, g):
     q, k, v, limits, seg_q, seg_kv, o = res
     bh, tq, d = q.shape
     tkv = k.shape[1]
-    lim, skv_spec, qs, ks = _compact_specs(heads, tq, tkv, d)
+    nq = tq // block_q
+    lim, skv_spec, qs, ks = _compact_specs(heads, block_q, tkv, d)
     seg_specs, seg_args, wrap = _compact_opt_segs(seg_q, seg_kv, lim, skv_spec)
     kernel = wrap(functools.partial(
         _compact_bwd_kernel, sm_scale=sm_scale, causal=causal, window=window,
-        q_offset=q_offset,
+        q_offset=q_offset, accumulate=nq > 1,
     ))
+    # with a blocked q axis dk/dv accumulate across q steps — keep those
+    # output blocks f32 and cast after; single-cell grids write once in the
+    # input dtype (the original compact regime, unchanged)
+    acc_dtype = jnp.float32 if nq > 1 else k.dtype
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(bh, nq),
         in_specs=[lim] + seg_specs + [qs, ks, ks, qs, qs],
         out_specs=(qs, ks, ks),
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(k.shape, acc_dtype),
+            jax.ShapeDtypeStruct(v.shape, acc_dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(limits, *seg_args, q, k, v, g, o)
+    if nq > 1:
+        dk = dk.astype(k.dtype)
+        dv = dv.astype(v.dtype)
     return (dq, dk, dv) + _int_grads(limits, seg_q, seg_kv)
 
 
 _compact.defvjp(_compact_vjp_fwd, _compact_vjp_bwd)
 
-# padded Skv ceiling for the compact path: the in-cell f32 score tile is
-# Sq*Skv*4 bytes (4 MB at 1024^2) and the backward keeps ~3 such tiles live —
-# beyond this VMEM runs out and the flash kernels win anyway
-COMPACT_MAX_KV = 1024
+# padded Skv ceiling for the compact path. kv (k, v, dk, dv slabs) must stay
+# fully VMEM-resident per (batch, head) cell; past 2048 the q blocks shrink
+# below one MXU tile and the flash kernels win anyway
+COMPACT_MAX_KV = 2048
+
+# score-tile budget: the backward keeps ~4 [block_q, Skv] f32 tiles live
+# (s, p, dp, ds); 512K f32 words each caps that at ~8 MB of the 16 MB VMEM
+_COMPACT_CELL_WORDS = 1 << 19
+
+
+def _compact_block_q(sq_p, skv_p):
+    """Largest q block (multiple of 128, <= sq_p) whose backward score tiles
+    fit the VMEM budget. Up to 1024x1024 the whole q axis rides in one cell
+    (the original single-cell compact regime)."""
+    if sq_p * skv_p <= (1 << 20):
+        return sq_p
+    bq = max(LANES, _COMPACT_CELL_WORDS // skv_p // LANES * LANES)
+    return min(bq, sq_p)
+
+
+# dispatch crossover for dot_product_attention, measured f+b on v5e
+# (B8 H12 D64 bf16 causal, ms/iter): compact/flash = 1.5/2.1 @1024,
+# 4.2/6.2 @1536, 5.6/6.1 @1792, 7.0/5.4 @2048 — the q-blocked compact
+# kernels win through 1792, flash wins at 2048 (q blocks shrink to 256 and
+# the whole-kv slab stops paying for itself)
+COMPACT_DISPATCH_MAX_KV = 1792
 
 
 def compact_attention(q, k, v, *, causal: bool = False,
@@ -1032,13 +1088,14 @@ def compact_attention(q, k, v, *, causal: bool = False,
     skv = k.shape[2]
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
-    sq_p = _round_up(sq, LANES)
     skv_p = _round_up(skv, LANES)
     if skv_p > COMPACT_MAX_KV:
         raise ValueError(
             f"compact_attention: padded kv length {skv_p} exceeds "
             f"{COMPACT_MAX_KV}; use flash_attention"
         )
+    block_q = _compact_block_q(_round_up(sq, LANES), skv_p)
+    sq_p = _round_up(sq, block_q)
 
     qr = q.reshape(b * h, sq, d)
     kr = k.reshape(b * h, skv, d)
@@ -1080,7 +1137,7 @@ def compact_attention(q, k, v, *, causal: bool = False,
 
     q_offset = skv - sq if causal else 0
     o = _compact(qr, kr, vr, limits[:, None, :], seg_q, seg_kv, sm_scale,
-                 causal, window, q_offset, h, interpret)
+                 causal, window, q_offset, h, block_q, interpret)
     return o[:, :sq, :].reshape(b, h, sq, d)
 
 
@@ -1100,16 +1157,17 @@ def dot_product_attention(q, k, v, *, causal: bool = False, mask=None,
         #   kv <= 512          XLA's fused unflashed formulation wins
         #                      (batched narrow-N matmuls; O(S^2) memory is
         #                      still negligible)
-        #   512 < kv <= 1024   compact Pallas kernels win 2-3x over both
-        #                      (whole score tile in VMEM, no flash
-        #                      residual/slab round trips)
-        #   kv > 1024          flash kernels (score tile stops fitting VMEM)
+        #   512 < kv <= 1792   compact Pallas kernels win 1.1-3x over both
+        #                      (kv resident in VMEM, no flash residual/slab
+        #                      round trips; q grid-blocked past 1024)
+        #   kv > 1792          flash kernels (the shrinking q blocks stop
+        #                      paying for the whole-kv VMEM slab)
         skv = k.shape[2]
         if not on_tpu or mask is not None:
             implementation = "xla"
-        elif _round_up(skv, LANES) <= COMPACT_MAX_KV and skv > 512:
+        elif _round_up(skv, LANES) <= COMPACT_DISPATCH_MAX_KV and skv > 512:
             implementation = "compact"
-        elif skv > 1024:
+        elif skv > 512:
             implementation = "flash"
         else:
             implementation = "xla"

@@ -510,9 +510,57 @@ def test_compact_sliding_window(window):
 
 def test_compact_rejects_oversize_kv():
     keys = jax.random.split(jax.random.PRNGKey(36), 3)
-    q = _rand(keys[0], (1, 1, 2048, 64))
+    q = _rand(keys[0], (1, 1, 4096, 64))
     with pytest.raises(ValueError, match="exceeds"):
         compact_attention(q, q, q, causal=True, interpret=True)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_compact_blocked_q(causal):
+    """kv > 1024 rides the q-blocked grid (kv resident, dk/dv accumulated
+    across q blocks in f32) and must match the reference exactly."""
+    shape = (1, 2, 1536, 32)
+    keys = jax.random.split(jax.random.PRNGKey(42), 3)
+    q, k, v = (_rand(kk, shape) for kk in keys)
+    out = compact_attention(q, k, v, causal=causal, interpret=True)
+    ref = mha_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    g1 = _compact_grads(compact_attention, dict(causal=causal, interpret=True),
+                        q, k, v)
+    g2 = _compact_grads(mha_reference, dict(causal=causal), q, k, v)
+    for a, b_, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4, err_msg=f"grad {name}")
+
+
+def test_compact_blocked_q_masks():
+    """Blocked regime composed with the mask features at once: non-multiple
+    Sq != Skv decode alignment (padded columns exercise the limits row),
+    sliding window and packed segment ids."""
+    keys = jax.random.split(jax.random.PRNGKey(43), 3)
+    sq, skv = 1100, 1400
+    q = _rand(keys[0], (1, 2, sq, 32))
+    k = _rand(keys[1], (1, 2, skv, 32))
+    v = _rand(keys[2], (1, 2, skv, 32))
+    kv_ids = jnp.asarray([[0] * 900 + [1] * 500], jnp.int32)
+    q_ids = kv_ids[:, -sq:]
+    out = compact_attention(q, k, v, causal=True, window=700,
+                            segment_ids=(q_ids, kv_ids), interpret=True)
+    ref = mha_reference(q, k, v, causal=True, window=700,
+                        segment_ids=(q_ids, kv_ids))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    g1 = _compact_grads(
+        compact_attention,
+        dict(causal=True, window=700, segment_ids=(q_ids, kv_ids),
+             interpret=True), q, k, v)
+    g2 = _compact_grads(
+        mha_reference,
+        dict(causal=True, window=700, segment_ids=(q_ids, kv_ids)), q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4)
 
 
 def test_dot_product_attention_compact_route():

@@ -6,6 +6,7 @@ from .generate import KVCache, decode_step, generate, init_cache, prefill
 from .sampling import SamplingParams, sample_tokens
 from .serving import (
     BatchServer,
+    BeamSearchDecoder,
     LoRADraftSpeculativeDecoder,
     ModernBatchServer,
     ServingEngine,
@@ -23,6 +24,7 @@ __all__ = [
     "decode_step",
     "prefill",
     "BatchServer",
+    "BeamSearchDecoder",
     "ModernBatchServer",
     "ServingEngine",
     "SpeculativeDecoder",

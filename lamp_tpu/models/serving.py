@@ -18,6 +18,7 @@ the paged kernel attends over history + self.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -492,6 +493,38 @@ class BatchServer:
         self.seq_logprobs.pop(seq_id, None)
         self.seq_prompt_mask.pop(seq_id, None)
         self._pen_dirty.discard(seq_id)
+
+    def fork(self, src_id, dst_id) -> None:
+        """Duplicate a sequence's decode state WITHOUT copying its KV: the
+        child references the parent's physical pages (refcounted); the
+        first write into the shared tail page triggers the prefix cache's
+        copy-on-write (see :meth:`_alloc_slot`), so a fork costs one page
+        copy amortized — the substrate for beam search and any
+        tree-structured decode. Requires ``enable_prefix_cache=True`` (that
+        flag owns the refcount/COW machinery)."""
+        if not self.enable_prefix_cache:
+            raise RuntimeError("fork requires enable_prefix_cache=True")
+        if dst_id in self.seq_pages:
+            raise ValueError(f"duplicate request {dst_id}")
+        if src_id not in self.seq_pages:
+            raise KeyError(f"unknown request {src_id}")
+        for pg in self.seq_pages[src_id]:
+            if pg >= 0:
+                self._incref(pg)
+        self.seq_pages[dst_id] = list(self.seq_pages[src_id])
+        self.seq_len[dst_id] = self.seq_len[src_id]
+        self.last_token[dst_id] = self.last_token[src_id]
+        self.seq_params[dst_id] = self.seq_params[src_id]
+        self.seq_adapter[dst_id] = self.seq_adapter.get(src_id, 0)
+        self.seq_window[dst_id] = self.seq_window.get(src_id)
+        self.seq_released[dst_id] = self.seq_released.get(src_id, 0)
+        if src_id in self.seq_cstate:
+            self.seq_cstate[dst_id] = self.seq_cstate[src_id]
+        if src_id in self.seq_logprobs:
+            self.seq_logprobs[dst_id] = list(self.seq_logprobs[src_id])
+        if src_id in self.seq_prompt_mask:
+            self.seq_prompt_mask[dst_id] = self.seq_prompt_mask[src_id].copy()
+            self._pen_dirty.add(dst_id)
 
     # -- sliding-window KV release ---------------------------------------
     def kv_bound_for(self, window: Optional[int] = None) -> Optional[int]:
@@ -1832,11 +1865,20 @@ class ServingEngine:
         self._reserve: Dict = {}     # rid -> worst-case total pages
         self._max_new: Dict = {}     # rid -> decode budget
         self._next_id = 0
+        # n>1 / best_of fan-out bookkeeping: child rids are (parent, i)
+        self._parent: Dict = {}      # child rid -> parent rid
+        self._fan: Dict = {}         # parent -> [branch tokens | None] * k
+        self._fan_lp: Dict = {}      # parent -> per-branch logprob lists
+        self._fan_n: Dict = {}       # parent -> n to return (<= k sampled)
+        self._fan_ranked: Dict = {}  # parent -> rank branches by logprob
+        self._fan_want_lp: Dict = {} # parent -> caller asked for logprobs
+        self._retired = 0            # finished requests incl. fan children
 
     def submit(self, prompt_tokens, params: Optional[SamplingParams] = None,
                request_id=None, adapter: Optional[str] = None,
                window: Optional[int] = None,
-               constraint: Optional[str] = None):
+               constraint: Optional[str] = None, n: int = 1,
+               best_of: Optional[int] = None):
         """Queue a request; returns its id. Decoding starts once pages are
         available (see :meth:`step`). ``adapter`` selects a registered LoRA
         adapter for this request; ``window`` caps the request's attention to
@@ -1846,7 +1888,19 @@ class ServingEngine:
         :meth:`BatchServer.register_constraint` — the request's output is
         grammar-constrained (compile the DFA with the request's EOS token
         and list that token in ``params.stop_tokens`` to stop on a complete
-        match)."""
+        match).
+
+        Parallel sampling (vLLM-style): ``n > 1`` fans the request into n
+        independently-sampled branches sharing one prompt — the prefix
+        cache shares the prompt's KV pages, so the extra HBM is only each
+        branch's generated tokens. The result for the request is then a
+        LIST of n token lists (and ``result_logprobs`` a list of n logprob
+        lists). ``best_of = k > n`` samples k branches and keeps the n with
+        the highest cumulative logprob, ranked best-first (``n == 1`` with
+        ``best_of`` still returns a plain token list — the best branch).
+        Branch rids are ``(rid, i)``; ``on_token`` fires with those, so a
+        streaming consumer can follow individual branches. Fan-out requires
+        ``temperature > 0`` (greedy branches would be identical)."""
         rid = request_id if request_id is not None else f"req{self._next_id}"
         self._next_id += 1
         prompt = [int(t) for t in np.asarray(prompt_tokens).reshape(-1)]
@@ -1863,6 +1917,35 @@ class ServingEngine:
             raise ValueError("window must be a positive int")
         if constraint is not None and constraint not in self.server._c_offsets:
             raise ValueError(f"unknown constraint {constraint!r}")
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        if best_of is not None and best_of < n:
+            raise ValueError("best_of must be >= n")
+        k = best_of if best_of is not None else n
+        if k > 1:
+            if params.temperature == 0.0:
+                raise ValueError(
+                    "n/best_of > 1 requires temperature > 0 (greedy "
+                    "branches would be identical)"
+                )
+            ranked = best_of is not None
+            child_params = params
+            if ranked and not params.logprobs:
+                # ranking needs per-token logprobs; don't expose them
+                # unless the caller asked
+                child_params = dataclasses.replace(params, logprobs=True)
+            self._fan[rid] = [None] * k
+            self._fan_lp[rid] = [None] * k
+            self._fan_n[rid] = n
+            self._fan_ranked[rid] = ranked
+            self._fan_want_lp[rid] = params.logprobs
+            for i in range(k):
+                child = (rid, i)
+                self._parent[child] = rid
+                self.pending.append(
+                    (child, prompt, child_params, adapter, window, constraint)
+                )
+            return rid
         self.pending.append((rid, prompt, params, adapter, window, constraint))
         return rid
 
@@ -1962,26 +2045,183 @@ class ServingEngine:
                     break
             if done:
                 finished[rid] = g
+        out = {}
         for rid in finished:
             s.remove(rid)
-            self.results[rid] = self.generated.pop(rid)
-            if rid in self._generated_lp:
-                self.result_logprobs[rid] = self._generated_lp.pop(rid)
+            toks = self.generated.pop(rid)
+            lp = self._generated_lp.pop(rid, None)
             self._reserve.pop(rid)
             self._max_new.pop(rid)
-        return finished
+            self._retired += 1
+            parent = self._parent.pop(rid, None)
+            if parent is None:
+                self.results[rid] = toks
+                if lp is not None:
+                    self.result_logprobs[rid] = lp
+                out[rid] = toks
+                continue
+            # fan-out branch: slot its tokens; the parent finishes (and is
+            # the only thing reported) once every branch is in
+            self._fan[parent][rid[1]] = toks
+            self._fan_lp[parent][rid[1]] = lp
+            if any(v is None for v in self._fan[parent]):
+                continue
+            branches = self._fan.pop(parent)
+            lps = self._fan_lp.pop(parent)
+            nkeep = self._fan_n.pop(parent)
+            want_lp = self._fan_want_lp.pop(parent)
+            if self._fan_ranked.pop(parent):
+                order = sorted(range(len(branches)),
+                               key=lambda i: -sum(lps[i]))[:nkeep]
+            else:
+                order = range(nkeep)
+            kept = [branches[i] for i in order]
+            kept_lp = [lps[i] for i in order]
+            if nkeep == 1:
+                # best_of with n=1 reads like a plain request
+                kept, kept_lp = kept[0], kept_lp[0]
+            self.results[parent] = kept
+            if want_lp:
+                self.result_logprobs[parent] = kept_lp
+            out[parent] = kept
+        return out
 
     def run(self) -> Dict:
         """Drain the queue; returns {rid: token list} for every request."""
         while self.pending or self.server.seq_pages:
-            before = len(self.results)
+            before = self._retired
             self.step()
-            if len(self.results) == before and not self.server.seq_pages:
+            if self._retired == before and not self.server.seq_pages:
                 raise RuntimeError(
                     "scheduler stalled: pending requests cannot be admitted "
                     "(page pool too small for the largest request)"
                 )
         return dict(self.results)
+
+
+class BeamSearchDecoder:
+    """Deterministic beam search over a paged server.
+
+    The reference offers beam decode only by re-forwarding full prefixes
+    (lamp/data/Text.scala sequenceToBeam); here every beam keeps paged KV
+    and a step is ONE batched decode over the live beams. Beam forks use
+    :meth:`BatchServer.fork` — child beams reference the parent's physical
+    pages (refcounted, copy-on-write at the shared tail page), so a fork
+    never copies the whole KV history.
+
+    Scoring: cumulative logprob, final ranking divided by
+    ``len ** length_penalty`` (HF convention; 0 = pure sum, 1 = mean).
+    ``early_stopping`` stops once ``beams`` finished hypotheses exist;
+    otherwise the search runs to ``max_tokens`` and unfinished beams
+    compete with finished ones in the final ranking.
+
+    Usage:
+        server = ModernBatchServer(model, ..., enable_prefix_cache=True)
+        decoder = BeamSearchDecoder(server, beams=4)
+        hyps = decoder.decode(prompt, max_tokens=32, stop_tokens=(eos,))
+        best_tokens, best_score = hyps[0]
+    """
+
+    def __init__(self, server: BatchServer, *, beams: int = 4,
+                 length_penalty: float = 1.0, early_stopping: bool = True):
+        if not server.enable_prefix_cache:
+            raise ValueError(
+                "BeamSearchDecoder needs a server with "
+                "enable_prefix_cache=True (beam forks ride the refcount/COW "
+                "machinery)"
+            )
+        if beams < 1:
+            raise ValueError("beams must be >= 1")
+        self.server = server
+        self.beams = beams
+        self.length_penalty = length_penalty
+        self.early_stopping = early_stopping
+        self._n = 0
+
+    def _score(self, cum: float, length: int) -> float:
+        return cum / max(length, 1) ** self.length_penalty
+
+    def decode(self, prompt_tokens, *, max_tokens: int,
+               stop_tokens=()) -> List[Tuple[List[int], float]]:
+        """Beam-search one prompt; returns up to ``beams`` hypotheses as
+        ``(generated_tokens, score)`` sorted best-first. Stop tokens are
+        not emitted."""
+        s = self.server
+        prompt = [int(t) for t in np.asarray(prompt_tokens).reshape(-1)]
+        if not prompt:
+            raise ValueError("empty prompt")
+        stop = set(int(t) for t in stop_tokens)
+        w = self.beams
+        tag = self._n
+        self._n += 1
+        root = ("_beam", tag, 0)
+        s.add(root, prompt)
+        live = [root]          # seq ids, one per live beam
+        toks = {root: []}      # generated tokens per live beam
+        cums = {root: 0.0}     # cumulative logprob per live beam
+        done: List[Tuple[List[int], float]] = []
+        next_child = 1
+        ctx = s.model.context_length
+        max_steps = min(int(max_tokens), ctx - len(prompt) + 1)
+
+        for _ in range(max_steps):
+            feed = jnp.asarray([s.last_token[b] for b in live], jnp.int32)
+            logits = s._advance(live, feed)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            k = min(2 * w, logp.shape[-1])
+            top_lp, top_ix = jax.lax.top_k(logp, k)
+            top_lp = np.asarray(top_lp)
+            top_ix = np.asarray(top_ix)
+            cands = sorted(
+                ((cums[b] + float(top_lp[i, j]), i, int(top_ix[i, j]))
+                 for i, b in enumerate(live) for j in range(k)),
+                key=lambda c: -c[0],
+            )
+            chosen = []
+            for score, i, t in cands:
+                if t in stop:
+                    b = live[i]
+                    done.append((list(toks[b]),
+                                 self._score(score, len(toks[b]) + 1)))
+                elif len(chosen) < w:
+                    chosen.append((score, i, t))
+            if self.early_stopping and len(done) >= w:
+                for b in live:
+                    s.remove(b)
+                live = []
+                break
+            # reassign beams: one child per parent continues in place,
+            # extras fork (before any state mutation of the parent)
+            used = {}
+            new_live, new_toks, new_cums, removals = [], {}, {}, set(range(len(live)))
+            for score, i, t in chosen:
+                parent = live[i]
+                if i not in used:
+                    bid = parent
+                    used[i] = bid
+                    removals.discard(i)
+                else:
+                    bid = ("_beam", tag, next_child)
+                    next_child += 1
+                    s.fork(parent, bid)
+                new_live.append(bid)
+                new_toks[bid] = toks[parent] + [t]
+                new_cums[bid] = score
+            for i in removals:
+                s.remove(live[i])
+            for bid, (score, _, t) in zip(new_live, chosen):
+                s.last_token[bid] = t
+            live = new_live
+            toks = new_toks
+            cums = new_cums
+            if not live:  # every candidate finished
+                break
+
+        for b in live:  # ran out of budget: unfinished beams compete too
+            done.append((list(toks[b]), self._score(cums[b], len(toks[b]))))
+            s.remove(b)
+        done.sort(key=lambda h: -h[1])
+        return done[:w]
 
 
 class SpeculativeDecoder:

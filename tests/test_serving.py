@@ -1233,3 +1233,227 @@ def test_engine_on_token_streaming():
     res = eng.run()
     for rid in ("a", "b"):
         assert [t for r, t in streamed if r == rid] == res[rid]
+
+
+# -- parallel sampling (n= / best_of=) ---------------------------------------
+
+def test_engine_parallel_sampling_n():
+    """n>1 fans into independently-sampled branches; the result is a list
+    of n token lists, streamed under (rid, branch) ids, and the page pool
+    is fully returned."""
+    model = _modern_model()
+    from lamp_tpu.models.serving import ModernBatchServer, ServingEngine
+
+    srv = ModernBatchServer(model, page_size=8, total_pages=64)
+    streamed = []
+    eng = ServingEngine(srv, decode_steps=4,
+                        on_token=lambda rid, t: streamed.append((rid, t)))
+    eng.submit([1, 2, 3], SamplingParams(max_tokens=8, temperature=3.0),
+               request_id="a", n=3)
+    eng.submit([4, 5], SamplingParams(max_tokens=4), request_id="b")
+    res = eng.run()
+    assert len(res["a"]) == 3
+    assert all(1 <= len(branch) <= 8 for branch in res["a"])
+    # temperature 3.0 over vocab 23: identical 8-token branches would be
+    # astronomically unlikely
+    assert len({tuple(branch) for branch in res["a"]}) > 1
+    # plain request unaffected, streaming uses (rid, i) child ids
+    assert len(res["b"]) == 4
+    for i in range(3):
+        assert [t for r, t in streamed if r == ("a", i)] == res["a"][i]
+    assert "a" not in eng.result_logprobs
+    assert not srv.seq_pages
+    assert len(srv.free_pages) == srv.total_pages - 1  # minus prefix cache
+
+
+def test_engine_parallel_sampling_small_pool():
+    """Fan-out drains even when the pool only fits a subset of the branches
+    at a time (no false stall while siblings wait in the queue)."""
+    model = _modern_model()
+    from lamp_tpu.models.serving import ModernBatchServer, ServingEngine
+
+    srv = ModernBatchServer(model, page_size=8, total_pages=6)
+    eng = ServingEngine(srv, decode_steps=4)
+    eng.submit([1, 2, 3, 4], SamplingParams(max_tokens=6, temperature=1.0),
+               request_id="a", n=4)
+    res = eng.run()
+    assert len(res["a"]) == 4
+
+
+def test_engine_best_of_ranks_by_logprob():
+    """best_of samples k branches and keeps the top n by cumulative
+    logprob, best first; n=1 returns a plain token list."""
+    model = _modern_model()
+    from lamp_tpu.models.serving import ModernBatchServer, ServingEngine
+
+    srv = ModernBatchServer(model, page_size=8, total_pages=64)
+    eng = ServingEngine(srv, decode_steps=4)
+    eng.submit([1, 2, 3], SamplingParams(max_tokens=6, temperature=2.0,
+                                         logprobs=True),
+               request_id="a", n=3, best_of=3)
+    res = eng.run()
+    assert len(res["a"]) == 3
+    lps = eng.result_logprobs["a"]
+    assert [len(l) for l in lps] == [len(b) for b in res["a"]]
+    sums = [sum(l) for l in lps]
+    assert sums == sorted(sums, reverse=True)
+
+    # n=1 best_of=4: plain list; logprobs not exposed unless requested
+    srv2 = ModernBatchServer(model, page_size=8, total_pages=64)
+    eng2 = ServingEngine(srv2, decode_steps=4)
+    eng2.submit([1, 2, 3], SamplingParams(max_tokens=6, temperature=2.0),
+                request_id="a", n=1, best_of=4)
+    res2 = eng2.run()
+    assert res2["a"] and isinstance(res2["a"][0], int)
+    assert "a" not in eng2.result_logprobs
+
+
+def test_engine_fanout_validation():
+    model = _modern_model()
+    from lamp_tpu.models.serving import ModernBatchServer, ServingEngine
+
+    srv = ModernBatchServer(model, page_size=8, total_pages=64)
+    eng = ServingEngine(srv)
+    with pytest.raises(ValueError, match="temperature"):
+        eng.submit([1, 2], SamplingParams(max_tokens=4), n=2)
+    with pytest.raises(ValueError, match="best_of"):
+        eng.submit([1, 2], SamplingParams(max_tokens=4, temperature=1.0),
+                   n=3, best_of=2)
+    with pytest.raises(ValueError, match="n must"):
+        eng.submit([1, 2], SamplingParams(max_tokens=4), n=0)
+
+
+# -- sequence fork + beam search ---------------------------------------------
+
+def test_fork_shares_pages_and_cow_diverges():
+    """A forked sequence decodes as if its history had been prefilled
+    fresh; parent and child diverge after the fork without corrupting each
+    other (COW on the shared tail page)."""
+    model = _modern_model()
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    srv = ModernBatchServer(model, page_size=8, total_pages=64,
+                            enable_prefix_cache=True)
+    prompt = [1, 4, 7, 2, 9]
+    srv.add("a", prompt)
+    # one greedy step, then fork; KV now holds prompt, last fed token = t0
+    t0 = srv.step()["a"]
+    free_before = len(srv.free_pages) + len(srv._lru)
+    srv.fork("a", "b")
+    assert len(srv.free_pages) + len(srv._lru) == free_before  # no copy
+    # diverge: feed different tokens, then a second round each
+    la = srv._advance(["a"], jnp.asarray([11], jnp.int32))
+    lb = srv._advance(["b"], jnp.asarray([13], jnp.int32))
+    la2 = srv._advance(["a"], jnp.asarray([17], jnp.int32))
+    lb2 = srv._advance(["b"], jnp.asarray([19], jnp.int32))
+
+    # oracle: fresh prefills of the full diverged histories (feeding 11
+    # overrode the un-fed pending greedy token t0, so histories are
+    # prompt + 11/13 + 17/19)
+    del t0
+    ref = ModernBatchServer(model, page_size=8, total_pages=64)
+    ref.add("x", prompt + [11])
+    ref.add("y", prompt + [13])
+    lx = ref._advance(["x"], jnp.asarray([11], jnp.int32))
+    ly = ref._advance(["y"], jnp.asarray([13], jnp.int32))
+    lx2 = ref._advance(["x"], jnp.asarray([17], jnp.int32))
+    ly2 = ref._advance(["y"], jnp.asarray([19], jnp.int32))
+    for got, want in [(la, lx), (lb, ly), (la2, lx2), (lb2, ly2)]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+    srv.remove("a")
+    srv.remove("b")
+    assert not srv.seq_pages
+
+
+def test_fork_requires_prefix_cache():
+    model = _modern_model()
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    srv = ModernBatchServer(model, page_size=8, total_pages=32)
+    srv.add("a", [1, 2, 3])
+    with pytest.raises(RuntimeError, match="prefix_cache"):
+        srv.fork("a", "b")
+
+
+def test_beam_search_width1_is_greedy():
+    model = _modern_model()
+    from lamp_tpu.models.serving import BeamSearchDecoder, ModernBatchServer
+
+    prompt = [1, 4, 7, 2]
+    ref = ModernBatchServer(model, page_size=8, total_pages=64)
+    ref.add("g", prompt)
+    greedy = [ref.step()["g"] for _ in range(6)]
+
+    srv = ModernBatchServer(model, page_size=8, total_pages=64,
+                            enable_prefix_cache=True)
+    dec = BeamSearchDecoder(srv, beams=1, length_penalty=0.0)
+    hyps = dec.decode(prompt, max_tokens=6)
+    assert len(hyps) == 1
+    assert hyps[0][0] == greedy
+    # pool drained (modulo LRU-cached reclaimable pages)
+    assert not srv.seq_pages
+    assert srv.available_pages == srv.total_pages - 1
+
+
+def test_beam_search_finds_better_than_greedy_and_sorts():
+    """Width-4 beam search: hypotheses sorted best-first, distinct, and the
+    best cumulative logprob >= greedy's (beam can only improve on the
+    sum-logprob objective)."""
+    model = _modern_model()
+    from lamp_tpu.models.serving import BeamSearchDecoder, ModernBatchServer
+
+    prompt = [3, 11, 5]
+    steps = 5
+
+    def seq_logprob(tokens):
+        srv = ModernBatchServer(model, page_size=8, total_pages=64)
+        srv.add("s", prompt)
+        total, feed = 0.0, prompt[-1]
+        hist = list(prompt)
+        for t in tokens:
+            logits = srv._advance(["s"], jnp.asarray([feed], jnp.int32))
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            total += float(lp[0, t])
+            feed = t
+        return total
+
+    srv = ModernBatchServer(model, page_size=8, total_pages=128,
+                            enable_prefix_cache=True)
+    dec = BeamSearchDecoder(srv, beams=4, length_penalty=0.0)
+    hyps = dec.decode(prompt, max_tokens=steps)
+    assert len(hyps) == 4
+    scores = [sc for _, sc in hyps]
+    assert scores == sorted(scores, reverse=True)
+    assert len({tuple(t) for t, _ in hyps}) == 4
+    # reported scores are the true model logprobs of the hypotheses
+    for tokens, score in hyps:
+        np.testing.assert_allclose(score, seq_logprob(tokens), rtol=1e-4,
+                                   atol=1e-4)
+
+    g = ModernBatchServer(model, page_size=8, total_pages=64)
+    g.add("g", prompt)
+    greedy = [g.step()["g"] for _ in range(steps)]
+    assert hyps[0][1] >= seq_logprob(greedy) - 1e-5
+
+
+def test_beam_search_stop_tokens_and_early_stopping():
+    model = _modern_model()
+    from lamp_tpu.models.serving import BeamSearchDecoder, ModernBatchServer
+
+    prompt = [1, 4, 7, 2]
+    # find greedy's second token and use it as a stop token
+    g = ModernBatchServer(model, page_size=8, total_pages=64)
+    g.add("g", prompt)
+    t0 = g.step()["g"]
+    t1 = g.step()["g"]
+
+    srv = ModernBatchServer(model, page_size=8, total_pages=128,
+                            enable_prefix_cache=True)
+    dec = BeamSearchDecoder(srv, beams=3)
+    hyps = dec.decode(prompt, max_tokens=10, stop_tokens=(t1,))
+    assert len(hyps) <= 3
+    for tokens, _ in hyps:
+        assert t1 not in tokens
+    assert not srv.seq_pages

@@ -13,6 +13,13 @@ from .loops import (
     validation_one_epoch,
 )
 from .ema import ema_init, ema_params, ema_swap, ema_update
+from .preference import (
+    dpo_loss,
+    make_distill_loss_fn,
+    make_dpo_loss_fn,
+    sequence_logprobs,
+)
+from .resilience import latest_loop_checkpoint, resumable_epochs
 from .swa import (
     constant_swa_schedule,
     cyclic_swa_schedule,
@@ -31,6 +38,12 @@ __all__ = [
     "validation_one_epoch",
     "run_batch_stream",
     "parallel_run_batch_stream",
+    "resumable_epochs",
+    "latest_loop_checkpoint",
+    "sequence_logprobs",
+    "dpo_loss",
+    "make_dpo_loss_fn",
+    "make_distill_loss_fn",
     "swa_epochs",
     "ema_init",
     "ema_update",

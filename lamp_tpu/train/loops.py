@@ -350,11 +350,22 @@ def epochs(*, model=None, state: Optional[TrainState] = None,
            train_step=None,
            prefetch: bool = True,
            steps_per_call: int = 1,
+           resume_from: Optional[Dict] = None,
            log: Optional[Callable[[str], None]] = None) -> TrainingResult:
     """The master training loop (reference IOLoops.epochs, IOLoops.scala:305).
 
     ``train_batches(epoch)`` returns the epoch's batch iterable;
     ``loss_fn(model, batch, key, train) -> (loss, n, new_model)``.
+
+    ``resume_from`` restarts a preempted run mid-way: pass the dict a
+    ``checkpoint_callback`` received (the ``meta`` of
+    :func:`lamp_tpu.io.checkpoint.load_loop_state`, or
+    :func:`lamp_tpu.train.resumable_epochs`'s bookkeeping) together with
+    the restored ``state=``. The loop continues at ``epoch + 1`` with the
+    schedule state, learning curve, min-validation tracking and the SAME
+    per-epoch PRNG stream (the key is advanced by the completed epochs) —
+    a resumed run and an uninterrupted one see identical dropout/shuffle
+    randomness from that point on.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -385,8 +396,21 @@ def epochs(*, model=None, state: Optional[TrainState] = None,
     min_val_state = None
     smoothed_val = None
     last_val = None
+    start_epoch = 0
+    if resume_from is not None:
+        start_epoch = int(resume_from["epoch"]) + 1
+        if resume_from.get("lr_state") is not None:
+            sched_state = resume_from["lr_state"]
+        curve = [tuple(c) for c in resume_from.get("learning_curve") or []]
+        min_val = resume_from.get("min_validation_loss")
+        min_val_epoch = resume_from.get("min_validation_epoch")
+        min_val_state = resume_from.get("min_validation_state")
+        smoothed_val = resume_from.get("smoothed_validation_loss", min_val)
+        last_val = resume_from.get("validation_loss")
+        for _ in range(start_epoch):
+            key, _ = jax.random.split(key)
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         sched_state, lr_factor = schedule(sched_state, epoch, last_val)
         key, ek = jax.random.split(key)
         state, train_loss, n, dt = one_epoch(
@@ -421,9 +445,14 @@ def epochs(*, model=None, state: Optional[TrainState] = None,
             checkpoint_callback(state, {
                 "epoch": epoch,
                 "train_loss": train_loss,
-                "validation_loss": val_loss,
+                "validation_loss": last_val,
                 "lr_state": sched_state,
                 "learning_curve": curve,
+                # resume bookkeeping (epochs(resume_from=) reads these)
+                "min_validation_loss": min_val,
+                "min_validation_epoch": min_val_epoch,
+                "smoothed_validation_loss": smoothed_val,
+                "min_validation_state": min_val_state,
             })
 
     return TrainingResult(

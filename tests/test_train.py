@@ -451,3 +451,74 @@ def test_ema_tracks_and_swaps():
     avg, shadow = ema_swap(ema, params)
     assert avg["w"].dtype == jnp.bfloat16
     assert shadow["w"].dtype == jnp.float32
+
+
+def test_resumable_epochs_matches_uninterrupted(tmp_path):
+    """Kill-and-resume produces the SAME training trajectory as an
+    uninterrupted run: params, learning curve, schedule state and the
+    min-validation snapshot all come back bitwise-identical (the per-epoch
+    PRNG stream is replayed, the rest is checkpointed)."""
+    x, y = _toy_classification()
+    xv, yv = x[:64], y[:64]
+    xt, yt = x[64:], y[64:]
+    model = nn.MLP(8, 32, 3, key=jax.random.PRNGKey(0), norm=True,
+                   dropout=0.1)
+
+    def common():
+        return dict(
+            loss_fn=_mlp_loss,
+            train_batches=lambda e: data.minibatches_from_full(
+                32, xt, yt, rng=np.random.default_rng(e)
+            ),
+            validation_batches=lambda e: data.minibatches_from_full(
+                32, xv, yv
+            ),
+            key=jax.random.PRNGKey(1),
+            learning_rate_schedule=optim.schedules.reduce_lr_on_plateau(
+                patience=1, factor=0.5
+            ),
+            return_min_validation_loss_model=True,
+            prefetch=False,
+        )
+
+    ref = train.epochs(model=model, optimizer=optim.AdamW(1e-2), epochs=6,
+                       **common())
+
+    # "preempted" run: checkpoints through epoch 2, then a fresh process
+    # resumes from the directory and finishes
+    ckdir = str(tmp_path / "ck")
+    train.resumable_epochs(checkpoint_dir=ckdir, model=model,
+                           optimizer=optim.AdamW(1e-2), epochs=3, **common())
+    assert train.latest_loop_checkpoint(ckdir) is not None
+    res = train.resumable_epochs(checkpoint_dir=ckdir, model=model,
+                                 optimizer=optim.AdamW(1e-2), epochs=6,
+                                 **common())
+
+    assert len(res.learning_curve) == 6
+    assert [c[0] for c in res.learning_curve] == list(range(6))
+    np.testing.assert_allclose(
+        [c[1] for c in res.learning_curve],
+        [c[1] for c in ref.learning_curve], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(res.state.params),
+                    jax.tree_util.tree_leaves(ref.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert res.min_validation_loss == pytest.approx(ref.min_validation_loss)
+    assert res.min_validation_epoch == ref.min_validation_epoch
+    for a, b in zip(
+        jax.tree_util.tree_leaves(res.min_validation_state.params),
+        jax.tree_util.tree_leaves(ref.min_validation_state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # keep= pruning left only the newest two checkpoints
+    epochs_on_disk = sorted(
+        int(n.split("-")[1]) for n in os.listdir(ckdir)
+        if n.startswith("epoch-") and n.split("-")[1].isdigit()
+    )
+    assert epochs_on_disk == [4, 5]
+
+    # a completed run resumes to a no-op (returns the checkpointed result)
+    res2 = train.resumable_epochs(checkpoint_dir=ckdir, model=model,
+                                  optimizer=optim.AdamW(1e-2), epochs=6,
+                                  **common())
+    assert len(res2.learning_curve) == 6

@@ -62,6 +62,35 @@ def modernlm_from_hf_llama(path: str, *, dtype=None,
                                   context_length=context_length)
 
 
+def _rope_scaling_of(rs: Optional[Dict[str, Any]],
+                     ctx: int) -> Optional[Dict[str, Any]]:
+    """Translate HF ``config.rope_scaling`` to
+    :func:`lamp_tpu.nn.modern.rope_frequencies`'s schema."""
+    if not rs:
+        return None
+    kind = rs.get("rope_type") or rs.get("type")
+    if kind in (None, "default"):
+        return None
+    factor = float(rs.get("factor", 1.0))
+    orig = int(rs.get("original_max_position_embeddings", ctx))
+    if kind == "linear":
+        return {"type": "linear", "factor": factor}
+    if kind == "dynamic":
+        # dynamic NTK at full window == static NTK stretch (the decode-time
+        # per-length rescale collapses once the table is precomputed)
+        return {"type": "ntk", "factor": factor}
+    if kind == "yarn":
+        return {"type": "yarn", "factor": factor, "original_max_len": orig,
+                "beta_fast": float(rs.get("beta_fast", 32.0)),
+                "beta_slow": float(rs.get("beta_slow", 1.0))}
+    if kind == "llama3":
+        return {"type": "llama3", "factor": factor,
+                "original_max_len": orig,
+                "low_freq_factor": float(rs.get("low_freq_factor", 1.0)),
+                "high_freq_factor": float(rs.get("high_freq_factor", 4.0))}
+    raise NotImplementedError(f"rope_scaling type {kind!r}")
+
+
 def modernlm_from_hf_state(state: Dict[str, Any], config: Dict[str, Any], *,
                            dtype=None,
                            context_length: Optional[int] = None) -> ModernLM:
@@ -76,12 +105,11 @@ def modernlm_from_hf_state(state: Dict[str, Any], config: Dict[str, Any], *,
     if head_dim != dim // heads:
         raise NotImplementedError(
             f"head_dim {head_dim} != hidden_size/num_heads {dim // heads}")
-    if config.get("rope_scaling"):
-        raise NotImplementedError("rope_scaling is not supported")
     tied = bool(config.get("tie_word_embeddings", False))
     moe_experts = config.get("num_local_experts")  # Mixtral
     moe_top_k = config.get("num_experts_per_tok", 2)
     ctx = context_length or config.get("max_position_embeddings", 2048)
+    rope_scaling = _rope_scaling_of(config.get("rope_scaling"), ctx)
     window = config.get("sliding_window")  # Mistral/Qwen2; None for Llama
     if window is not None and config.get("use_sliding_window", True) is False:
         window = None
@@ -98,7 +126,8 @@ def modernlm_from_hf_state(state: Dict[str, Any], config: Dict[str, Any], *,
         num_blocks=n_layers, embed_dim=dim, num_heads=heads,
         num_kv_heads=kv_heads, mlp_hidden=config["intermediate_size"],
         tied=tied, key=jax.random.PRNGKey(0),
-        rope_base=float(config.get("rope_theta", 10000.0)), window=window,
+        rope_base=float(config.get("rope_theta", 10000.0)),
+        rope_scaling=rope_scaling, window=window,
         norm_eps=float(config.get("rms_norm_eps", 1e-6)),
         moe_experts=moe_experts, moe_top_k=moe_top_k, dtype=dtype,
     )
@@ -176,6 +205,20 @@ def modernlm_to_hf_llama(model: ModernLM, path: str, *,
     if hd > 2 and model.rope_cos.shape[0] > 1:
         angle = float(jnp.arctan2(model.rope_sin[1, 1], model.rope_cos[1, 1]))
         base = (1.0 / angle) ** (hd / 2.0)
+        # the recovery only holds for an UNSCALED base table; a rope-scaled
+        # model (rope_scaling= / extend_context) must ship its config via
+        # config_extra={"rope_theta": ..., "rope_scaling": {...}}
+        import numpy as _np
+
+        inv = base ** -(_np.arange(0, hd, 2) / hd)
+        row1 = _np.asarray(model.rope_cos[1], _np.float64)
+        if not _np.allclose(row1, _np.cos(inv), atol=1e-3):
+            if not (config_extra and "rope_theta" in config_extra):
+                raise NotImplementedError(
+                    "model uses scaled RoPE tables; pass config_extra with "
+                    "rope_theta and rope_scaling for HF export"
+                )
+            base = config_extra["rope_theta"]
     else:
         base = 10000.0
     if moe:

@@ -9,6 +9,7 @@ tensor-parallel sharding rules.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -44,14 +45,91 @@ class RMSNorm(Module):
 
 
 def rope_frequencies(head_dim: int, max_len: int, *, base: float = 10000.0,
-                     dtype=jnp.float32):
-    """Precompute (cos, sin) tables [max_len, head_dim/2]."""
+                     scaling: Optional[dict] = None, dtype=jnp.float32):
+    """Precompute (cos, sin) tables [max_len, head_dim/2].
+
+    ``scaling`` extends a base-trained context window (HF
+    ``config.rope_scaling`` schema; all need ``{"factor": f}``):
+
+    - ``{"type": "linear"}``: position interpolation (Chen et al. 2023) —
+      positions divided by ``factor``.
+    - ``{"type": "ntk"}``: NTK-aware base stretch — ``base *
+      factor^(d/(d-2))``; high frequencies kept, low frequencies
+      interpolated.
+    - ``{"type": "yarn", "original_max_len": L}``: YaRN (Peng et al.
+      2023) — per-frequency ramp between interpolated and extrapolated
+      angles (``beta_fast``/``beta_slow`` rotations bound the ramp,
+      defaults 32/1) with the ``0.1·ln(f)+1`` attention-temperature
+      folded into the tables (HF's ``attention_scaling``).
+    - ``{"type": "llama3", "original_max_len": L, "low_freq_factor": 1,
+      "high_freq_factor": 4}``: Llama-3.1's frequency-banded
+      interpolation.
+    """
     compute = jnp.promote_types(dtype, jnp.float32)
-    inv = 1.0 / (base ** (jnp.arange(0, head_dim, 2, dtype=compute)
-                          / head_dim))
-    t = jnp.arange(max_len, dtype=compute)
+    half = jnp.arange(0, head_dim, 2, dtype=compute) / head_dim
+    attn_scale = 1.0
+    if scaling is None:
+        inv = 1.0 / (base ** half)
+        t = jnp.arange(max_len, dtype=compute)
+    else:
+        kind = scaling.get("type", "linear")
+        factor = float(scaling["factor"])
+        t = jnp.arange(max_len, dtype=compute)
+        if kind == "linear":
+            inv = 1.0 / (base ** half)
+            t = t / factor
+        elif kind == "ntk":
+            stretched = base * factor ** (head_dim / (head_dim - 2))
+            inv = 1.0 / (stretched ** half)
+        elif kind == "yarn":
+            orig = int(scaling.get("original_max_len", max_len))
+            beta_fast = float(scaling.get("beta_fast", 32.0))
+            beta_slow = float(scaling.get("beta_slow", 1.0))
+            inv = 1.0 / (base ** half)
+            # dims doing >= beta_fast rotations over the original window
+            # extrapolate (keep inv), <= beta_slow rotations interpolate
+            # (inv / factor); the blend is the paper's (and HF's) linear
+            # ramp in DIMENSION index between the floor/ceil-truncated
+            # correction dims of the two rotation bounds
+            def corr_dim(n_rot):
+                return (head_dim * math.log(orig / (n_rot * 2.0 * math.pi))
+                        / (2.0 * math.log(base)))
+
+            lo = max(math.floor(corr_dim(beta_fast)), 0)
+            hi = min(math.ceil(corr_dim(beta_slow)), head_dim - 1)
+            if lo == hi:
+                hi += 0.001  # avoid 0/0 on a degenerate range
+            ramp = jnp.clip(
+                (jnp.arange(head_dim // 2, dtype=compute) - lo) / (hi - lo),
+                0.0, 1.0,
+            )
+            extrapolate = 1.0 - ramp
+            inv = inv * extrapolate + (inv / factor) * (1.0 - extrapolate)
+            attn_scale = (0.1 * math.log(factor) + 1.0) if factor > 1 else 1.0
+        elif kind == "llama3":
+            orig = int(scaling.get("original_max_len", max_len))
+            low_f = float(scaling.get("low_freq_factor", 1.0))
+            high_f = float(scaling.get("high_freq_factor", 4.0))
+            inv = 1.0 / (base ** half)
+            wavelen = 2.0 * math.pi / inv
+            # long wavelengths (rarely completed in the original window)
+            # interpolate by the full factor; short ones keep base angles;
+            # smooth blend between the two bands
+            smooth = (orig / wavelen - low_f) / max(high_f - low_f, 1e-6)
+            smooth = jnp.clip(smooth, 0.0, 1.0)
+            inv = jnp.where(
+                wavelen > orig / low_f,
+                inv / factor,
+                jnp.where(wavelen < orig / high_f, inv,
+                          (1 - smooth) * inv / factor + smooth * inv),
+            )
+        else:
+            raise ValueError(f"unknown rope scaling type {kind!r}")
     freqs = jnp.outer(t, inv)
-    return jnp.cos(freqs).astype(dtype), jnp.sin(freqs).astype(dtype)
+    return (
+        (jnp.cos(freqs) * attn_scale).astype(dtype),
+        (jnp.sin(freqs) * attn_scale).astype(dtype),
+    )
 
 
 def apply_rope(x, cos, sin, *, positions=None):
@@ -211,12 +289,13 @@ class ModernLM(Module):
     def init(*, vocab_size: int, context_length: int, num_blocks: int,
              embed_dim: int, num_heads: int, num_kv_heads: Optional[int] = None,
              mlp_hidden: Optional[int] = None, tied: bool = True, key,
-             rope_base: float = 10000.0, window=None, remat: bool = False,
+             rope_base: float = 10000.0, rope_scaling: Optional[dict] = None,
+             window=None, remat: bool = False,
              norm_eps: float = 1e-6, moe_experts: Optional[int] = None,
              moe_top_k: int = 2, dtype=jnp.float32) -> "ModernLM":
         keys = jax.random.split(key, num_blocks + 2)
         cos, sin = rope_frequencies(embed_dim // num_heads, context_length,
-                                    base=rope_base)
+                                    base=rope_base, scaling=rope_scaling)
         # window: None (full attention), int (sliding window every block) or
         # a per-block sequence, e.g. Gemma-style alternation
         # [None, 4096] * (n // 2)
@@ -253,6 +332,24 @@ class ModernLM(Module):
             context_length=context_length,
             remat=remat,
         )
+
+    def extend_context(self, context_length: int, *,
+                       rope_base: float = 10000.0,
+                       rope_scaling: Optional[dict] = None) -> "ModernLM":
+        """Long-context extension of a trained model: rebuild the RoPE
+        tables for a larger window, optionally with interpolation
+        (``rope_scaling`` as in :func:`rope_frequencies` — e.g.
+        ``{"type": "yarn", "factor": 4, "original_max_len": old_ctx}``).
+        Weights are untouched; typical use is scale-then-finetune (or
+        NTK/YaRN zero-shot inference at the longer window)."""
+        import dataclasses as _dc
+
+        head_half = self.rope_cos.shape[1]
+        cos, sin = rope_frequencies(head_half * 2, context_length,
+                                    base=rope_base, scaling=rope_scaling,
+                                    dtype=self.rope_cos.dtype)
+        return _dc.replace(self, rope_cos=cos, rope_sin=sin,
+                           context_length=context_length)
 
     def hidden(self, tokens, *, key=None, train=False, segment_ids=None,
                positions=None, with_aux=False):

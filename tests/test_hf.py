@@ -147,3 +147,34 @@ def test_hf_mixtral_export_roundtrip(tmp_path):
     a, _ = model.forward(jnp.asarray(toks))
     b, _ = back.forward(jnp.asarray(toks))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("rs", [
+    {"rope_type": "linear", "factor": 2.0},
+    {"rope_type": "yarn", "factor": 4.0,
+     "original_max_position_embeddings": 16},
+    {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+     "high_freq_factor": 4.0, "original_max_position_embeddings": 16},
+])
+def test_hf_llama_rope_scaling_import(tmp_path, rs):
+    """rope_scaling configs (linear/YaRN/llama3) import with logits parity
+    against transformers' implementations."""
+    torch.manual_seed(2)
+    cfg = _tiny_config(rope_scaling=dict(rs), max_position_embeddings=64)
+    tm = transformers.LlamaForCausalLM(cfg).eval()
+    tm.save_pretrained(tmp_path, safe_serialization=True)
+    model = modernlm_from_hf_llama(str(tmp_path))
+    toks = np.array([[5, 1, 88, 12, 63, 9, 42, 2, 17, 30, 8, 77]], np.int32)
+    _logits_match(model, tm, toks)
+
+
+def test_hf_export_scaled_rope_requires_config(tmp_path):
+    from lamp_tpu import nn
+
+    model = nn.ModernLM.init(
+        vocab_size=31, context_length=32, num_blocks=1, embed_dim=32,
+        num_heads=4, key=jax.random.PRNGKey(0),
+        rope_scaling={"type": "linear", "factor": 2},
+    )
+    with pytest.raises(NotImplementedError, match="scaled RoPE"):
+        modernlm_to_hf_llama(model, str(tmp_path / "x"))

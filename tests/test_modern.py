@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lamp_tpu import nn, optim, train
 from .gradcheck import check_module_grads
@@ -322,3 +323,107 @@ def test_moe_serving_unsupported_combos():
     srv = ModernBatchServer(model, page_size=8, total_pages=16)
     with pytest.raises(NotImplementedError, match="MoE"):
         srv.register_adapter("x", model)
+
+
+# -- RoPE scaling (long-context extension) -----------------------------------
+
+def test_rope_scaling_linear_is_position_interpolation():
+    from lamp_tpu.nn.modern import rope_frequencies
+
+    cos0, sin0 = rope_frequencies(32, 64)
+    cos2, sin2 = rope_frequencies(32, 128, scaling={"type": "linear",
+                                                    "factor": 2})
+    # scaled position 2p rotates exactly like unscaled position p
+    np.testing.assert_allclose(np.asarray(cos2[::2]), np.asarray(cos0),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sin2[::2]), np.asarray(sin0),
+                               atol=1e-6)
+
+
+def test_rope_scaling_ntk_stretches_base():
+    from lamp_tpu.nn.modern import rope_frequencies
+
+    d, f = 32, 8.0
+    cos, sin = rope_frequencies(d, 16, scaling={"type": "ntk", "factor": f})
+    want_base = 10000.0 * f ** (d / (d - 2))
+    inv = 1.0 / (want_base ** (np.arange(0, d, 2) / d))
+    t = np.arange(16)
+    np.testing.assert_allclose(np.asarray(cos), np.cos(np.outer(t, inv)),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sin), np.sin(np.outer(t, inv)),
+                               atol=1e-5)
+
+
+def test_rope_scaling_yarn_ramp_and_temperature():
+    from lamp_tpu.nn.modern import rope_frequencies
+
+    d, f, orig = 64, 4.0, 256
+    cos, sin = rope_frequencies(d, 32, scaling={
+        "type": "yarn", "factor": f, "original_max_len": orig,
+    })
+    m = 0.1 * np.log(f) + 1.0
+    inv = 1.0 / (10000.0 ** (np.arange(0, d, 2) / d))
+    rotations = orig * inv / (2 * np.pi)
+    t = np.arange(32)
+    # dim 0 spins fastest: >= 32 rotations -> pure extrapolation
+    assert rotations[0] >= 32
+    np.testing.assert_allclose(np.asarray(cos[:, 0]),
+                               m * np.cos(t * inv[0]), atol=1e-5)
+    # slowest dim: <= 1 rotation -> pure interpolation (angles / factor)
+    assert rotations[-1] <= 1
+    np.testing.assert_allclose(np.asarray(sin[:, -1]),
+                               m * np.sin(t * inv[-1] / f), atol=1e-5)
+    # magnitude carries the YaRN attention temperature
+    np.testing.assert_allclose(
+        np.asarray(cos[:, 0] ** 2 + sin[:, 0] ** 2)[0], m * m, rtol=1e-5)
+
+
+def test_rope_scaling_llama3_bands():
+    from lamp_tpu.nn.modern import rope_frequencies
+
+    d, f, orig = 64, 8.0, 8192
+    cos, sin = rope_frequencies(d, 16, scaling={
+        "type": "llama3", "factor": f, "original_max_len": orig,
+        "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+    })
+    inv = 1.0 / (10000.0 ** (np.arange(0, d, 2) / d))
+    wavelen = 2 * np.pi / inv
+    t = np.arange(16)
+    hi_dims = wavelen < orig / 4.0   # short wavelengths: untouched
+    lo_dims = wavelen > orig / 1.0   # long wavelengths: full interpolation
+    assert hi_dims.any() and lo_dims.any()
+    np.testing.assert_allclose(np.asarray(cos[:, hi_dims]),
+                               np.cos(np.outer(t, inv[hi_dims])), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cos[:, lo_dims]),
+                               np.cos(np.outer(t, inv[lo_dims] / f)),
+                               atol=1e-5)
+
+    with pytest.raises(ValueError, match="scaling type"):
+        rope_frequencies(16, 8, scaling={"type": "wat", "factor": 2})
+
+
+def test_extend_context_preserves_short_range_behavior():
+    """extend_context without scaling reproduces the original logits on
+    prompts inside the old window; with YaRN it runs at 4x the window."""
+    model = nn.ModernLM.init(
+        vocab_size=29, context_length=32, num_blocks=2, embed_dim=32,
+        num_heads=4, key=jax.random.PRNGKey(3),
+    )
+    toks = jnp.asarray(np.random.RandomState(0).randint(0, 29, (2, 16)),
+                       jnp.int32)
+    base_logits, _ = model.forward(toks)
+
+    wide = model.extend_context(128)
+    assert wide.context_length == 128
+    wide_logits, _ = wide.forward(toks)
+    np.testing.assert_allclose(np.asarray(base_logits),
+                               np.asarray(wide_logits), atol=1e-5)
+
+    yarn = model.extend_context(128, rope_scaling={
+        "type": "yarn", "factor": 4, "original_max_len": 32,
+    })
+    long_toks = jnp.asarray(np.random.RandomState(1).randint(0, 29, (1, 128)),
+                            jnp.int32)
+    out, _ = yarn.forward(long_toks)
+    assert out.shape == (1, 128, 29)
+    assert np.isfinite(np.asarray(out)).all()

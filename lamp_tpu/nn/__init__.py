@@ -78,6 +78,7 @@ from .modern import (
     apply_rope,
     rope_frequencies,
 )
+from .ssm import MambaBlock, MambaLM, selective_scan
 from . import init, losses
 
 __all__ = [
@@ -117,6 +118,9 @@ __all__ = [
     "SwiGLU",
     "LlamaBlock",
     "ModernLM",
+    "MambaBlock",
+    "MambaLM",
+    "selective_scan",
     "fused_linear_cross_entropy",
     "fused_lm_loss",
     "apply_rope",

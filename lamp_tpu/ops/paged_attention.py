@@ -327,8 +327,8 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h, d), lambda bi, *_: (bi, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, h, d), lambda bi, *_: (bi, 0, 0)),
         scratch_shapes=[

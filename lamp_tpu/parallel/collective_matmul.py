@@ -130,7 +130,7 @@ def make_allgather_matmul(mesh: Mesh, axis: str = "tp"):
     """shard_map-bound :func:`allgather_matmul`: takes global X [m, k]
     (row-sharded over ``axis``) and global W [k, p] (column-sharded);
     returns global [m, p] (column-sharded)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     fn = shard_map(
         functools.partial(allgather_matmul, axis_name=axis),
@@ -145,7 +145,7 @@ def make_matmul_reducescatter(mesh: Mesh, axis: str = "tp"):
     """shard_map-bound :func:`matmul_reducescatter`: takes global X [m, k]
     (column-sharded over ``axis``) and global W [k, p] (row-sharded);
     returns global [m, p] (row-sharded)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     fn = shard_map(
         functools.partial(matmul_reducescatter, axis_name=axis),

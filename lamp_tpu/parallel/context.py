@@ -129,7 +129,7 @@ def make_ring_attention(mesh: Mesh, axis: str = "sp", *, causal: bool = False,
     """Build a jitted ring-attention function over ``mesh``: takes GLOBAL
     [B, H, S, D] q/k/v (S sharded over ``axis``) and returns the global
     output with the same sharding."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n = mesh.shape[axis]
     spec = P(None, None, axis, None)

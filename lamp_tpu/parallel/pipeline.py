@@ -219,7 +219,7 @@ def make_interleaved_pipelined_forward(mesh: Mesh, chunk_fn: Callable, *,
     double-buffers the ring transfer so the ICI permute overlaps chunk
     compute (see :func:`pipeline_apply`).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     s = mesh.shape[axis]
     v = n_virtual
@@ -368,7 +368,7 @@ def make_pipelined_forward(mesh: Mesh, stage_fn: Callable, *,
     size; sharded on the leading axis) and microbatches [M, ...] (replicated);
     returns [M, ...] outputs (replicated).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n = mesh.shape[axis]
 

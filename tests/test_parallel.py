@@ -210,7 +210,7 @@ def test_ring_attention_differentiable():
     B, H, S, D = 1, 2, 32, 8
     keys = jax.random.split(jax.random.PRNGKey(1), 3)
     q, k, v = (jax.random.normal(kk, (B, H, S, D), jnp.float32) for kk in keys)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from lamp_tpu.parallel.context import ring_attention
@@ -561,7 +561,7 @@ def test_collective_matmul_composed_mlp():
     x = jax.random.normal(jax.random.PRNGKey(0), (m, d), jnp.float32)
     w1 = jax.random.normal(jax.random.PRNGKey(1), (d, h), jnp.float32) * 0.3
     w2 = jax.random.normal(jax.random.PRNGKey(2), (h, d), jnp.float32) * 0.3
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def mlp(xl, w1l, w2l):

@@ -20,6 +20,13 @@ from .preference import (
     sequence_logprobs,
 )
 from .resilience import latest_loop_checkpoint, resumable_epochs
+from .rl import (
+    grpo_advantages,
+    grpo_loss,
+    grpo_rollout,
+    make_grpo_loss_fn,
+    token_logprobs,
+)
 from .swa import (
     constant_swa_schedule,
     cyclic_swa_schedule,
@@ -44,6 +51,11 @@ __all__ = [
     "dpo_loss",
     "make_dpo_loss_fn",
     "make_distill_loss_fn",
+    "token_logprobs",
+    "grpo_advantages",
+    "grpo_loss",
+    "grpo_rollout",
+    "make_grpo_loss_fn",
     "swa_epochs",
     "ema_init",
     "ema_update",

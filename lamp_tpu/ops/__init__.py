@@ -3,6 +3,12 @@
 from .attention import dot_product_attention, flash_attention, mha_reference
 from .fused_adamw import AdamWStochastic, fused_adamw_update
 from .fused_ce import fused_linear_cross_entropy, fused_lm_loss
+from .int8_training import (
+    Int8Linear,
+    dequantize_training,
+    int8_dot,
+    quantize_training,
+)
 from .paged_attention import PagedKVCache, paged_attention, paged_attention_reference
 from .quantization import (
     QuantizedLinear,

@@ -2098,6 +2098,44 @@ class ServingEngine:
                 )
         return dict(self.results)
 
+    def cancel(self, rid) -> bool:
+        """Abort a request, pending or in flight. Its KV pages free
+        immediately and it never appears in :attr:`results`. A fan-out
+        parent (``n``/``best_of`` submit) cancels every branch. Returns
+        True if anything was cancelled — False means the id is unknown or
+        already finished. The serving-layer client-disconnect hook (the
+        HTTP front-end calls this when a streaming client goes away)."""
+        if rid in self._fan:
+            k = len(self._fan.pop(rid))
+            self._fan_lp.pop(rid, None)
+            self._fan_n.pop(rid, None)
+            self._fan_ranked.pop(rid, None)
+            self._fan_want_lp.pop(rid, None)
+            any_cancelled = False
+            for i in range(k):
+                child = (rid, i)
+                if self._parent.pop(child, None) is not None:
+                    any_cancelled |= self._cancel_leaf(child)
+            return any_cancelled
+        self._parent.pop(rid, None)
+        return self._cancel_leaf(rid)
+
+    def _cancel_leaf(self, rid) -> bool:
+        for i, entry in enumerate(self.pending):
+            if entry[0] == rid:
+                del self.pending[i]
+                return True
+        s = self.server
+        if rid in s.seq_pages:
+            s.remove(rid)
+            self.generated.pop(rid, None)
+            self._generated_lp.pop(rid, None)
+            self._reserve.pop(rid, None)
+            self._max_new.pop(rid, None)
+            self._retired += 1
+            return True
+        return False
+
 
 class BeamSearchDecoder:
     """Deterministic beam search over a paged server.

@@ -3,7 +3,8 @@
 from .base import Optimizer, resolve_hyper, apply_updates
 from .clip import clip_by_global_norm, clip_by_value, global_norm
 from .optimizers import (SGDW, Adafactor, AdamW, Lamb, Lion, Muon, RAdam,
-                         Yogi, newton_schulz_orthogonalize)
+                         ScheduleFreeAdamW, Yogi,
+                         newton_schulz_orthogonalize)
 from .shampoo import Shampoo
 from . import schedules
 
@@ -23,6 +24,7 @@ __all__ = [
     "Lion",
     "Adafactor",
     "Muon",
+    "ScheduleFreeAdamW",
     "newton_schulz_orthogonalize",
     "schedules",
 ]

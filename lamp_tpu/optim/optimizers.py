@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from .base import Hyper, Optimizer, resolve_hyper
 
 __all__ = ["SGDW", "AdamW", "RAdam", "Yogi", "Lamb", "Lion", "Adafactor",
-           "Muon", "newton_schulz_orthogonalize"]
+           "Muon", "ScheduleFreeAdamW", "newton_schulz_orthogonalize"]
 
 
 def _is_none(x):
@@ -493,6 +493,103 @@ class Adafactor(Optimizer):
             "mt": pick(4) if self.beta1 is not None else None,
         }
         return pick(0), new_state
+
+
+class ScheduleFreeAdamW(Optimizer):
+    """Schedule-free AdamW (Defazio et al. 2024, "The Road Less Scheduled").
+
+    No LR schedule: the optimizer maintains the fast iterate ``z`` and a
+    Polyak-style average ``x``; gradients are evaluated at the interpolation
+    ``y = (1 - beta1) z + beta1 x`` (which is what ``params`` holds during
+    training), and ``x`` is the point to EVALUATE — call
+    :meth:`eval_params` before validation/export. Matches constant-LR AdamW
+    cost: same two moments of state per parameter replaced by (z, x, v) —
+    one extra f32 buffer versus AdamW-with-masters.
+
+    Update (per step t, lr γ, warmup w):
+        γ_t = γ · min(t/w, 1) · sqrt(1 - beta2^t)       (bias corr. folded)
+        v   = beta2 v + (1-beta2) g²
+        z  -= γ_t g / (sqrt(v) + eps) + γ_t λ y          (decay at y)
+        c_t = γ_t² / Σ γ²                                (weighted average)
+        x   = (1-c_t) x + c_t z
+        y   = (1-beta1) z + beta1 x  → params
+
+    The reference has nothing comparable (its schedules are explicit,
+    LearningRateSchedule.scala:3-114); this composes with the same per-tag
+    hyperparameter system as the other optimizers. ``z``/``x`` are kept in
+    f32 (master-weight semantics for bf16 params, AdamW.scala:47-63), and
+    are real copies — never aliases of the param buffers (donation safety).
+    """
+
+    def __init__(self, learning_rate: Hyper = 1e-3, beta1: float = 0.9,
+                 beta2: float = 0.999, eps: float = 1e-8,
+                 weight_decay: Hyper = 0.0, warmup_steps: int = 0,
+                 weight_lr_power: float = 2.0, tags=None):
+        self.learning_rate = learning_rate
+        self.beta1, self.beta2, self.eps = beta1, beta2, eps
+        self.weight_decay = weight_decay
+        self.warmup_steps = int(warmup_steps)
+        self.weight_lr_power = weight_lr_power
+        self.tags = tags
+
+    def init(self, params):
+        # jnp.array(copy=True): z/x must not alias the param buffers
+        copy_f32 = lambda p: jnp.array(p, jnp.float32)  # noqa: E731
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "z": _map(copy_f32, params),
+            "x": _map(copy_f32, params),
+            "vt": _map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
+            "weight_sum": jnp.zeros((), jnp.float32),
+        }
+
+    def step(self, params, grads, state, lr_factor=1.0):
+        tags = self.tags if self.tags is not None else _map(lambda p: "", params)
+        lr = resolve_hyper(self.learning_rate, tags, params)
+        wd = resolve_hyper(self.weight_decay, tags, params)
+        b1, b2, eps = self.beta1, self.beta2, self.eps
+        t = state["step"] + 1
+        tf = t.astype(jnp.float32)
+        warm = (jnp.minimum(tf / self.warmup_steps, 1.0)
+                if self.warmup_steps > 0 else jnp.float32(1.0))
+        sched = warm * jnp.sqrt(1 - b2 ** tf) * lr_factor
+
+        new_vt = _map(lambda v, g: b2 * v + (1 - b2) * jnp.square(_f32(g)),
+                      state["vt"], grads)
+
+        # ckp1 from the LARGEST per-tag lr (the paper's schedule weight is
+        # global; per-tag lrs share one averaging schedule)
+        lr_max = max(jax.tree_util.tree_leaves(lr), default=0.0)
+        gamma_ref = sched * lr_max
+        weight = gamma_ref ** self.weight_lr_power
+        new_sum = state["weight_sum"] + weight
+        ckp1 = jnp.where(new_sum > 0, weight / jnp.maximum(new_sum, 1e-38),
+                         0.0)
+
+        def upd_z(p, z, v, g, l, w):
+            gamma = sched * l
+            return (z - gamma * _f32(g) / (jnp.sqrt(v) + eps)
+                    - gamma * w * p.astype(jnp.float32))
+
+        new_z = _map(upd_z, params, state["z"], new_vt, grads, lr, wd)
+        new_x = _map(lambda x, z: (1 - ckp1) * x + ckp1 * z,
+                     state["x"], new_z)
+        new_params = _map(
+            lambda p, z, x: ((1 - b1) * z + b1 * x).astype(p.dtype),
+            params, new_z, new_x)
+        return new_params, {
+            "step": t,
+            "z": new_z,
+            "x": new_x,
+            "vt": new_vt,
+            "weight_sum": new_sum,
+        }
+
+    @staticmethod
+    def eval_params(params, state):
+        """The averaged iterate ``x`` in the params' dtypes — use for
+        validation, checkpoint export, and final weights."""
+        return _map(lambda p, x: x.astype(p.dtype), params, state["x"])
 
 
 def newton_schulz_orthogonalize(g, steps: int = 5, eps: float = 1e-7):

@@ -317,3 +317,85 @@ def test_muon_adam_tags_route_to_adam():
     assert st["vt"]["b"] is not None       # 1D -> adam
     p2, st2 = opt.step(params, tu.tree_map(jnp.ones_like, params), st)
     assert p2["w"].shape == (4, 4)
+
+
+def test_schedule_free_adamw_converges():
+    _quadratic_convergence(optim.ScheduleFreeAdamW(learning_rate=0.1))
+
+
+def test_schedule_free_adamw_matches_numpy_reference():
+    """Three steps against a plain-NumPy transcription of the update rule
+    (Defazio et al. 2024; constant lr, no warmup)."""
+    lr, b1, b2, eps, wd = 0.1, 0.9, 0.999, 1e-8, 0.01
+    w0 = np.array([1.0, -2.0, 0.5], np.float64)
+
+    def grad(y):
+        return 2.0 * y  # loss = sum(y^2), evaluated at y = params
+
+    # numpy reference
+    z = w0.copy()
+    x = w0.copy()
+    v = np.zeros_like(w0)
+    wsum = 0.0
+    y = w0.copy()
+    ys = []
+    for t in range(1, 4):
+        g = grad(y)
+        v = b2 * v + (1 - b2) * g * g
+        gamma = lr * np.sqrt(1 - b2 ** t)
+        z = z - gamma * g / (np.sqrt(v) + eps) - gamma * wd * y
+        weight = gamma ** 2
+        wsum += weight
+        c = weight / wsum
+        x = (1 - c) * x + c * z
+        y = (1 - b1) * z + b1 * x
+        ys.append(y.copy())
+
+    opt = optim.ScheduleFreeAdamW(learning_rate=lr, beta1=b1, beta2=b2,
+                                  eps=eps, weight_decay=wd)
+    params = {"w": jnp.asarray(w0, jnp.float32)}
+    state = opt.init(params)
+    for t in range(3):
+        g = {"w": 2.0 * params["w"]}
+        params, state = opt.step(params, g, state)
+        np.testing.assert_allclose(np.asarray(params["w"]), ys[t],
+                                   rtol=1e-5, atol=1e-6)
+    ev = optim.ScheduleFreeAdamW.eval_params(params, state)
+    np.testing.assert_allclose(np.asarray(ev["w"]), x, rtol=1e-5, atol=1e-6)
+
+
+def test_schedule_free_adamw_eval_params_and_no_alias():
+    opt = optim.ScheduleFreeAdamW(learning_rate=0.05, warmup_steps=5)
+    params = {"w": jnp.array([4.0, -3.0])}
+    state = opt.init(params)
+    # z/x start as copies, not aliases, of the param buffer
+    assert state["z"]["w"] is not params["w"]
+    assert state["x"]["w"] is not params["w"]
+
+    def loss_fn(p):
+        return jnp.sum(jnp.square(p["w"]))
+
+    step = jax.jit(lambda p, s: opt.step(p, jax.grad(loss_fn)(p), s))
+    for _ in range(400):
+        params, state = step(params, state)
+    ev = optim.ScheduleFreeAdamW.eval_params(params, state)
+    # the Polyak average trails the fast iterate; 400 constant-lr steps
+    # bring it well under the starting loss
+    assert float(jnp.sum(jnp.square(ev["w"]))) < 1e-2
+    assert float(loss_fn(params)) < 1e-2
+
+
+def test_schedule_free_adamw_per_tag_weight_decay():
+    """Tagged params get their own wd; bias tag with wd=0 stays unshrunk
+    under zero gradients."""
+    params = {"w": jnp.array([1.0]), "b": jnp.array([1.0])}
+    tags = {"w": "weight", "b": "bias"}
+    opt = optim.ScheduleFreeAdamW(
+        learning_rate=0.1, weight_decay={"weight": 0.5, "bias": 0.0},
+        tags=tags)
+    state = opt.init(params)
+    zg = {"w": jnp.zeros(1), "b": jnp.zeros(1)}
+    for _ in range(3):
+        params, state = opt.step(params, zg, state)
+    assert float(params["b"][0]) == 1.0
+    assert float(params["w"][0]) < 1.0

@@ -13,11 +13,13 @@ from .serving import (
     SpeculativeDecoder,
 )
 from .vision import ResidualBlock, lenet, resnet_cifar
+from .vit import ViT
 
 __all__ = [
     "resnet_cifar",
     "lenet",
     "ResidualBlock",
+    "ViT",
     "generate",
     "KVCache",
     "init_cache",

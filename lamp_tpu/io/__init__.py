@@ -11,6 +11,7 @@ from .checkpoint import (
     write_safetensors,
     write_tensor_blob,
 )
+from .orbax_compat import load_orbax, save_orbax
 
 __all__ = [
     "write_tensor_blob",
@@ -21,5 +22,7 @@ __all__ = [
     "save_loop_state",
     "load_loop_state",
     "read_safetensors",
+    "save_orbax",
+    "load_orbax",
     "write_safetensors",
 ]

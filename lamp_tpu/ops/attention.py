@@ -822,12 +822,14 @@ def flash_attention(q, k, v, *, causal: bool = False,
 
 
 def _compact_mask(tq, tkv, q_offset, causal, window, lim,
-                  seg_q=None, seg_kv=None, row0=0):
+                  seg_q=None, seg_kv=None, row0=0, mask_tile=None):
     """Boolean keep-mask [tq, tkv] combining causal band, sliding window,
     per-row kv limits and (optional) segment-id equality. ``lim`` is an
     int32 [tq] row of kv-length limits; ``seg_q``/``seg_kv`` are int32
     [tq]/[tkv] packed-document ids; ``row0`` is the (traced) absolute query
-    row of this tile's first row when the q axis is grid-blocked."""
+    row of this tile's first row when the q axis is grid-blocked;
+    ``mask_tile`` is an optional int8 [tq, tkv] arbitrary keep-mask
+    (nonzero = attend)."""
     kpos = jax.lax.broadcasted_iota(jnp.int32, (tq, tkv), 1)
     keep = kpos < lim[:, None]
     if causal:
@@ -838,6 +840,8 @@ def _compact_mask(tq, tkv, q_offset, causal, window, lim,
             keep &= kpos > qpos - window
     if seg_q is not None:
         keep &= seg_q[:, None] == seg_kv[None, :]
+    if mask_tile is not None:
+        keep &= mask_tile != 0
     return keep
 
 
@@ -850,9 +854,10 @@ def _compact_softmax(s, keep):
     return p / jnp.sum(p, axis=1, keepdims=True)
 
 
-def _compact_fwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref,
+def _compact_fwd_kernel(lim_ref, sq_ref, sk_ref, m_ref, q_ref, k_ref, v_ref,
                         o_ref, *, sm_scale, causal, window, q_offset):
-    # sq_ref/sk_ref ([1, 1, T] int32 segment ids) are None when unsegmented
+    # sq_ref/sk_ref ([1, 1, T] int32 segment ids) are None when unsegmented;
+    # m_ref ([1, Tq, Tkv] int8 arbitrary keep-mask) is None when unmasked
     q = q_ref[0]  # [Tq, D] (Tq = q block; kv stays fully resident)
     row0 = pl.program_id(1) * q.shape[0]
     s = jax.lax.dot_general(
@@ -863,7 +868,8 @@ def _compact_fwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref,
                          lim_ref[0, 0],
                          None if sq_ref is None else sq_ref[0, 0],
                          None if sk_ref is None else sk_ref[0, 0],
-                         row0=row0)
+                         row0=row0,
+                         mask_tile=None if m_ref is None else m_ref[0])
     p = _compact_softmax(s, keep)
     o_ref[0] = jax.lax.dot_general(
         p.astype(q.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -871,7 +877,7 @@ def _compact_fwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref,
     ).astype(o_ref.dtype)
 
 
-def _compact_bwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref,
+def _compact_bwd_kernel(lim_ref, sq_ref, sk_ref, m_ref, q_ref, k_ref, v_ref,
                         do_ref, o_ref, dq_ref, dk_ref, dv_ref, *,
                         sm_scale, causal, window, q_offset, accumulate):
     # ``accumulate``: when the q axis is grid-blocked (nq > 1), dk/dv blocks
@@ -890,7 +896,8 @@ def _compact_bwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref,
                          lim_ref[0, 0],
                          None if sq_ref is None else sq_ref[0, 0],
                          None if sk_ref is None else sk_ref[0, 0],
-                         row0=row0)
+                         row0=row0,
+                         mask_tile=None if m_ref is None else m_ref[0])
     p = _compact_softmax(s, keep)
     pb = p.astype(q.dtype)
     dv = jax.lax.dot_general(
@@ -928,7 +935,7 @@ def _compact_bwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref,
             dv_ref[0] += dv.astype(dv_ref.dtype)
 
 
-def _compact_specs(heads, block_q, tkv, d):
+def _compact_specs(heads, block_q, tkv, d, mask_per_head=False):
     # limits/segment ids ride as [B, 1, T] so the trailing block dims
     # satisfy Mosaic's (8, 128)-or-full-dim tiling rule; the q-side inputs
     # are blocked along the (possibly trivial) second grid dim, the kv-side
@@ -937,30 +944,50 @@ def _compact_specs(heads, block_q, tkv, d):
     skv_spec = pl.BlockSpec((1, 1, tkv), lambda bh, qi: (bh // heads, 0, 0))
     qs = pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0))
     ks = pl.BlockSpec((1, tkv, d), lambda bh, qi: (bh, 0, 0))
-    return lim, skv_spec, qs, ks
+    if mask_per_head:
+        ms = pl.BlockSpec((1, block_q, tkv), lambda bh, qi: (bh, qi, 0))
+    else:
+        ms = pl.BlockSpec((1, block_q, tkv),
+                          lambda bh, qi: (bh // heads, qi, 0))
+    return lim, skv_spec, qs, ks, ms
 
 
-def _compact_opt_segs(seg_q, seg_kv, lim_spec, skv_spec):
-    """(extra specs, extra args, wrap) for the optional segment-id inputs,
-    mirroring _opt_inputs: wrap(base) adapts a kernel expecting
-    (lim_ref, sq_ref, sk_ref, ...) to only the refs that are present."""
-    if seg_q is None:
-        def wrap(base):
-            def kernel(lim_ref, *rest):
-                return base(lim_ref, None, None, *rest)
+def _compact_opt(seg_q, seg_kv, mask, lim_spec, skv_spec, mask_spec):
+    """(extra specs, extra args, wrap) for the optional segment-id and
+    arbitrary-mask inputs, mirroring _opt_inputs: wrap(base) adapts a
+    kernel expecting ``(lim_ref, sq_ref, sk_ref, m_ref, ...)`` to only the
+    refs that are present."""
+    has_seg = seg_q is not None
+    has_mask = mask is not None
+    specs, args = [], []
+    if has_seg:
+        specs += [lim_spec, skv_spec]
+        args += [seg_q, seg_kv]
+    if has_mask:
+        specs.append(mask_spec)
+        args.append(mask)
 
-            return kernel
+    def wrap(base):
+        if has_seg and has_mask:
+            return base
+        if has_seg:
+            return lambda lim, sq_, sk_, *r: base(lim, sq_, sk_, None, *r)
+        if has_mask:
+            return lambda lim, m_, *r: base(lim, None, None, m_, *r)
+        return lambda lim, *r: base(lim, None, None, None, *r)
 
-        return [], (), wrap
-    return [lim_spec, skv_spec], (seg_q, seg_kv), lambda base: base
+    return specs, tuple(args), wrap
 
 
-def _compact_run_fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal,
+def _compact_run_fwd(q, k, v, limits, seg_q, seg_kv, mask, sm_scale, causal,
                      window, q_offset, heads, block_q, interpret):
     bh, tq, d = q.shape
     tkv = k.shape[1]
-    lim, skv_spec, qs, ks = _compact_specs(heads, block_q, tkv, d)
-    seg_specs, seg_args, wrap = _compact_opt_segs(seg_q, seg_kv, lim, skv_spec)
+    per_head = mask is not None and mask.shape[0] == bh
+    lim, skv_spec, qs, ks, ms = _compact_specs(heads, block_q, tkv, d,
+                                               per_head)
+    opt_specs, opt_args, wrap = _compact_opt(seg_q, seg_kv, mask, lim,
+                                             skv_spec, ms)
     kernel = wrap(functools.partial(
         _compact_fwd_kernel, sm_scale=sm_scale, causal=causal, window=window,
         q_offset=q_offset,
@@ -968,38 +995,43 @@ def _compact_run_fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal,
     return pl.pallas_call(
         kernel,
         grid=(bh, tq // block_q),
-        in_specs=[lim] + seg_specs + [qs, ks, ks],
+        in_specs=[lim] + opt_specs + [qs, ks, ks],
         out_specs=qs,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(limits, *seg_args, q, k, v)
+    )(limits, *opt_args, q, k, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
-def _compact(q, k, v, limits, seg_q, seg_kv, sm_scale, causal, window,
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+def _compact(q, k, v, limits, seg_q, seg_kv, mask, sm_scale, causal, window,
              q_offset, heads, block_q, interpret):
-    return _compact_run_fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal,
-                            window, q_offset, heads, block_q, interpret)
+    return _compact_run_fwd(q, k, v, limits, seg_q, seg_kv, mask, sm_scale,
+                            causal, window, q_offset, heads, block_q,
+                            interpret)
 
 
-def _compact_vjp_fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal,
+def _compact_vjp_fwd(q, k, v, limits, seg_q, seg_kv, mask, sm_scale, causal,
                      window, q_offset, heads, block_q, interpret):
-    o = _compact_run_fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal,
-                         window, q_offset, heads, block_q, interpret)
-    return o, (q, k, v, limits, seg_q, seg_kv, o)
+    o = _compact_run_fwd(q, k, v, limits, seg_q, seg_kv, mask, sm_scale,
+                         causal, window, q_offset, heads, block_q, interpret)
+    return o, (q, k, v, limits, seg_q, seg_kv, mask, o)
 
 
 def _compact_vjp_bwd(sm_scale, causal, window, q_offset, heads, block_q,
                      interpret, res, g):
-    q, k, v, limits, seg_q, seg_kv, o = res
+    q, k, v, limits, seg_q, seg_kv, mask, o = res
     bh, tq, d = q.shape
     tkv = k.shape[1]
     nq = tq // block_q
-    lim, skv_spec, qs, ks = _compact_specs(heads, block_q, tkv, d)
-    seg_specs, seg_args, wrap = _compact_opt_segs(seg_q, seg_kv, lim, skv_spec)
+    per_head = mask is not None and mask.shape[0] == bh
+    lim, skv_spec, qs, ks, ms = _compact_specs(heads, block_q, tkv, d,
+                                               per_head)
+    opt_specs, opt_args, wrap = _compact_opt(seg_q, seg_kv, mask, lim,
+                                             skv_spec, ms)
     kernel = wrap(functools.partial(
         _compact_bwd_kernel, sm_scale=sm_scale, causal=causal, window=window,
         q_offset=q_offset, accumulate=nq > 1,
@@ -1011,7 +1043,7 @@ def _compact_vjp_bwd(sm_scale, causal, window, q_offset, heads, block_q,
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(bh, nq),
-        in_specs=[lim] + seg_specs + [qs, ks, ks, qs, qs],
+        in_specs=[lim] + opt_specs + [qs, ks, ks, qs, qs],
         out_specs=(qs, ks, ks),
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -1022,11 +1054,11 @@ def _compact_vjp_bwd(sm_scale, causal, window, q_offset, heads, block_q,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(limits, *seg_args, q, k, v, g, o)
+    )(limits, *opt_args, q, k, v, g, o)
     if nq > 1:
         dk = dk.astype(k.dtype)
         dv = dv.astype(v.dtype)
-    return (dq, dk, dv) + _int_grads(limits, seg_q, seg_kv)
+    return (dq, dk, dv) + _int_grads(limits, seg_q, seg_kv, mask)
 
 
 _compact.defvjp(_compact_vjp_fwd, _compact_vjp_bwd)
@@ -1062,7 +1094,7 @@ COMPACT_DISPATCH_MAX_KV = 1792
 def compact_attention(q, k, v, *, causal: bool = False,
                       sm_scale: Optional[float] = None,
                       kv_lengths=None, window: Optional[int] = None,
-                      segment_ids=None,
+                      segment_ids=None, mask=None,
                       interpret: Optional[bool] = None):
     """Short-sequence fused attention on [B, H, S, D] tensors: one Pallas
     grid cell per (batch, head) with the whole score tile resident in VMEM.
@@ -1073,6 +1105,13 @@ def compact_attention(q, k, v, *, causal: bool = False,
     ``(q_ids, kv_ids)`` pair — packed-document masking; a VPU compare on
     the resident tile, no tile-skipping needed at these sizes). Padded Skv
     must stay <= COMPACT_MAX_KV.
+
+    ``mask`` additionally accepts an ARBITRARY boolean keep-mask
+    broadcastable to [B, H, Sq, Skv] (True = attend) — the case the
+    reference's fused-kernel gate (Transformer.scala:949-961) punts to the
+    unfused path. The mask tile rides next to the resident score tile as
+    int8 (per-batch when broadcast over heads, so HBM traffic stays
+    B*Sq*Skv bytes); it composes with causal/window/lengths/segments.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1135,9 +1174,28 @@ def compact_attention(q, k, v, *, causal: bool = False,
         seg_q = seg_q[:, None, :]
         seg_kv = seg_kv[:, None, :]
 
+    m_arr = None
+    if mask is not None:
+        m_arr = jnp.asarray(mask)
+        if m_arr.ndim != 4:
+            raise ValueError("mask must broadcast to [B, H, Sq, Skv]")
+        if m_arr.shape[1] == 1:  # broadcast over heads: per-batch tiles
+            m_arr = jnp.broadcast_to(m_arr[:, 0], (b, sq, skv))
+        else:
+            m_arr = jnp.broadcast_to(
+                m_arr, (b, h, sq, skv)
+            ).reshape(b * h, sq, skv)
+        m_arr = m_arr.astype(jnp.int8)
+        # padded q rows are sliced off; padded kv columns are masked by the
+        # always-on limits row — pad value is irrelevant, use 0
+        if sq_p != sq or skv_p != skv:
+            m_arr = jnp.pad(
+                m_arr, ((0, 0), (0, sq_p - sq), (0, skv_p - skv))
+            )
+
     q_offset = skv - sq if causal else 0
-    o = _compact(qr, kr, vr, limits[:, None, :], seg_q, seg_kv, sm_scale,
-                 causal, window, q_offset, h, block_q, interpret)
+    o = _compact(qr, kr, vr, limits[:, None, :], seg_q, seg_kv, m_arr,
+                 sm_scale, causal, window, q_offset, h, block_q, interpret)
     return o[:, :sq, :].reshape(b, h, sq, d)
 
 
@@ -1162,22 +1220,21 @@ def dot_product_attention(q, k, v, *, causal: bool = False, mask=None,
         #                      round trips; q grid-blocked past 1024)
         #   kv > 1792          flash kernels (the shrinking q blocks stop
         #                      paying for the whole-kv VMEM slab)
+        # arbitrary masks ride the compact path in its band (the mask tile
+        # sits in VMEM beside the scores); elsewhere they fall back to XLA
         skv = k.shape[2]
-        if not on_tpu or mask is not None:
+        if not on_tpu or skv <= 512:
             implementation = "xla"
-        elif _round_up(skv, LANES) <= COMPACT_DISPATCH_MAX_KV and skv > 512:
+        elif _round_up(skv, LANES) <= COMPACT_DISPATCH_MAX_KV:
             implementation = "compact"
-        elif skv > 512:
-            implementation = "flash"
-        else:
+        elif mask is not None:
             implementation = "xla"
+        else:
+            implementation = "flash"
     if implementation == "compact":
-        if mask is not None:
-            raise ValueError(
-                "compact path does not support arbitrary masks"
-            )
         return compact_attention(q, k, v, causal=causal, sm_scale=sm_scale,
-                                 window=window, segment_ids=segment_ids)
+                                 window=window, segment_ids=segment_ids,
+                                 mask=mask)
     if implementation == "flash":
         if mask is not None:
             raise ValueError("flash path does not support arbitrary masks yet")

@@ -575,6 +575,67 @@ def test_dot_product_attention_compact_route():
                                rtol=2e-5)
 
 
+@pytest.mark.parametrize("per_head", [False, True])
+def test_compact_arbitrary_mask(per_head):
+    """Arbitrary boolean keep-masks ride the compact fused path (fwd+bwd):
+    per-batch ([B,1,Sq,Skv], one int8 tile shared by all heads) and
+    per-head ([B,H,Sq,Skv]) variants, on a fully random mask."""
+    keys = jax.random.split(jax.random.PRNGKey(51), 4)
+    b, h, s, d = 2, 2, 160, 32
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys[:3])
+    mshape = (b, h if per_head else 1, s, s)
+    mask = jax.random.bernoulli(keys[3], 0.6, mshape)
+    # guarantee at least one kept key per row (fully-masked rows are
+    # uniform in both impls, but their grads then match trivially)
+    mask = mask.at[..., 0].set(True)
+    out = compact_attention(q, k, v, mask=mask, interpret=True)
+    ref = mha_reference(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    g1 = _compact_grads(compact_attention, dict(mask=mask, interpret=True),
+                        q, k, v)
+    g2 = _compact_grads(mha_reference, dict(mask=mask), q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4)
+
+
+def test_compact_mask_composes_with_causal_and_blocked_q():
+    """Mask AND causal AND non-multiple Sq (padded rows/cols) in the
+    q-blocked regime."""
+    keys = jax.random.split(jax.random.PRNGKey(52), 4)
+    b, h, sq, skv = 1, 2, 1100, 1400
+    q = _rand(keys[0], (b, h, sq, 32))
+    k = _rand(keys[1], (b, h, skv, 32))
+    v = _rand(keys[2], (b, h, skv, 32))
+    mask = jax.random.bernoulli(keys[3], 0.7, (b, 1, sq, skv))
+    mask = mask.at[..., 0].set(True)
+    out = compact_attention(q, k, v, causal=True, mask=mask, interpret=True)
+    ref = mha_reference(q, k, v, causal=True, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    g1 = _compact_grads(compact_attention,
+                        dict(causal=True, mask=mask, interpret=True), q, k, v)
+    g2 = _compact_grads(mha_reference, dict(causal=True, mask=mask), q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4)
+
+
+def test_dot_product_attention_routes_masks_to_compact():
+    """In the compact band an arbitrary mask stays on the fused path and
+    matches the XLA path."""
+    keys = jax.random.split(jax.random.PRNGKey(53), 4)
+    b, h, s, d = 1, 2, 640, 32
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys[:3])
+    mask = jax.random.bernoulli(keys[3], 0.5, (b, 1, s, s))
+    mask = mask.at[..., 0].set(True)
+    out = dot_product_attention(q, k, v, mask=mask, implementation="compact")
+    ref = dot_product_attention(q, k, v, mask=mask, implementation="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
 def test_compact_segment_ids():
     """Packed-document masking on the compact path: equal-id attention only,
     composed with causal; gradients match the reference's where-cotangent

@@ -19,6 +19,7 @@ the paged kernel attends over history + self.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -1170,11 +1171,9 @@ class ModernBatchServer(BatchServer):
                         for b in model.blocks)
         if self._moe:
             self._moe_top_k = int(model.blocks[0].mlp.top_k)
-            if kwargs.get("quantize_bits"):
-                raise NotImplementedError("quantize_bits with MoE serving")
-            if mesh is not None:
+            if kwargs.get("quantize_bits") == 4:
                 raise NotImplementedError(
-                    "tensor-parallel MoE serving not wired yet"
+                    "int4 quantization with MoE serving (int8 is supported)"
                 )
         if mesh is not None:
             self._tp = int(mesh.shape[tp_axis])
@@ -1203,7 +1202,13 @@ class ModernBatchServer(BatchServer):
                 jax.device_put(v, pool) for v in self.v_pages
             )
             wqkv, wo, w1, w3, w2, lmh = self._extras
-            if any(w.shape[1] % self._tp for w in w1):
+            if self._moe:
+                n_exp = w3[0].shape[0]
+                if n_exp % self._tp:
+                    raise ValueError(
+                        f"tp={self._tp} must divide num_experts={n_exp}"
+                    )
+            elif any(w.shape[1] % self._tp for w in w1):
                 raise ValueError(
                     f"tp={self._tp} must divide the MLP hidden width"
                 )
@@ -1216,12 +1221,26 @@ class ModernBatchServer(BatchServer):
                     [lmh, jnp.zeros((lmh.shape[0], pad), lmh.dtype)], axis=1
                 )
             col, row = mk(P(None, tp_axis)), mk(P(tp_axis, None))
+            if self._moe:
+                # expert parallelism: stacked expert tensors shard on the
+                # leading E axis; the [D, E] gate is replicated (top-k needs
+                # the full expert distribution on every chip)
+                rep = mk(P())
+                ep = mk(P(tp_axis, None, None))
+                w1 = tuple((jax.device_put(g, rep), jax.device_put(ws, ep))
+                           for g, ws in w1)
+                w3 = tuple(jax.device_put(w, ep) for w in w3)
+                w2 = tuple(jax.device_put(w, ep) for w in w2)
+            else:
+                w1 = tuple(jax.device_put(w, col) for w in w1)
+                w3 = tuple(jax.device_put(w, col) for w in w3)
+                w2 = tuple(jax.device_put(w, row) for w in w2)
             self._extras = (
                 tuple(jax.device_put(w, col) for w in wqkv),
                 tuple(jax.device_put(w, row) for w in wo),
-                tuple(jax.device_put(w, col) for w in w1),
-                tuple(jax.device_put(w, col) for w in w3),
-                tuple(jax.device_put(w, row) for w in w2),
+                w1,
+                w3,
+                w2,
                 jax.device_put(lmh, col),
             )
 
@@ -1375,12 +1394,29 @@ class ModernBatchServer(BatchServer):
             "btr,bro->bto", h, b_g, preferred_element_type=jnp.float32
         ).astype(x.dtype)
 
-    def _moe_mlp_rows(self, h, li, w1, w3, w2):
+    def _quantize_stacked(self, w):
+        """Quantize a stacked expert tensor [E, K, N] per expert per output
+        channel: (values int8 [E, K, N], scales f32 [E, 1, N]). No-op pass-
+        through without quantize_bits."""
+        if not self.quantize_bits:
+            return w
+        from ..ops.quantization import quantize_int8
+
+        return jax.vmap(functools.partial(quantize_int8, axis=0))(w)
+
+    def _moe_mlp_rows(self, h, li, w1, w3, w2, tp_axis=None):
         """Sparse-MLP decode: dense dispatch (every expert computes the few
         decode rows, combined by the renormalized top-k gates) — at decode
         batch sizes gathering per-token expert weights would materialize
         more bytes than computing all experts, so dense dispatch is also
-        the fast path, exactly like training (nn.moe.SwiGLUMoE)."""
+        the fast path, exactly like training (nn.moe.SwiGLUMoE).
+
+        With ``tp_axis`` (inside a shard_map body) this is EXPERT-parallel:
+        the stacked expert tensors arrive sharded on their leading E axis,
+        the gate/top-k runs on the full (replicated) expert distribution,
+        each chip computes only its local experts weighted by its slice of
+        the combine matrix, and one psum sums the expert contributions —
+        the MoE analogue of the dense path's MLP-down psum."""
         wg, w1s = w1[li]
         w3s, w2s = w3[li], w2[li]
         shape = h.shape
@@ -1394,18 +1430,50 @@ class ModernBatchServer(BatchServer):
         combine = jnp.zeros(probs.shape, acc).at[
             jnp.arange(flat.shape[0])[:, None], ti
         ].set(tv.astype(acc))
-        g = jax.nn.silu(jnp.einsum(
-            "td,edh->eth", flat, w1s.astype(flat.dtype),
-            preferred_element_type=acc,
-        )) * jnp.einsum(
-            "td,edh->eth", flat, w3s.astype(flat.dtype),
-            preferred_element_type=acc,
-        )
-        out = jnp.einsum(
-            "eth,ehd->etd", g.astype(flat.dtype), w2s.astype(flat.dtype),
-            preferred_element_type=acc,
-        )
-        y = jnp.einsum("te,etd->td", combine, out)
+        if tp_axis is not None:
+            e_local = (w3s[0] if isinstance(w3s, tuple) else w3s).shape[0]
+            combine = jax.lax.dynamic_slice_in_dim(
+                combine, jax.lax.axis_index(tp_axis) * e_local, e_local,
+                axis=1,
+            )
+        if isinstance(w3s, tuple):
+            # int8 experts: dynamically quantize the decode rows once, run
+            # the up/gate einsums on the int8 MXU path, and re-quantize the
+            # per-expert activations for the down projection
+            from ..ops.quantization import quantize_int8
+
+            w1v, w1sc = w1s
+            w3v, w3sc = w3s
+            w2v, w2sc = w2s
+            xq, x_scale = quantize_int8(flat, axis=1)       # [T,D], [T,1]
+            up = jnp.einsum("td,edh->eth", xq, w1v,
+                            preferred_element_type=jnp.int32)
+            g1 = up.astype(jnp.float32) * x_scale[None] * w1sc
+            g3 = jnp.einsum("td,edh->eth", xq, w3v,
+                            preferred_element_type=jnp.int32
+                            ).astype(jnp.float32) * x_scale[None] * w3sc
+            g = jax.nn.silu(g1) * g3                        # [E,T,H] f32
+            gq, g_scale = jax.vmap(
+                functools.partial(quantize_int8, axis=1)
+            )(g)                                            # [E,T,H],[E,T,1]
+            out = jnp.einsum("eth,ehd->etd", gq, w2v,
+                             preferred_element_type=jnp.int32
+                             ).astype(jnp.float32) * g_scale * w2sc
+        else:
+            g = jax.nn.silu(jnp.einsum(
+                "td,edh->eth", flat, w1s.astype(flat.dtype),
+                preferred_element_type=acc,
+            )) * jnp.einsum(
+                "td,edh->eth", flat, w3s.astype(flat.dtype),
+                preferred_element_type=acc,
+            )
+            out = jnp.einsum(
+                "eth,ehd->etd", g.astype(flat.dtype), w2s.astype(flat.dtype),
+                preferred_element_type=acc,
+            )
+        y = jnp.einsum("te,etd->td", combine, out.astype(acc))
+        if tp_axis is not None:
+            y = jax.lax.psum(y, tp_axis)
         return y.reshape(shape).astype(h.dtype)
 
     def _precompute_extras(self, model):
@@ -1437,10 +1505,14 @@ class ModernBatchServer(BatchServer):
         wqkv = tuple(q(cat_qkv(blk)) for blk in model.blocks)
         wo = tuple(q(blk.w_o.weight) for blk in model.blocks)
         if self._moe:
-            # per layer: w1 entry carries (gate [D, E], stacked w1 [E, D, H])
-            w1 = tuple((blk.mlp.w_gate, blk.mlp.w1) for blk in model.blocks)
-            w3 = tuple(blk.mlp.w3 for blk in model.blocks)
-            w2 = tuple(blk.mlp.w2 for blk in model.blocks)
+            # per layer: w1 entry carries (gate [D, E], stacked w1 [E, D, H]);
+            # the tiny gate stays unquantized, the stacked expert tensors
+            # quantize per expert per output channel (int8 only)
+            qs = self._quantize_stacked
+            w1 = tuple((blk.mlp.w_gate, qs(blk.mlp.w1))
+                       for blk in model.blocks)
+            w3 = tuple(qs(blk.mlp.w3) for blk in model.blocks)
+            w2 = tuple(qs(blk.mlp.w2) for blk in model.blocks)
         else:
             w1 = tuple(q(blk.mlp.w1.weight) for blk in model.blocks)
             w3 = tuple(q(blk.mlp.w3.weight) for blk in model.blocks)
@@ -1552,10 +1624,19 @@ class ModernBatchServer(BatchServer):
 
         axis = self._tp_axis
         pool = P(None, None, axis)
-        extras_spec = (
-            P(None, axis), P(axis, None), P(None, axis), P(None, axis),
-            P(axis, None), P(None, axis),
-        )
+        if getattr(self, "_moe", False):
+            # per-layer w1 entries are (replicated gate, E-sharded experts)
+            w1_spec = tuple((P(), P(axis, None, None))
+                            for _ in range(self.layers))
+            ep = P(axis, None, None)
+            extras_spec = (
+                P(None, axis), P(axis, None), w1_spec, ep, ep, P(None, axis),
+            )
+        else:
+            extras_spec = (
+                P(None, axis), P(axis, None), P(None, axis), P(None, axis),
+                P(axis, None), P(None, axis),
+            )
         in_specs = [P(), pool, pool, P(), P(), P(), P(), P(), extras_spec]
         args = [model, k_pages, v_pages, tokens, page_idx, lengths,
                 token_pages, token_slots, extras]
@@ -1619,8 +1700,11 @@ class ModernBatchServer(BatchServer):
             att = self._mm(o.reshape(b, 1, -1), wo[li])
             x = x + jax.lax.psum(att, axis)
             h = block.norm2(x)
-            gate = jax.nn.silu(self._mm(h, w1[li])) * self._mm(h, w3[li])
-            x = x + jax.lax.psum(self._mm(gate, w2[li]), axis)
+            if self._moe:
+                x = x + self._moe_mlp_rows(h, li, w1, w3, w2, tp_axis=axis)
+            else:
+                gate = jax.nn.silu(self._mm(h, w1[li])) * self._mm(h, w3[li])
+                x = x + jax.lax.psum(self._mm(gate, w2[li]), axis)
         x = model.final_norm(x)
         local = self._mm(x, lmh, out_dtype=jnp.float32)  # [B, 1, Vp/t]
         logits = jax.lax.all_gather(
@@ -1679,8 +1763,11 @@ class ModernBatchServer(BatchServer):
             ).reshape(b, m, -1)
             x = x + jax.lax.psum(self._mm(o, wo[li]), axis)
             h = block.norm2(x)
-            gate = jax.nn.silu(self._mm(h, w1[li])) * self._mm(h, w3[li])
-            x = x + jax.lax.psum(self._mm(gate, w2[li]), axis)
+            if self._moe:
+                x = x + self._moe_mlp_rows(h, li, w1, w3, w2, tp_axis=axis)
+            else:
+                gate = jax.nn.silu(self._mm(h, w1[li])) * self._mm(h, w3[li])
+                x = x + jax.lax.psum(self._mm(gate, w2[li]), axis)
         x = model.final_norm(x)
         local = self._mm(x, lmh, out_dtype=jnp.float32)  # [B, M, Vp/t]
         logits = jax.lax.all_gather(

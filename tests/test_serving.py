@@ -299,6 +299,46 @@ def test_modern_serving_int4_matches_dequantized_reference():
         np.testing.assert_allclose(ql, rl, atol=2e-3, rtol=2e-3)
 
 
+def test_moe_serving_quantized_decode():
+    """int8 weight-only MoE decode: stacked expert tensors quantize per
+    expert per channel; logits stay close to the float MoE server (cosine)
+    on decode AND chunked decode; int4 is rejected."""
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    model = nn.ModernLM.init(
+        vocab_size=19, context_length=32, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, moe_experts=4, moe_top_k=2,
+        key=jax.random.PRNGKey(7),
+    )
+    prompt = [1, 4, 7, 2, 9]
+    ref = ModernBatchServer(model, page_size=8, total_pages=32)
+    qs = ModernBatchServer(model, page_size=8, total_pages=32,
+                           quantize_bits=8)
+    ref.add("a", prompt)
+    qs.add("a", prompt)
+
+    def cosine(x, y):
+        return float((x * y).sum()
+                     / (np.linalg.norm(x) * np.linalg.norm(y) + 1e-9))
+
+    tok = jnp.asarray([prompt[-1]], jnp.int32)
+    rl = np.asarray(ref._advance(["a"], tok)[0])
+    ql = np.asarray(qs._advance(["a"], tok)[0])
+    assert cosine(ql, rl) > 0.98, cosine(ql, rl)
+
+    chunk = np.asarray([[2, 9, 5]], np.int32)
+    rc = np.asarray(ref.advance_chunk(["a"], chunk))[0, -1]
+    qc = np.asarray(qs.advance_chunk(["a"], chunk))[0, -1]
+    assert cosine(qc, rc) > 0.98, cosine(qc, rc)
+
+    toks = qs.step()
+    assert 0 <= toks["a"] < 19
+
+    with pytest.raises(NotImplementedError):
+        ModernBatchServer(model, page_size=8, total_pages=32,
+                          quantize_bits=4)
+
+
 def test_step_many_matches_sequential_steps():
     """step_many(n) (n fused greedy decode steps in one program, on-device
     argmax feeding the next step) emits exactly the same tokens as n
@@ -608,6 +648,65 @@ def test_tensor_parallel_modern_server_matches_single():
     np.testing.assert_allclose(
         np.asarray(la), np.asarray(lb), atol=2e-3, rtol=2e-3
     )
+
+
+def test_expert_parallel_moe_server_matches_single():
+    """ModernBatchServer(mesh=) on a MoE model shards the stacked expert
+    tensors over the tp axis (expert parallelism); decode / chunked decode /
+    prefill logits match the single-device MoE server."""
+    from lamp_tpu import parallel
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    mm = nn.ModernLM.init(
+        vocab_size=19, context_length=32, num_blocks=2, embed_dim=32,
+        num_heads=4, num_kv_heads=2, moe_experts=4, moe_top_k=2,
+        key=jax.random.PRNGKey(3),
+    )
+    single = ModernBatchServer(mm, page_size=8, total_pages=32)
+    mesh = parallel.make_mesh({"tp": 2}, devices=jax.devices()[:2])
+    ep = ModernBatchServer(mm, mesh=mesh, page_size=8, total_pages=32)
+
+    prompt = [1, 5, 2, 9, 11, 3, 7, 4, 6]
+    single.add("x", prompt)
+    ep.add("x", prompt)  # TP prompts prefill through the chunked MoE path
+    assert single.seq_len["x"] == ep.seq_len["x"] == len(prompt) - 1
+
+    for tok in (3, 8, 1, 12):
+        la = single._advance(["x"], jnp.asarray([tok], jnp.int32))
+        lb = ep._advance(["x"], jnp.asarray([tok], jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), atol=2e-3, rtol=2e-3
+        )
+
+    chunk = np.asarray([[2, 9, 5]], np.int32)
+    ca = single.advance_chunk(["x"], chunk)
+    cb = ep.advance_chunk(["x"], chunk)
+    np.testing.assert_allclose(
+        np.asarray(ca), np.asarray(cb), atol=2e-3, rtol=2e-3
+    )
+
+    # batched EP decode with a second request
+    single.add("y", [4, 4, 2])
+    ep.add("y", [4, 4, 2])
+    la = single._advance(["x", "y"], jnp.asarray([5, 2], jnp.int32))
+    lb = ep._advance(["x", "y"], jnp.asarray([5, 2], jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(la), np.asarray(lb), atol=2e-3, rtol=2e-3
+    )
+
+
+def test_expert_parallel_requires_divisible_experts():
+    from lamp_tpu import parallel
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    mm = nn.ModernLM.init(
+        vocab_size=19, context_length=32, num_blocks=1, embed_dim=32,
+        num_heads=4, num_kv_heads=2, moe_experts=3, moe_top_k=1,
+        key=jax.random.PRNGKey(4),
+    )
+    mesh = parallel.make_mesh({"tp": 2}, devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="num_experts"):
+        ModernBatchServer(mm, mesh=mesh, page_size=8, total_pages=32)
 
 
 def test_tensor_parallel_server_step_many_and_engine():

@@ -178,12 +178,12 @@ class SwiGLU(Module):
         return self.w2(jax.nn.silu(self.w1(x)) * self.w3(x)), self
 
 
-def _moe_mlp(dim, hidden, experts, top_k, key, dtype):
+def _moe_mlp(dim, hidden, experts, top_k, dispatch, key, dtype):
     """Mixtral-style sparse MLP for ``ModernLM.init(moe_experts=...)``."""
     from .moe import SwiGLUMoE
 
     return SwiGLUMoE.init(dim, hidden, experts, key=key, top_k=top_k,
-                          dtype=dtype)
+                          dispatch=dispatch, dtype=dtype)
 
 
 class LlamaBlock(Module):
@@ -204,7 +204,8 @@ class LlamaBlock(Module):
     def init(dim: int, num_heads: int, *, key, num_kv_heads: Optional[int] = None,
              mlp_hidden: Optional[int] = None, window: Optional[int] = None,
              norm_eps: float = 1e-6, moe_experts: Optional[int] = None,
-             moe_top_k: int = 2, dtype=jnp.float32) -> "LlamaBlock":
+             moe_top_k: int = 2, moe_dispatch: str = "dense",
+             dtype=jnp.float32) -> "LlamaBlock":
         kv_heads = num_kv_heads or num_heads
         mlp_hidden = mlp_hidden or int(dim * 8 / 3 // 64 * 64) or dim * 2
         head_dim = dim // num_heads
@@ -221,7 +222,8 @@ class LlamaBlock(Module):
             mlp=(
                 SwiGLU.init(dim, mlp_hidden, key=keys[4], dtype=dtype)
                 if moe_experts is None else _moe_mlp(
-                    dim, mlp_hidden, moe_experts, moe_top_k, keys[4], dtype)
+                    dim, mlp_hidden, moe_experts, moe_top_k, moe_dispatch,
+                    keys[4], dtype)
             ),
             num_heads=num_heads,
             num_kv_heads=kv_heads,
@@ -292,7 +294,8 @@ class ModernLM(Module):
              rope_base: float = 10000.0, rope_scaling: Optional[dict] = None,
              window=None, remat: bool = False,
              norm_eps: float = 1e-6, moe_experts: Optional[int] = None,
-             moe_top_k: int = 2, dtype=jnp.float32) -> "ModernLM":
+             moe_top_k: int = 2, moe_dispatch: str = "dense",
+             dtype=jnp.float32) -> "ModernLM":
         keys = jax.random.split(key, num_blocks + 2)
         cos, sin = rope_frequencies(embed_dim // num_heads, context_length,
                                     base=rope_base, scaling=rope_scaling)
@@ -317,7 +320,7 @@ class ModernLM(Module):
                     num_kv_heads=num_kv_heads, mlp_hidden=mlp_hidden,
                     window=windows[i], norm_eps=norm_eps,
                     moe_experts=moe_experts, moe_top_k=moe_top_k,
-                    dtype=dtype,
+                    moe_dispatch=moe_dispatch, dtype=dtype,
                 )
                 for i in range(num_blocks)
             ),

@@ -84,8 +84,8 @@ def mha_reference(q, k, v, *, causal=False, sm_scale=None, mask=None,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_scr, l_scr, acc_scr,
+def _fwd_kernel(lim_ref, sq_ref, sk_ref, m_ref, q_ref, k_ref, v_ref, o_ref,
+                lse_ref, m_scr, l_scr, acc_scr,
                 *, sm_scale, causal, block_q, block_k, kv_len, q_offset,
                 heads, window=None):
     # lse_ref is None in the inference-only variant (no residuals saved);
@@ -93,7 +93,9 @@ def _fwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     # per-QUERY-ROW limits, covering both the reference's 1D (per-batch) and
     # 2D (per-query-token) maxLength protocols in-kernel; sq_ref/sk_ref
     # ([1, 1, block_q] / [1, 1, block_k] int32) are the q/kv segment-id tiles
-    # for packed-document masking, None when unsegmented
+    # for packed-document masking, None when unsegmented; m_ref
+    # ([1, block_q, block_k] int8) is the arbitrary keep-mask tile (nonzero =
+    # attend), None when unmasked — all-zero tiles skip the block's matmuls
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -123,6 +125,10 @@ def _fwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         # diagonal, making compute linear in sum(len_i * len_i)
         run = run & (jnp.max(sk_ref[0, 0]) >= jnp.min(sq_ref[0, 0])) \
                   & (jnp.min(sk_ref[0, 0]) <= jnp.max(sq_ref[0, 0]))
+    if m_ref is not None:
+        # block-sparse masks (prefix-LM, block-diagonal, ...) skip the
+        # matmuls of fully-masked tiles
+        run = run & (jnp.max(m_ref[0]) > 0)
 
     @pl.when(run)
     def _compute():
@@ -142,6 +148,8 @@ def _fwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 valid = valid & (cols > rows - window)
         if sq_ref is not None:
             valid = valid & (sq_ref[0, 0][:, None] == sk_ref[0, 0][None, :])
+        if m_ref is not None:
+            valid = valid & (m_ref[0] != 0)
         s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_scr[...]           # [block_q, LANES]
@@ -172,14 +180,18 @@ def _fwd_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             ).astype(jnp.float32)
 
 
-def _opt_inputs(limits, seg_q, seg_kv, heads, block_q, block_k, qmap, kmap):
-    """Assemble the optional kv-limit / segment-id kernel inputs: returns
-    (extra in_specs, extra args, wrap) where ``wrap(base)`` adapts a kernel
-    expecting ``(lim_ref, sq_ref, sk_ref, *rest)`` to only the present refs.
-    ``qmap``/``kmap`` are the grid index maps of q tiles / kv tiles."""
+def _opt_inputs(limits, seg_q, seg_kv, heads, block_q, block_k, qmap, kmap,
+                mask=None, mmap=None):
+    """Assemble the optional kv-limit / segment-id / arbitrary-mask kernel
+    inputs: returns (extra in_specs, extra args, wrap) where ``wrap(base)``
+    adapts a kernel expecting ``(lim_ref, sq_ref, sk_ref, m_ref, *rest)`` to
+    only the present refs. ``qmap``/``kmap`` are the grid index maps of q
+    tiles / kv tiles; ``mmap`` maps to the [*, block_q, block_k] mask tile
+    (leading dim bh for per-head masks, b for head-broadcast ones)."""
     specs, args = [], []
     has_len = limits is not None
     has_seg = seg_q is not None
+    has_mask = mask is not None
     if has_len:
         specs.append(pl.BlockSpec((1, 1, block_q), qmap))
         args.append(limits)
@@ -188,21 +200,29 @@ def _opt_inputs(limits, seg_q, seg_kv, heads, block_q, block_k, qmap, kmap):
         args.append(seg_q)
         specs.append(pl.BlockSpec((1, 1, block_k), kmap))
         args.append(seg_kv)
+    if has_mask:
+        specs.append(pl.BlockSpec((1, block_q, block_k), mmap))
+        args.append(mask)
 
     def wrap(base):
-        if has_len and has_seg:
-            return base
-        if has_len:
-            return lambda lim, *r: base(lim, None, None, *r)
-        if has_seg:
-            return lambda sq_, sk_, *r: base(None, sq_, sk_, *r)
-        return lambda *r: base(None, None, None, *r)
+        def kernel(*refs):
+            i = 0
+            lim = refs[0] if has_len else None
+            i += has_len
+            sq_ = refs[i] if has_seg else None
+            sk_ = refs[i + 1] if has_seg else None
+            i += 2 * has_seg
+            m_ = refs[i] if has_mask else None
+            i += has_mask
+            return base(lim, sq_, sk_, m_, *refs[i:])
+
+        return base if (has_len and has_seg and has_mask) else kernel
 
     return specs, args, wrap
 
 
-def _fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal, block_q, block_k,
-         kv_len, q_offset, heads, interpret, save_residuals=True,
+def _fwd(q, k, v, limits, seg_q, seg_kv, mask, sm_scale, causal, block_q,
+         block_k, kv_len, q_offset, heads, interpret, save_residuals=True,
          window=None):
     bh, sq, d = q.shape
     skv = k.shape[1]
@@ -213,10 +233,12 @@ def _fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal, block_q, block_k,
         block_k=block_k, kv_len=kv_len, q_offset=q_offset, heads=heads,
         window=window,
     )
+    mdiv = heads if mask is not None and mask.shape[0] != bh else 1
     opt_specs, opt_args, wrap = _opt_inputs(
         limits, seg_q, seg_kv, heads, block_q, block_k,
         qmap=lambda b, i, j: (b // heads, 0, i),
         kmap=lambda b, i, j: (b // heads, 0, j),
+        mask=mask, mmap=lambda b, i, j: (b // mdiv, i, j),
     )
     if save_residuals:
         kernel = wrap(base)
@@ -229,10 +251,10 @@ def _fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal, block_q, block_k,
             pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
         )
     else:
-        def base_nolse(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, o_ref,
-                       *scr):
-            base(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, o_ref, None,
-                 *scr)
+        def base_nolse(lim_ref, sq_ref, sk_ref, m_ref, q_ref, k_ref, v_ref,
+                       o_ref, *scr):
+            base(lim_ref, sq_ref, sk_ref, m_ref, q_ref, k_ref, v_ref, o_ref,
+                 None, *scr)
 
         kernel = wrap(base_nolse)
         out_shapes = jax.ShapeDtypeStruct((bh, sq, d), q.dtype)
@@ -272,8 +294,8 @@ def _fwd(q, k, v, limits, seg_q, seg_kv, sm_scale, causal, block_q, block_k,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, do_ref,
-                   lse_ref, di_ref,
+def _bwd_dq_kernel(lim_ref, sq_ref, sk_ref, m_ref, q_ref, k_ref, v_ref,
+                   do_ref, lse_ref, di_ref,
                    dq_ref, dq_scr, *, sm_scale, causal, block_q, block_k,
                    kv_len, q_offset, heads, window=None):
     qi = pl.program_id(1)
@@ -298,6 +320,8 @@ def _bwd_dq_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, do_ref,
     if sq_ref is not None:
         run = run & (jnp.max(sk_ref[0, 0]) >= jnp.min(sq_ref[0, 0])) \
                   & (jnp.min(sk_ref[0, 0]) <= jnp.max(sq_ref[0, 0]))
+    if m_ref is not None:
+        run = run & (jnp.max(m_ref[0]) > 0)
 
     @pl.when(run)
     def _compute():
@@ -321,6 +345,8 @@ def _bwd_dq_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, do_ref,
                 valid = valid & (cols > rows - window)
         if sq_ref is not None:
             valid = valid & (sq_ref[0, 0][:, None] == sk_ref[0, 0][None, :])
+        if m_ref is not None:
+            valid = valid & (m_ref[0] != 0)
         s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse[:, :1])  # [block_q, block_k]
         dp = jax.lax.dot_general(
@@ -336,8 +362,8 @@ def _bwd_dq_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, do_ref,
         dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, do_ref,
-                    lse_ref, di_ref,
+def _bwd_dkv_kernel(lim_ref, sq_ref, sk_ref, m_ref, q_ref, k_ref, v_ref,
+                    do_ref, lse_ref, di_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
                     *, sm_scale, causal, block_q, block_k, kv_len, q_offset,
                     heads, window=None):
@@ -364,6 +390,8 @@ def _bwd_dkv_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, do_ref,
     if sq_ref is not None:
         run = run & (jnp.max(sk_ref[0, 0]) >= jnp.min(sq_ref[0, 0])) \
                   & (jnp.min(sk_ref[0, 0]) <= jnp.max(sq_ref[0, 0]))
+    if m_ref is not None:
+        run = run & (jnp.max(m_ref[0]) > 0)
 
     @pl.when(run)
     def _compute():
@@ -387,6 +415,8 @@ def _bwd_dkv_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, do_ref,
                 valid = valid & (cols > rows - window)
         if sq_ref is not None:
             valid = valid & (sq_ref[0, 0][:, None] == sk_ref[0, 0][None, :])
+        if m_ref is not None:
+            valid = valid & (m_ref[0] != 0)
         s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse[:, :1])           # [block_q, block_k]
         # dv += P^T @ do
@@ -410,8 +440,8 @@ def _bwd_dkv_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, do_ref,
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd_fused_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, do_ref,
-                      lse_ref, di_ref,
+def _bwd_fused_kernel(lim_ref, sq_ref, sk_ref, m_ref, q_ref, k_ref, v_ref,
+                      do_ref, lse_ref, di_ref,
                       dqp_ref, dk_ref, dv_ref, dk_scr, dv_scr,
                       *, sm_scale, causal, block_q, block_k, kv_len, q_offset,
                       heads, window=None):
@@ -449,6 +479,8 @@ def _bwd_fused_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, do_ref,
     if sq_ref is not None:
         run = run & (jnp.max(sk_ref[0, 0]) >= jnp.min(sq_ref[0, 0])) \
                   & (jnp.min(sk_ref[0, 0]) <= jnp.max(sq_ref[0, 0]))
+    if m_ref is not None:
+        run = run & (jnp.max(m_ref[0]) > 0)
 
     @pl.when(run)
     def _compute():
@@ -472,6 +504,8 @@ def _bwd_fused_kernel(lim_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, do_ref,
                 valid = valid & (cols > rows - window)
         if sq_ref is not None:
             valid = valid & (sq_ref[0, 0][:, None] == sk_ref[0, 0][None, :])
+        if m_ref is not None:
+            valid = valid & (m_ref[0] != 0)
         s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse[:, :1])           # [block_q, block_k]
         # dv += P^T @ do
@@ -510,7 +544,7 @@ def _int_grads(*xs):
 def _bwd_fused(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
            interpret, window,
                res, g):
-    q, k, v, lengths, seg_q, seg_kv, o, lse = res
+    q, k, v, lengths, seg_q, seg_kv, mask, o, lse = res
     bh, sq, d = q.shape
     skv = k.shape[1]
     do = g
@@ -534,10 +568,12 @@ def _bwd_fused(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
         block_q=block_q, block_k=block_k, kv_len=kv_len, q_offset=q_offset,
         heads=heads, window=window,
     )
+    mdiv = heads if mask is not None and mask.shape[0] != bh else 1
     opt_specs, opt_args, wrap = _opt_inputs(
         lengths, seg_q, seg_kv, heads, block_q, block_k,
         qmap=lambda b, j, i: (b // heads, 0, i),
         kmap=lambda b, j, i: (b // heads, 0, j),
+        mask=mask, mmap=lambda b, j, i: (b // mdiv, i, j),
     )
     kernel = wrap(base)
     in_specs = opt_specs + data_specs
@@ -570,7 +606,7 @@ def _bwd_fused(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
     )(*call_args)
 
     dq = jnp.sum(dqp, axis=0, dtype=jnp.float32).astype(q.dtype)
-    return (dq, dk, dv) + _int_grads(lengths, seg_q, seg_kv)
+    return (dq, dk, dv) + _int_grads(lengths, seg_q, seg_kv, mask)
 
 
 # HBM budget for the fused backward's partial-dq slab; beyond it the split
@@ -595,7 +631,7 @@ def _bwd(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
 def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
            interpret, window,
                res, g):
-    q, k, v, lengths, seg_q, seg_kv, o, lse = res
+    q, k, v, lengths, seg_q, seg_kv, mask, o, lse = res
     bh, sq, d = q.shape
     skv = k.shape[1]
     do = g
@@ -618,10 +654,12 @@ def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
         block_k=block_k, kv_len=kv_len, q_offset=q_offset, heads=heads,
         window=window,
     )
+    mdiv = heads if mask is not None and mask.shape[0] != bh else 1
     dq_opt_specs, dq_opt_args, dq_wrap = _opt_inputs(
         lengths, seg_q, seg_kv, heads, block_q, block_k,
         qmap=lambda b, i, j: (b // heads, 0, i),
         kmap=lambda b, i, j: (b // heads, 0, j),
+        mask=mask, mmap=lambda b, i, j: (b // mdiv, i, j),
     )
     dq_kernel = dq_wrap(base_dq)
     dq_specs = dq_opt_specs + data_specs
@@ -657,6 +695,7 @@ def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
         lengths, seg_q, seg_kv, heads, block_q, block_k,
         qmap=lambda b, j, i: (b // heads, 0, i),
         kmap=lambda b, j, i: (b // heads, 0, j),
+        mask=mask, mmap=lambda b, j, i: (b // mdiv, i, j),
     )
     dkv_kernel = dkv_wrap(base_dkv)
     dkv_specs = dkv_opt_specs + kv_data_specs
@@ -684,24 +723,25 @@ def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
         interpret=interpret,
     )(*dkv_args)
 
-    return (dq, dk, dv) + _int_grads(lengths, seg_q, seg_kv)
+    return (dq, dk, dv) + _int_grads(lengths, seg_q, seg_kv, mask)
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
-def _flash(q, k, v, lengths, seg_q, seg_kv, sm_scale, causal, block_q,
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15))
+def _flash(q, k, v, lengths, seg_q, seg_kv, mask, sm_scale, causal, block_q,
            block_k, kv_len, q_offset, heads, interpret, window):
-    o, _ = _fwd(q, k, v, lengths, seg_q, seg_kv, sm_scale, causal, block_q,
-                block_k, kv_len, q_offset, heads, interpret,
+    o, _ = _fwd(q, k, v, lengths, seg_q, seg_kv, mask, sm_scale, causal,
+                block_q, block_k, kv_len, q_offset, heads, interpret,
                 save_residuals=False, window=window)
     return o
 
 
-def _flash_fwd(q, k, v, lengths, seg_q, seg_kv, sm_scale, causal, block_q,
-               block_k, kv_len, q_offset, heads, interpret, window):
-    o, lse = _fwd(q, k, v, lengths, seg_q, seg_kv, sm_scale, causal, block_q,
-                  block_k, kv_len, q_offset, heads, interpret, window=window)
-    return o, (q, k, v, lengths, seg_q, seg_kv, o, lse)
+def _flash_fwd(q, k, v, lengths, seg_q, seg_kv, mask, sm_scale, causal,
+               block_q, block_k, kv_len, q_offset, heads, interpret, window):
+    o, lse = _fwd(q, k, v, lengths, seg_q, seg_kv, mask, sm_scale, causal,
+                  block_q, block_k, kv_len, q_offset, heads, interpret,
+                  window=window)
+    return o, (q, k, v, lengths, seg_q, seg_kv, mask, o, lse)
 
 
 _flash.defvjp(_flash_fwd, _bwd)
@@ -714,7 +754,7 @@ def _round_up(x, m):
 def flash_attention(q, k, v, *, causal: bool = False,
                     sm_scale: Optional[float] = None,
                     kv_lengths=None, window: Optional[int] = None,
-                    segment_ids=None,
+                    segment_ids=None, mask=None,
                     block_q: int = 0, block_k: int = 0,
                     interpret: Optional[bool] = None):
     """Flash attention on [B, H, S, D] tensors via Pallas TPU kernels.
@@ -735,6 +775,13 @@ def flash_attention(q, k, v, *, causal: bool = False,
     (sorted) ids the kernels skip every tile whose q/kv id ranges cannot
     overlap, so compute is linear in ``sum(len_i^2)`` instead of ``S^2``
     (forward AND backward). Composes with ``causal``/``window``/lengths.
+    ``mask`` is an ARBITRARY boolean keep-mask broadcastable to
+    [B, H, Sq, Skv] (True = attend) — the case the reference's fused-kernel
+    gate (Transformer.scala:949-961) punts to the unfused path. Mask tiles
+    stream beside the score tiles as int8 (per-batch when broadcast over
+    heads); fully-masked tiles skip their matmuls, so block-sparse masks
+    (prefix-LM, block-diagonal) cost their live blocks only — forward AND
+    both backward kernels. Composes with everything above.
     The backward pass recomputes attention weights from the saved logsumexp.
     """
     if interpret is None:
@@ -798,10 +845,29 @@ def flash_attention(q, k, v, *, causal: bool = False,
         seg_q = seg_q[:, None, :]    # [B, 1, Sq]
         seg_kv = seg_kv[:, None, :]  # [B, 1, Skv]
 
+    m_arr = None
+    if mask is not None:
+        m_arr = jnp.asarray(mask)
+        if m_arr.ndim != 4:
+            raise ValueError("mask must broadcast to [B, H, Sq, Skv]")
+        if m_arr.shape[1] == 1:  # broadcast over heads: per-batch tiles
+            m_arr = jnp.broadcast_to(m_arr[:, 0], (b, sq, skv))
+        else:
+            m_arr = jnp.broadcast_to(
+                m_arr, (b, h, sq, skv)
+            ).reshape(b * h, sq, skv)
+        m_arr = m_arr.astype(jnp.int8)
+        # padded q rows are sliced off; padded kv columns are masked by the
+        # in-kernel kv_len bound — pad value 0 also skips all-pad tiles
+        if sq_p != sq or skv_p != skv:
+            m_arr = jnp.pad(
+                m_arr, ((0, 0), (0, sq_p - sq), (0, skv_p - skv))
+            )
+
     # diagonal alignment from the UNPADDED lengths: padding q and kv by
     # different amounts must not shift the causal diagonal
     q_offset = skv - sq if causal else 0
-    o = _flash(qr, kr, vr, limits, seg_q, seg_kv, sm_scale, causal,
+    o = _flash(qr, kr, vr, limits, seg_q, seg_kv, m_arr, sm_scale, causal,
                block_q_eff, block_k_eff, skv, q_offset, h, interpret, window)
     return o[:, :sq, :].reshape(b, h, sq, d)
 
@@ -1220,15 +1286,14 @@ def dot_product_attention(q, k, v, *, causal: bool = False, mask=None,
         #                      round trips; q grid-blocked past 1024)
         #   kv > 1792          flash kernels (the shrinking q blocks stop
         #                      paying for the whole-kv VMEM slab)
-        # arbitrary masks ride the compact path in its band (the mask tile
-        # sits in VMEM beside the scores); elsewhere they fall back to XLA
+        # arbitrary masks ride the fused kernels in both bands: the mask
+        # tile sits in VMEM beside the scores (compact) or streams with the
+        # kv tiles (flash, with all-masked-tile skipping)
         skv = k.shape[2]
         if not on_tpu or skv <= 512:
             implementation = "xla"
         elif _round_up(skv, LANES) <= COMPACT_DISPATCH_MAX_KV:
             implementation = "compact"
-        elif mask is not None:
-            implementation = "xla"
         else:
             implementation = "flash"
     if implementation == "compact":
@@ -1236,9 +1301,8 @@ def dot_product_attention(q, k, v, *, causal: bool = False, mask=None,
                                  window=window, segment_ids=segment_ids,
                                  mask=mask)
     if implementation == "flash":
-        if mask is not None:
-            raise ValueError("flash path does not support arbitrary masks yet")
         return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale,
-                               window=window, segment_ids=segment_ids)
+                               window=window, segment_ids=segment_ids,
+                               mask=mask)
     return mha_reference(q, k, v, causal=causal, sm_scale=sm_scale, mask=mask,
                          window=window, segment_ids=segment_ids)

@@ -672,3 +672,75 @@ def test_compact_segment_ids_pair_nonmultiple():
     ref = mha_reference(q, k, v, causal=True, segment_ids=(q_ids, kv_ids))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=2e-5)
+
+
+# -- arbitrary masks on the flash path ----------------------------------------
+
+
+@pytest.mark.parametrize("per_head", [False, True])
+def test_flash_arbitrary_mask(per_head):
+    """Arbitrary boolean keep-masks on the flash kernels (fwd + fused bwd):
+    per-batch ([B,1,Sq,Skv] → one int8 tile stream shared by all heads) and
+    per-head ([B,H,Sq,Skv]) variants, random mask, multi-tile grid."""
+    keys = jax.random.split(jax.random.PRNGKey(61), 4)
+    b, h, s, d = 2, 2, 384, 32
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys[:3])
+    mshape = (b, h if per_head else 1, s, s)
+    mask = jax.random.bernoulli(keys[3], 0.5, mshape)
+    mask = mask.at[..., 0].set(True)  # no fully-masked rows
+    out = flash_attention(q, k, v, mask=mask, block_q=128, block_k=128,
+                          interpret=True)
+    ref = mha_reference(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    g1 = _compact_grads(
+        flash_attention,
+        dict(mask=mask, block_q=128, block_k=128, interpret=True), q, k, v)
+    g2 = _compact_grads(mha_reference, dict(mask=mask), q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4)
+
+
+def test_flash_mask_composes_and_split_backward(monkeypatch):
+    """Mask AND causal AND segment ids AND non-multiple shapes on the flash
+    path, through BOTH backward variants (fused and split)."""
+    import lamp_tpu.ops.attention as A
+
+    keys = jax.random.split(jax.random.PRNGKey(62), 4)
+    b, h, sq, skv = 1, 2, 200, 200
+    q = _rand(keys[0], (b, h, sq, 32))
+    k = _rand(keys[1], (b, h, skv, 32))
+    v = _rand(keys[2], (b, h, skv, 32))
+    mask = jax.random.bernoulli(keys[3], 0.7, (b, 1, sq, skv))
+    mask = mask.at[..., 0].set(True)
+    seg = jnp.asarray(np.repeat([0, 1], [80, 120])[None], jnp.int32)
+    kw = dict(causal=True, mask=mask, segment_ids=seg, block_q=128,
+              block_k=128, interpret=True)
+    ref = mha_reference(q, k, v, causal=True, mask=mask, segment_ids=seg)
+    out = flash_attention(q, k, v, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    g_ref = _compact_grads(mha_reference,
+                           dict(causal=True, mask=mask, segment_ids=seg),
+                           q, k, v)
+    for slab in (1 << 40, 0):  # fused, then forced-split backward
+        monkeypatch.setattr(A, "_FUSED_BWD_SLAB_BYTES", slab)
+        g = _compact_grads(flash_attention, kw, q, k, v)
+        for a, b_ in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4, rtol=2e-4)
+
+
+def test_dot_product_attention_routes_masks_to_flash():
+    """Masked long-kv attention dispatches to the flash path (no more XLA
+    fallback); CPU check is numeric equality via interpret-mode kernels."""
+    keys = jax.random.split(jax.random.PRNGKey(63), 4)
+    b, h, s, d = 1, 2, 2048, 32
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys[:3])
+    mask = jax.random.bernoulli(keys[3], 0.5, (b, 1, s, s))
+    mask = mask.at[..., 0].set(True)
+    out = dot_product_attention(q, k, v, mask=mask, implementation="flash")
+    ref = mha_reference(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)

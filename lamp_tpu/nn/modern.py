@@ -178,12 +178,14 @@ class SwiGLU(Module):
         return self.w2(jax.nn.silu(self.w1(x)) * self.w3(x)), self
 
 
-def _moe_mlp(dim, hidden, experts, top_k, dispatch, key, dtype):
+def _moe_mlp(dim, hidden, experts, top_k, dispatch, capacity_factor,
+             group_size, key, dtype):
     """Mixtral-style sparse MLP for ``ModernLM.init(moe_experts=...)``."""
     from .moe import SwiGLUMoE
 
     return SwiGLUMoE.init(dim, hidden, experts, key=key, top_k=top_k,
-                          dispatch=dispatch, dtype=dtype)
+                          dispatch=dispatch, capacity_factor=capacity_factor,
+                          group_size=group_size, dtype=dtype)
 
 
 class LlamaBlock(Module):
@@ -205,6 +207,7 @@ class LlamaBlock(Module):
              mlp_hidden: Optional[int] = None, window: Optional[int] = None,
              norm_eps: float = 1e-6, moe_experts: Optional[int] = None,
              moe_top_k: int = 2, moe_dispatch: str = "dense",
+             moe_capacity_factor: float = 1.25, moe_group_size: int = 0,
              dtype=jnp.float32) -> "LlamaBlock":
         kv_heads = num_kv_heads or num_heads
         mlp_hidden = mlp_hidden or int(dim * 8 / 3 // 64 * 64) or dim * 2
@@ -223,7 +226,7 @@ class LlamaBlock(Module):
                 SwiGLU.init(dim, mlp_hidden, key=keys[4], dtype=dtype)
                 if moe_experts is None else _moe_mlp(
                     dim, mlp_hidden, moe_experts, moe_top_k, moe_dispatch,
-                    keys[4], dtype)
+                    moe_capacity_factor, moe_group_size, keys[4], dtype)
             ),
             num_heads=num_heads,
             num_kv_heads=kv_heads,
@@ -295,6 +298,7 @@ class ModernLM(Module):
              window=None, remat: bool = False,
              norm_eps: float = 1e-6, moe_experts: Optional[int] = None,
              moe_top_k: int = 2, moe_dispatch: str = "dense",
+             moe_capacity_factor: float = 1.25, moe_group_size: int = 0,
              dtype=jnp.float32) -> "ModernLM":
         keys = jax.random.split(key, num_blocks + 2)
         cos, sin = rope_frequencies(embed_dim // num_heads, context_length,
@@ -320,7 +324,9 @@ class ModernLM(Module):
                     num_kv_heads=num_kv_heads, mlp_hidden=mlp_hidden,
                     window=windows[i], norm_eps=norm_eps,
                     moe_experts=moe_experts, moe_top_k=moe_top_k,
-                    moe_dispatch=moe_dispatch, dtype=dtype,
+                    moe_dispatch=moe_dispatch,
+                    moe_capacity_factor=moe_capacity_factor,
+                    moe_group_size=moe_group_size, dtype=dtype,
                 )
                 for i in range(num_blocks)
             ),

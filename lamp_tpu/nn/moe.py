@@ -17,13 +17,25 @@ static-shaped strategies:
   linear in T. The fast path for replicated-expert training (single device
   or pure DP/FSDP). Not for "ep"-sharded weights: ragged_dot has no
   all-to-all dispatch, so XLA would all-gather the expert stacks.
+- ``dispatch="capacity"`` — GShard-style static-capacity dispatch: each
+  expert takes at most C = ceil(top_k * T_group * capacity_factor / E)
+  tokens per group, routed through one-hot dispatch/combine einsums.
+  Everything is a batched MXU matmul with static shapes, and because the
+  dispatched activations are einsum outputs sharded on the expert axis,
+  XLA SPMD inserts the token all-to-alls automatically — the canonical
+  pjit-native expert-parallel MoE (per-chip expert FLOPs drop from
+  T*E_local to T*top_k*capacity_factor/ep). Over-capacity tokens are
+  DROPPED (their k-th choice contributes zero; first choices claim
+  capacity before second choices), the standard GShard/Switch trade.
 
-Both paths are exact top-k routing with no capacity-factor token dropping,
-so their outputs match to accumulation order.
+"dense" and "sorted" are exact (dropless) top-k routing and match each
+other to accumulation order; "capacity" equals them whenever no token
+exceeds capacity.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 import jax
@@ -58,6 +70,68 @@ def _sorted_expert_dispatch(flat, top_idx, top_vals, acc, num_experts,
     )
 
 
+def _capacity_masks(top_vals, top_idx, num_experts, capacity, acc):
+    """GShard dispatch/combine tensors for one token group.
+
+    top_vals/top_idx: [T, k]. Returns (dispatch [T, E, C] 0/1 in ``acc``,
+    combine [T, E, C] gate weights). Capacity positions are claimed in
+    k-major order — every token's first choice before any second choice —
+    and slots past capacity are dropped (their one-hot row is all zero).
+    """
+    t, k = top_idx.shape
+    ids = top_idx.T.reshape(-1)                          # [k*T], k-major
+    oh = jax.nn.one_hot(ids, num_experts, dtype=jnp.int32)
+    pos = jnp.sum((jnp.cumsum(oh, axis=0) - oh) * oh, axis=1)  # rank in expert
+    keep = pos < capacity
+    pos = pos.reshape(k, t).T                             # [T, k]
+    keep = keep.reshape(k, t).T
+    disp = (
+        jax.nn.one_hot(top_idx, num_experts, dtype=acc)[..., None]
+        * jax.nn.one_hot(pos, capacity, dtype=acc)[:, :, None, :]
+        * keep[..., None, None].astype(acc)
+    )                                                     # [T, k, E, C]
+    combine = jnp.sum(disp * top_vals[..., None, None].astype(acc), axis=1)
+    return jnp.sum(disp, axis=1), combine
+
+
+def _capacity_dispatch(flat, top_vals, top_idx, acc, num_experts,
+                       capacity_factor, group_size, expert_fn):
+    """Capacity-based dispatch driver: group the tokens, build dispatch/
+    combine one-hots, run ``expert_fn(xs [G, E, C, d]) -> [G, E, C, d]`` on
+    the gathered capacity buckets, and combine back to token order."""
+    t, d = flat.shape
+    k = top_idx.shape[1]
+    g = max(1, -(-t // group_size)) if group_size else 1
+    tg = -(-t // g)
+    if g * tg != t:  # pad the trailing group; padded slots route nowhere
+        pad = g * tg - t
+        flat = jnp.pad(flat, ((0, pad), (0, 0)))
+        top_idx = jnp.pad(top_idx, ((0, pad), (0, 0)))
+        top_vals = jnp.pad(top_vals, ((0, pad), (0, 0)))
+        # padded rows claim capacity AFTER real rows in the k-major cumsum
+        # only if they sort later; zero their gates so they contribute 0
+        # regardless, and give them an out-of-range pseudo-expert so they
+        # never claim real capacity
+        pad_ids = jnp.full((pad, k), num_experts, top_idx.dtype)
+        top_idx = top_idx.at[t:].set(pad_ids)
+    cap = int(max(1, math.ceil(k * tg * capacity_factor / num_experts)))
+    cap = min(cap, k * tg)
+    xg = flat.reshape(g, tg, d)
+    vg = top_vals.reshape(g, tg, k)
+    ig = top_idx.reshape(g, tg, k)
+    disp, combine = jax.vmap(
+        lambda v, i: _capacity_masks(v, i, num_experts + 1, cap, acc)
+    )(vg, ig)
+    disp = disp[:, :, :num_experts]        # drop the padding pseudo-expert
+    combine = combine[:, :, :num_experts]
+    xs = jnp.einsum("gtd,gtec->gecd", xg, disp.astype(xg.dtype),
+                    preferred_element_type=acc).astype(xg.dtype)
+    out = expert_fn(xs)                    # [G, E, C, d]
+    y = jnp.einsum("gecd,gtec->gtd", out.astype(acc), combine,
+                   preferred_element_type=acc)
+    return y.reshape(g * tg, d)[:t]
+
+
 class MoEMLP(Module):
     """Top-k gated expert MLP: y = sum_k gate_k * Expert_k(x).
 
@@ -75,15 +149,19 @@ class MoEMLP(Module):
     top_k: int = static_field()
     activation: Callable = static_field()
     dispatch: str = static_field(default="dense")
+    capacity_factor: float = static_field(default=1.25)
+    group_size: int = static_field(default=0)
     __tags__ = {"w_gate": "MoEMLP.gate", "w1": "MoEMLP.w1", "w2": "MoEMLP.w2",
                 "b1": "MoEMLP.bias", "b2": "MoEMLP.bias"}
 
     @staticmethod
     def init(dim: int, hidden: int, num_experts: int, *, key, top_k: int = 2,
              activation: Callable = jax.nn.gelu, dispatch: str = "dense",
+             capacity_factor: float = 1.25, group_size: int = 0,
              dtype=jnp.float32) -> "MoEMLP":
-        if dispatch not in ("dense", "sorted"):
-            raise ValueError("dispatch must be 'dense' or 'sorted'")
+        if dispatch not in ("dense", "sorted", "capacity"):
+            raise ValueError("dispatch must be 'dense', 'sorted' or "
+                             "'capacity'")
         k1, k2, k3 = jax.random.split(key, 3)
         return MoEMLP(
             w_gate=initializers.normal(0.02)(k1, (dim, num_experts), dtype),
@@ -96,6 +174,8 @@ class MoEMLP(Module):
             top_k=top_k,
             activation=activation,
             dispatch=dispatch,
+            capacity_factor=capacity_factor,
+            group_size=group_size,
         )
 
     @property
@@ -131,6 +211,22 @@ class MoEMLP(Module):
 
             y = _sorted_expert_dispatch(flat, top_idx, top_vals, acc,
                                         self.num_experts, experts)
+            return y.reshape(orig_shape).astype(x.dtype), self
+        if self.dispatch == "capacity":
+            def experts(xs):  # [G, E, C, d]
+                h = jnp.einsum(
+                    "gecd,edh->gech", xs, self.w1.astype(xs.dtype),
+                    preferred_element_type=acc,
+                ) + self.b1[None, :, None, :].astype(acc)
+                h = self.activation(h).astype(xs.dtype)
+                return jnp.einsum(
+                    "gech,ehd->gecd", h, self.w2.astype(xs.dtype),
+                    preferred_element_type=acc,
+                ) + self.b2[None, :, None, :].astype(acc)
+
+            y = _capacity_dispatch(flat, top_vals, top_idx, acc,
+                                   self.num_experts, self.capacity_factor,
+                                   self.group_size, experts)
             return y.reshape(orig_shape).astype(x.dtype), self
 
         combine = jnp.zeros(probs.shape, acc).at[
@@ -200,15 +296,19 @@ class SwiGLUMoE(Module):
     w2: jax.Array              # [E, h, d]
     top_k: int = static_field()
     dispatch: str = static_field(default="dense")
+    capacity_factor: float = static_field(default=1.25)
+    group_size: int = static_field(default=0)
 
     @staticmethod
     def init(dim: int, hidden: int, num_experts: int, *, key,
              top_k: int = 2, dispatch: str = "dense",
+             capacity_factor: float = 1.25, group_size: int = 0,
              dtype=jnp.float32) -> "SwiGLUMoE":
         if not 1 <= top_k <= num_experts:
             raise ValueError("need 1 <= top_k <= num_experts")
-        if dispatch not in ("dense", "sorted"):
-            raise ValueError("dispatch must be 'dense' or 'sorted'")
+        if dispatch not in ("dense", "sorted", "capacity"):
+            raise ValueError("dispatch must be 'dense', 'sorted' or "
+                             "'capacity'")
         k0, k1, k2, k3 = jax.random.split(key, 4)
         return SwiGLUMoE(
             w_gate=initializers.normal(0.02)(k0, (dim, num_experts), dtype),
@@ -220,6 +320,8 @@ class SwiGLUMoE(Module):
                                            dtype, fan_in=hidden),
             top_k=top_k,
             dispatch=dispatch,
+            capacity_factor=capacity_factor,
+            group_size=group_size,
         )
 
     @property
@@ -264,6 +366,25 @@ class SwiGLUMoE(Module):
             top_vals, top_idx, _ = self._route(flat, acc)
             y = _sorted_expert_dispatch(flat, top_idx, top_vals, acc,
                                         self.num_experts, experts)
+            return y.reshape(orig_shape).astype(x.dtype), self
+        if self.dispatch == "capacity":
+            def experts(xs):  # [G, E, C, d]
+                h = jax.nn.silu(jnp.einsum(
+                    "gecd,edh->gech", xs, self.w1.astype(xs.dtype),
+                    preferred_element_type=acc,
+                )) * jnp.einsum(
+                    "gecd,edh->gech", xs, self.w3.astype(xs.dtype),
+                    preferred_element_type=acc,
+                )
+                return jnp.einsum(
+                    "gech,ehd->gecd", h.astype(xs.dtype),
+                    self.w2.astype(xs.dtype), preferred_element_type=acc,
+                )
+
+            top_vals, top_idx, _ = self._route(flat, acc)
+            y = _capacity_dispatch(flat, top_vals, top_idx, acc,
+                                   self.num_experts, self.capacity_factor,
+                                   self.group_size, experts)
             return y.reshape(orig_shape).astype(x.dtype), self
         combine, _ = self._combine_weights(flat, acc)
         h = jax.nn.silu(jnp.einsum(

@@ -490,3 +490,69 @@ def test_moe_sorted_modern_lm_trains():
         state, (l, _) = step(state, (toks, tgt), jax.random.PRNGKey(i))
         losses.append(float(l))
     assert losses[-1] < losses[0] * 0.8
+
+
+def test_moe_capacity_dispatch_matches_dense_when_undropped():
+    """dispatch="capacity" (GShard one-hot dispatch/combine einsums) equals
+    dense dispatch exactly when capacity covers every routed token —
+    including with token grouping and a non-multiple trailing group."""
+    from lamp_tpu.nn.moe import MoEMLP, SwiGLUMoE
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, 17, 16))
+    for cls in (SwiGLUMoE, MoEMLP):
+        dense = cls.init(16, 32, 4, key=jax.random.PRNGKey(0), top_k=2)
+        for gs in (0, 16):  # one group; 17-token rows pad the last group
+            cap = dense.replace(dispatch="capacity", capacity_factor=4.0,
+                                group_size=gs)
+            y1, _ = dense.forward(x)
+            y2, _ = cap.forward(x)
+            np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                       atol=1e-5, rtol=1e-5)
+
+        def loss(m):
+            y, _ = m.forward(x)
+            return jnp.sum(y * y)
+
+        g1 = jax.grad(loss)(dense)
+        g2 = jax.grad(loss)(dense.replace(dispatch="capacity",
+                                          capacity_factor=4.0))
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-4)
+
+
+def test_moe_capacity_dispatch_drops_over_capacity():
+    """With capacity_factor so small each expert takes ~1 token, over-
+    capacity tokens contribute 0 from that expert (first choices claim
+    capacity before second choices); output stays finite and differs from
+    the dropless computation."""
+    from lamp_tpu.nn.moe import SwiGLUMoE
+
+    moe = SwiGLUMoE.init(8, 16, 2, key=jax.random.PRNGKey(0), top_k=1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (12, 8))
+    tight = moe.replace(dispatch="capacity", capacity_factor=0.2)
+    y_drop, _ = tight.forward(x)
+    y_full, _ = moe.forward(x)
+    assert np.all(np.isfinite(np.asarray(y_drop)))
+    # dropped token rows are exactly zero (top-1: the only route is gone)
+    diffs = np.abs(np.asarray(y_drop) - np.asarray(y_full)).max(axis=1)
+    zero_rows = np.abs(np.asarray(y_drop)).max(axis=1) < 1e-7
+    assert zero_rows.sum() > 0 and (diffs > 1e-4).sum() == zero_rows.sum()
+
+
+def test_moe_capacity_expert_parallel_sharded():
+    """capacity dispatch under an 8-way ep mesh: the dispatched-token
+    einsum output shards on E (XLA inserts the all-to-alls), and the
+    sharded result equals the unsharded one."""
+    from lamp_tpu import parallel
+    from lamp_tpu.nn.moe import SwiGLUMoE, moe_sharding_rules
+
+    mesh = parallel.make_mesh({"ep": 8})
+    moe = SwiGLUMoE.init(16, 32, 8, key=jax.random.PRNGKey(0), top_k=2,
+                         dispatch="capacity", capacity_factor=8.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 6, 16))
+    y_ref, _ = moe.forward(x)
+    sharded = parallel.shard_tree(moe, mesh, moe_sharding_rules("ep"))
+    y_sh, _ = jax.jit(lambda m, v: m.forward(v))(sharded, x)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               atol=2e-5, rtol=2e-5)

@@ -1,5 +1,6 @@
 """Model zoo: vision nets, KV-cached generation."""
 
+from .clip import CLIP, clip_loss, siglip_loss
 from .constrained import TokenDFA, byte_vocab, json_value_regex
 from .hf import modernlm_from_hf_llama, modernlm_from_hf_state, modernlm_to_hf_llama
 from .generate import KVCache, decode_step, generate, init_cache, prefill
@@ -20,6 +21,9 @@ __all__ = [
     "lenet",
     "ResidualBlock",
     "ViT",
+    "CLIP",
+    "clip_loss",
+    "siglip_loss",
     "generate",
     "KVCache",
     "init_cache",

@@ -52,7 +52,14 @@ from .transformer import (
 )
 from .lm import LanguageModelInput, LanguageModelLoss, LanguageModelModule, lm_loss
 from ..ops.fused_ce import fused_linear_cross_entropy, fused_lm_loss
-from .lora import LoRALinear, lora_inject, lora_merge, lora_parameter_count
+from .lora import (
+    LoRALinear,
+    QLoRALinear,
+    lora_inject,
+    lora_merge,
+    lora_parameter_count,
+    qlora_inject,
+)
 from .bert import (
     BertEncoder,
     BertPretrainInput,

@@ -17,7 +17,8 @@ from .collective_matmul import (
     make_matmul_reducescatter,
     matmul_reducescatter,
 )
-from .context import make_ring_attention, ring_attention
+from .context import (make_ring_attention, make_ulysses_attention,
+                      ring_attention, ulysses_attention)
 from .pipeline import (
     make_interleaved_pipelined_forward,
     make_pipelined_forward,
@@ -44,6 +45,8 @@ __all__ = [
     "make_sharded_train_step",
     "ring_attention",
     "make_ring_attention",
+    "ulysses_attention",
+    "make_ulysses_attention",
     "pipeline_apply",
     "pipeline_apply_interleaved",
     "make_pipelined_forward",

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["ring_attention", "make_ring_attention"]
+__all__ = ["ring_attention", "make_ring_attention",
+           "ulysses_attention", "make_ulysses_attention"]
 
 
 def _local_attend(q, k, v, sm_scale, q_start, kv_start, causal,
@@ -121,6 +122,75 @@ def _ring_attention_impl(q, k, v, axis_name: str, n_devices: int,
 
     l_safe = jnp.where(l_acc == 0.0, 1.0, l_acc)
     return (o_acc / l_safe[..., None]).astype(q.dtype)
+
+
+def ulysses_attention(q, k, v, *, axis_name: str, n_devices: int,
+                      causal: bool = False,
+                      sm_scale: Optional[float] = None,
+                      implementation: Optional[str] = None):
+    """DeepSpeed-Ulysses sequence parallelism inside a shard_map: q/k/v are
+    LOCAL sequence shards [B, H, S/N, D]. Two ``all_to_all`` collectives
+    re-shard sequence->heads so each device runs FULL (unsharded-S) attention
+    for H/N heads through the normal kernel dispatch (XLA / compact / flash
+    Pallas), then heads->sequence to restore the input layout.
+
+    Complements :func:`ring_attention`: Ulysses moves O(S·D·H/N) activation
+    bytes in two dense all-to-alls (cheap on ICI) and keeps the attention
+    itself a single fused kernel — the better choice while ``H % N == 0``
+    and S fits one device's kernel; the ring is the choice when S itself
+    must never be materialized whole. Requires H divisible by the axis size.
+    """
+    from ..ops.attention import dot_product_attention
+
+    h = q.shape[1]
+    if h % n_devices:
+        raise ValueError(
+            f"ulysses_attention needs heads ({h}) divisible by the mesh "
+            f"axis size ({n_devices}); use ring_attention otherwise"
+        )
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    # [B, H, S/N, D] -> [B, H/N, S, D]: split heads across the axis, gather
+    # the full sequence (tiled all-to-all = one ICI transpose)
+    a2a = functools.partial(
+        jax.lax.all_to_all, axis_name=axis_name, tiled=True
+    )
+    qh = a2a(q, split_axis=1, concat_axis=2)
+    kh = a2a(k, split_axis=1, concat_axis=2)
+    vh = a2a(v, split_axis=1, concat_axis=2)
+    o = dot_product_attention(
+        qh, kh, vh, causal=causal, sm_scale=sm_scale,
+        implementation=implementation,
+    )
+    # [B, H/N, S, D] -> [B, H, S/N, D]
+    return a2a(o, split_axis=2, concat_axis=1)
+
+
+def make_ulysses_attention(mesh: Mesh, axis: str = "sp", *,
+                           causal: bool = False,
+                           sm_scale: Optional[float] = None,
+                           implementation: Optional[str] = None):
+    """Build a jitted Ulysses attention over ``mesh``: takes GLOBAL
+    [B, H, S, D] q/k/v (S sharded over ``axis``) and returns the global
+    output with the same sharding."""
+    from jax import shard_map
+
+    n = mesh.shape[axis]
+    spec = P(None, None, axis, None)
+
+    def fn(q, k, v):
+        scale = (sm_scale if sm_scale is not None
+                 else 1.0 / math.sqrt(q.shape[-1]))
+        inner = functools.partial(
+            ulysses_attention, axis_name=axis, n_devices=n, causal=causal,
+            sm_scale=scale, implementation=implementation,
+        )
+        return shard_map(
+            lambda a, b_, c: inner(a, b_, c),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        )(q, k, v)
+
+    return jax.jit(fn)
 
 
 def make_ring_attention(mesh: Mesh, axis: str = "sp", *, causal: bool = False,

@@ -25,6 +25,14 @@ def _run(args, timeout=420):
 
 
 @pytest.mark.slow
+def test_example_clip():
+    r = _run(["examples/clip_train.py", "--epochs", "2", "--batch-size",
+              "32", "--embed-dim", "32"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "retrieval@1" in r.stdout
+
+
+@pytest.mark.slow
 def test_example_arxiv():
     r = _run(["examples/arxiv.py", "--epochs", "25"])
     assert r.returncode == 0, r.stderr[-2000:]

@@ -89,6 +89,71 @@ def test_lora_training_updates_only_adapters_and_merges():
     )
 
 
+def test_qlora_inject_quantizes_base_and_trains_adapters():
+    key = jax.random.PRNGKey(0)
+    model = nn.MLP(8, 256, 1, key=key, norm=False)
+    tuned = nn.qlora_inject(model, rank=4, key=jax.random.PRNGKey(1), bits=4)
+
+    # base weights are now int4-packed buffers; adapters are the only params
+    first = tuned.layers[0]
+    assert type(first) is nn.QLoRALinear
+    assert first.w_q.dtype == jnp.uint8 and first.bits == 4
+    params, _ = nn.partition_params(tuned)
+    n_train = sum(
+        p.size for p in jax.tree_util.tree_leaves(params) if p is not None
+    )
+    assert n_train == nn.lora_parameter_count(tuned)
+
+    # at init the adapter contributes zero: forward == quantized base alone
+    x = jax.random.normal(jax.random.PRNGKey(2), (16, 8))
+    y_q = tuned(x)
+    # quantization error vs the bf16 base is bounded
+    rel = float(jnp.linalg.norm(y_q - model(x)) / jnp.linalg.norm(model(x)))
+    assert rel < 0.3  # int4 error compounds through two layers
+
+    # training moves only the adapters and reduces the loss
+    rng = np.random.RandomState(0)
+    bx = jnp.asarray(rng.randn(64, 8).astype(np.float32))
+    by = jnp.asarray(rng.randn(64, 1).astype(np.float32))
+    opt = optim.AdamW(1e-2)
+
+    def loss_fn(m, batch, key, train_mode):
+        xx, yy = batch
+        out, new_m = m.forward(xx, key=key, train=train_mode)
+        return jnp.mean((out - yy) ** 2), jnp.float32(xx.shape[0]), new_m
+
+    state = train.TrainState.init(tuned, opt)
+    step = jax.jit(train.make_train_step(opt, loss_fn))
+    losses = []
+    for i in range(50):
+        state, (loss, _) = step(state, (bx, by), jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7
+
+    trained = state.model
+    np.testing.assert_array_equal(
+        np.asarray(trained.layers[0].w_q), np.asarray(first.w_q)
+    )
+    assert float(jnp.abs(trained.layers[0].lora_b).sum()) > 0
+
+    # merge folds adapter into a dequantized plain Linear
+    merged = nn.lora_merge(trained)
+    assert type(merged.layers[0]) is nn.Linear
+    np.testing.assert_allclose(
+        np.asarray(trained(bx)), np.asarray(merged(bx)), atol=3e-3, rtol=3e-3
+    )
+
+
+def test_qlora_int8_and_odd_dim_fallback():
+    key = jax.random.PRNGKey(0)
+    lin = nn.Linear.init(7, 6, key=key)  # odd K: int4 falls back to int8
+    q = nn.QLoRALinear.wrap(lin, 2, key=jax.random.PRNGKey(1), bits=4)
+    assert q.bits == 8 and q.w_q.dtype == jnp.int8
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 7))
+    rel = float(jnp.linalg.norm(q(x) - lin(x)) / jnp.linalg.norm(lin(x)))
+    assert rel < 0.05  # int8 per-channel is near-lossless
+
+
 def test_frozen_wrapper_excludes_leaves():
     key = jax.random.PRNGKey(0)
     lin = nn.Linear.init(4, 3, key=key)

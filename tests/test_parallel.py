@@ -205,6 +205,54 @@ def test_ring_attention_q_chunked():
                                    rtol=1e-4)
 
 
+def test_ulysses_attention_matches_full():
+    """Ulysses all-to-all sequence parallelism over 8 devices must equal
+    single-device attention (causal and full), forward and backward."""
+    from lamp_tpu.ops.attention import mha_reference
+
+    mesh = parallel.make_mesh({"sp": 8})
+    B, H, S, D = 2, 8, 64, 16  # H == axis size boundary case included
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, S, D), jnp.float32) for kk in keys)
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, None, "sp", None)
+    )
+    qs, ks, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    for causal in [False, True]:
+        uly = parallel.make_ulysses_attention(mesh, "sp", causal=causal)
+        out = uly(qs, ks, vs)
+        ref = mha_reference(q, k, v, causal=causal)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5,
+            err_msg=f"causal={causal}",
+        )
+    uly = parallel.make_ulysses_attention(mesh, "sp", causal=True)
+    g1 = jax.grad(lambda a, b, c: jnp.sum(jnp.square(uly(a, b, c))),
+                  argnums=(0, 1, 2))(qs, ks, vs)
+    g2 = jax.grad(
+        lambda a, b, c: jnp.sum(jnp.square(mha_reference(a, b, c, causal=True))),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4)
+
+
+def test_ulysses_attention_rejects_indivisible_heads():
+    import pytest as _pytest
+
+    mesh = parallel.make_mesh({"sp": 8})
+    B, H, S, D = 1, 4, 32, 8  # 4 heads on an 8-way axis
+    q = jnp.zeros((B, H, S, D))
+    uly = parallel.make_ulysses_attention(mesh, "sp")
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, None, "sp", None)
+    )
+    qs = jax.device_put(q, spec)
+    with _pytest.raises(ValueError, match="divisible"):
+        uly(qs, qs, qs)
+
+
 def test_ring_attention_differentiable():
     mesh = parallel.make_mesh({"sp": 8})
     B, H, S, D = 1, 2, 32, 8

@@ -1,6 +1,7 @@
 """Model zoo: vision nets, KV-cached generation."""
 
 from .clip import CLIP, clip_loss, siglip_loss
+from .diffusion import DiT, GaussianDiffusion, RectifiedFlow, timestep_embedding
 from .constrained import TokenDFA, byte_vocab, json_value_regex
 from .hf import modernlm_from_hf_llama, modernlm_from_hf_state, modernlm_to_hf_llama
 from .generate import KVCache, decode_step, generate, init_cache, prefill
@@ -21,6 +22,10 @@ __all__ = [
     "lenet",
     "ResidualBlock",
     "ViT",
+    "DiT",
+    "GaussianDiffusion",
+    "RectifiedFlow",
+    "timestep_embedding",
     "CLIP",
     "clip_loss",
     "siglip_loss",

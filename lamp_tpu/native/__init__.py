@@ -66,11 +66,12 @@ def get_lib():
         lib.tree_apply.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
         ]
         lib.forest_predict.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
         lib.bpe_count_build.restype = ctypes.c_void_p
         lib.bpe_count_build.argtypes = [
@@ -157,18 +158,21 @@ def native_forest_predict(forest, x: np.ndarray) -> Optional[np.ndarray]:
     lptr = (ctypes.c_void_p * len(trees))()
     rptr = (ctypes.c_void_p * len(trees))()
     vptr = (ctypes.c_void_p * len(trees))()
+    mptr = (ctypes.c_void_p * len(trees))()
     for i, t in enumerate(trees):
         f = np.ascontiguousarray(t.feature, np.int32)
         th = np.ascontiguousarray(t.threshold, np.float64)
         l = np.ascontiguousarray(t.left, np.int32)
         r = np.ascontiguousarray(t.right, np.int32)
         v = np.ascontiguousarray(t.value, np.float64)
-        arrs.append((f, th, l, r, v))
+        m = np.ascontiguousarray(t.missing_less, np.uint8)
+        arrs.append((f, th, l, r, v, m))
         fptr[i] = f.ctypes.data
         tptr[i] = th.ctypes.data
         lptr[i] = l.ctypes.data
         rptr[i] = r.ctypes.data
         vptr[i] = v.ctypes.data
+        mptr[i] = m.ctypes.data
     out = np.zeros((x.shape[0], n_values), np.float64)
     lib.forest_predict(
         x.ctypes.data, x.shape[0], x.shape[1], len(trees),
@@ -177,6 +181,7 @@ def native_forest_predict(forest, x: np.ndarray) -> Optional[np.ndarray]:
         ctypes.cast(lptr, ctypes.c_void_p),
         ctypes.cast(rptr, ctypes.c_void_p),
         ctypes.cast(vptr, ctypes.c_void_p),
+        ctypes.cast(mptr, ctypes.c_void_p),
         n_values, out.ctypes.data,
     )
     return out

@@ -10,6 +10,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC lamp_native.cpp -o lamp_native.so
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -179,14 +180,28 @@ int64_t csv_parse_numeric(const char* buf, int64_t n, char delimiter,
 // extra-trees traversal: route a batch of rows through one tree
 // ---------------------------------------------------------------------------
 
+// missing_less[node] != 0 means a NaN feature value routes LEFT at that
+// node (the split was scored with missing-on-the-less side during the
+// build, mirroring the reference's missingIsLess direction choice —
+// forest/package.scala:13-97). `v <= thr` is false for NaN, so the
+// default without the flag is missing-routes-right.
+static inline int32_t route(double v, double thr, unsigned char missing_less,
+                            int32_t left, int32_t right) {
+  if (v <= thr) return left;
+  if (missing_less && std::isnan(v)) return left;
+  return right;
+}
+
 void tree_apply(const double* x, int64_t n_rows, int64_t n_cols,
                 const int32_t* feature, const double* threshold,
-                const int32_t* left, const int32_t* right, int64_t* out_leaf) {
+                const int32_t* left, const int32_t* right,
+                const unsigned char* missing_less, int64_t* out_leaf) {
   for (int64_t r = 0; r < n_rows; ++r) {
     const double* rowp = x + r * n_cols;
     int32_t node = 0;
     while (feature[node] >= 0) {
-      node = rowp[feature[node]] <= threshold[node] ? left[node] : right[node];
+      node = route(rowp[feature[node]], threshold[node], missing_less[node],
+                   left[node], right[node]);
     }
     out_leaf[r] = node;
   }
@@ -197,7 +212,8 @@ void forest_predict(const double* x, int64_t n_rows, int64_t n_cols,
                     int64_t n_trees,
                     const int32_t** features, const double** thresholds,
                     const int32_t** lefts, const int32_t** rights,
-                    const double** values, int64_t n_values, double* out) {
+                    const double** values, const unsigned char** missing,
+                    int64_t n_values, double* out) {
   std::memset(out, 0, sizeof(double) * n_rows * n_values);
   for (int64_t t = 0; t < n_trees; ++t) {
     const int32_t* feature = features[t];
@@ -205,12 +221,13 @@ void forest_predict(const double* x, int64_t n_rows, int64_t n_cols,
     const int32_t* left = lefts[t];
     const int32_t* right = rights[t];
     const double* value = values[t];
+    const unsigned char* missing_less = missing[t];
     for (int64_t r = 0; r < n_rows; ++r) {
       const double* rowp = x + r * n_cols;
       int32_t node = 0;
       while (feature[node] >= 0) {
-        node = rowp[feature[node]] <= threshold[node] ? left[node]
-                                                      : right[node];
+        node = route(rowp[feature[node]], threshold[node],
+                     missing_less[node], left[node], right[node]);
       }
       const double* v = value + static_cast<int64_t>(node) * n_values;
       double* o = out + r * n_values;

@@ -32,11 +32,12 @@ __all__ = [
 
 
 class _Tree(NamedTuple):
-    feature: np.ndarray    # [nodes] int, -1 for leaf
-    threshold: np.ndarray  # [nodes] float
-    left: np.ndarray       # [nodes] int
-    right: np.ndarray      # [nodes] int
-    value: np.ndarray      # [nodes, C] class distribution or [nodes, 1] mean
+    feature: np.ndarray       # [nodes] int, -1 for leaf
+    threshold: np.ndarray     # [nodes] float
+    left: np.ndarray          # [nodes] int
+    right: np.ndarray         # [nodes] int
+    value: np.ndarray         # [nodes, C] class distribution or [nodes, 1] mean
+    missing_less: np.ndarray  # [nodes] bool: NaN routes left at this node
 
 
 def _gini(counts):
@@ -54,6 +55,7 @@ def _build_tree(x, y, *, num_classes, k, min_leaf, rng, classification,
     left: List[int] = []
     right: List[int] = []
     value: List[np.ndarray] = []
+    missing_less: List[bool] = []
 
     def leaf_value(idx):
         if classification:
@@ -67,6 +69,7 @@ def _build_tree(x, y, *, num_classes, k, min_leaf, rng, classification,
         left.append(-1)
         right.append(-1)
         value.append(None)
+        missing_less.append(False)
         return len(feature) - 1
 
     def grow(node, idx, depth):
@@ -84,32 +87,55 @@ def _build_tree(x, y, *, num_classes, k, min_leaf, rng, classification,
             return []
 
         feats = rng.choice(x.shape[1], size=min(k, x.shape[1]), replace=False)
-        best = None  # (score, feat, thr, mask)
+        best = None  # (score, feat, thr, mask, missing_is_less)
         for f in feats:
             col = x[idx, f]
-            lo, hi = col.min(), col.max()
-            if hi <= lo:
-                continue
-            thr = rng.uniform(lo, hi)
-            mask = col <= thr
-            nl = int(mask.sum())
-            nr = len(idx) - nl
-            if nl < min_leaf or nr < min_leaf:
-                continue
-            if classification:
-                cl = np.bincount(ys[mask], minlength=num_classes)
-                cr = np.bincount(ys[~mask], minlength=num_classes)
-                score = (nl * _gini(cl) + nr * _gini(cr)) / len(idx)
+            # NaN-aware min/max scan + both-ways missing routing, per the
+            # reference's minmax/lessThanCutpoint/missingIsLess machinery
+            # (forest/package.scala:13-97): NaN is excluded from the value
+            # range; when present, the split is scored with NaN routed left
+            # AND routed right, and the node records the winning direction.
+            nan = np.isnan(col)
+            has_missing = bool(nan.any())
+            finite = col[~nan] if has_missing else col
+            if finite.size:
+                lo, hi = finite.min(), finite.max()
             else:
-                score = (nl * np.var(ys[mask]) + nr * np.var(ys[~mask])) / len(idx)
-            if best is None or score < best[0]:
-                best = (score, f, thr, mask)
+                lo = hi = 0.0
+            if hi <= lo and not has_missing:
+                continue
+            if hi > lo:
+                thr = rng.uniform(lo, hi)
+                base = col <= thr  # NaN <= thr is False: missing right
+            else:
+                # constant finite values + missing: only the NaN/non-NaN
+                # separation is informative
+                thr = lo
+                base = np.zeros(len(col), bool)
+            routings = [(base, False)]
+            if has_missing:
+                routings.append((base | nan, True))
+            for mask, mil in routings:
+                nl = int(mask.sum())
+                nr = len(idx) - nl
+                if nl < min_leaf or nr < min_leaf:
+                    continue
+                if classification:
+                    cl = np.bincount(ys[mask], minlength=num_classes)
+                    cr = np.bincount(ys[~mask], minlength=num_classes)
+                    score = (nl * _gini(cl) + nr * _gini(cr)) / len(idx)
+                else:
+                    score = (nl * np.var(ys[mask])
+                             + nr * np.var(ys[~mask])) / len(idx)
+                if best is None or score < best[0]:
+                    best = (score, f, thr, mask, mil)
         if best is None:
             value[node] = leaf_value(idx)
             return []
-        _, f, thr, mask = best
+        _, f, thr, mask, mil = best
         feature[node] = int(f)
         threshold[node] = float(thr)
+        missing_less[node] = bool(mil)
         li = new_node()
         ri = new_node()
         left[node] = li
@@ -134,6 +160,7 @@ def _build_tree(x, y, *, num_classes, k, min_leaf, rng, classification,
         np.stack([
             v if v is not None else np.zeros(c, np.float64) for v in value
         ]),
+        np.asarray(missing_less, bool),
     )
 
 
@@ -204,8 +231,13 @@ def _tree_apply(tree: _Tree, x):
         if not interior.any():
             break
         thr = tree.threshold[node]
+        val = x[np.arange(n), np.maximum(f, 0)]
+        # NaN routes left iff the node's missing_is_less flag is set
+        # (reference predictClassification traversal, package.scala:517-534)
         go_left = np.where(
-            interior, x[np.arange(n), np.maximum(f, 0)] <= thr, False
+            interior,
+            (val <= thr) | (tree.missing_less[node] & np.isnan(val)),
+            False,
         )
         nxt = np.where(go_left, tree.left[node], tree.right[node])
         node = np.where(interior, nxt, node).astype(np.int32)
@@ -258,6 +290,7 @@ def save_forest(path: str, forest) -> None:
                 "left": t.left.tolist(),
                 "right": t.right.tolist(),
                 "value": t.value.tolist(),
+                "missing_less": t.missing_less.astype(int).tolist(),
             }
             for t in forest["trees"]
         ],
@@ -276,6 +309,7 @@ def load_forest(path: str):
             np.asarray(t["left"], np.int32),
             np.asarray(t["right"], np.int32),
             np.asarray(t["value"], np.float64),
+            np.asarray(t.get("missing_less", [0] * len(t["feature"])), bool),
         )
         for t in doc["trees"]
     ]

@@ -182,6 +182,93 @@ def test_extratrees_generalization_split():
     assert acc > 0.9, acc
 
 
+def test_extratrees_nan_routing_exact():
+    """NaN routes per the node's missing_less flag, both directions —
+    reference forest/package.scala:13-97 (missingIsLess both-ways split)
+    and the predict traversal (package.scala:517-534)."""
+    from lamp_tpu.sidecars.extratrees import _Tree, _tree_apply
+
+    def make(mil):
+        return _Tree(
+            feature=np.array([0, -1, -1], np.int32),
+            threshold=np.array([0.5, 0.0, 0.0]),
+            left=np.array([1, -1, -1], np.int32),
+            right=np.array([2, -1, -1], np.int32),
+            value=np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]),
+            missing_less=np.array([mil, False, False]),
+        )
+
+    x = np.array([[0.2], [0.9], [np.nan]])
+    np.testing.assert_allclose(
+        _tree_apply(make(True), x), [[1, 0], [0, 1], [1, 0]]
+    )
+    np.testing.assert_allclose(
+        _tree_apply(make(False), x), [[1, 0], [0, 1], [0, 1]]
+    )
+    # the native C++ traversal must agree with the Python one
+    from lamp_tpu.native import native_forest_predict
+
+    for mil in (True, False):
+        forest = {"trees": [make(mil)], "num_classes": 2,
+                  "type": "classification"}
+        native = native_forest_predict(forest, x)
+        if native is not None:
+            np.testing.assert_allclose(native, _tree_apply(make(mil), x))
+
+
+def test_extratrees_nan_informative_missingness():
+    """Missingness itself carries the label: feature 0 is NaN iff y == 1,
+    all other features noise. Solvable only by trying NaN on both split
+    sides (reference missingIsLess machinery)."""
+    rng = np.random.RandomState(0)
+    n = 200
+    y = rng.randint(0, 2, n)
+    x = rng.randn(n, 3)
+    x[y == 1, 0] = np.nan
+    forest = sidecars.build_forest_classification(
+        x, y, num_classes=2, n_trees=10, seed=0
+    )
+    probs = sidecars.predict_classification(forest, x)
+    assert np.isfinite(probs).all()
+    acc = (probs.argmax(1) == y).mean()
+    assert acc > 0.95, acc
+
+
+def test_extratrees_nan_holes_dont_corrupt():
+    """10% NaN holes in blob data: accuracy degrades gracefully instead of
+    splits silently corrupting (pre-fix, NaN poisoned the min/max scan)."""
+    x, y = _blobs(n_per=100)
+    rng = np.random.RandomState(2)
+    holes = rng.rand(*x.shape) < 0.10
+    x = x.copy()
+    x[holes] = np.nan
+    forest = sidecars.build_forest_classification(
+        x, y, num_classes=3, n_trees=20, seed=0
+    )
+    probs = sidecars.predict_classification(forest, x)
+    assert np.isfinite(probs).all()
+    acc = (probs.argmax(1) == y).mean()
+    assert acc > 0.9, acc
+
+
+def test_extratrees_nan_serialization(tmp_path):
+    """missing_less flags survive a save/load round trip."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(80, 3)
+    y = (rng.rand(80) < 0.5).astype(np.int64)
+    x[y == 1, 0] = np.nan
+    forest = sidecars.build_forest_classification(
+        x, y, num_classes=2, n_trees=5, seed=0
+    )
+    p = str(tmp_path / "forest_nan.json")
+    sidecars.save_forest(p, forest)
+    loaded = sidecars.load_forest(p)
+    np.testing.assert_allclose(
+        sidecars.predict_classification(forest, x),
+        sidecars.predict_classification(loaded, x),
+    )
+
+
 def test_extratrees_serialization(tmp_path):
     x, y = _blobs(n_per=30)
     forest = sidecars.build_forest_classification(

@@ -1,96 +1,258 @@
-"""Benchmark: flagship GPT-LM training throughput (tokens/sec/chip).
+"""Benchmark suite: north-star metrics on the real TPU chip.
 
-Matches the reference's headline perf workload — the autoregressive LM at
-12 layers / 768 dim / 12 heads, context 384, byte-level vocab 256, bf16
-params with f32 AdamW master state, batch 8
+Headline metric (the JSON line's ``value``): GPT-LM training throughput in
+tokens/sec/chip at the reference's exact flagship config — 12 layers /
+768 dim / 12 heads, context 384, byte vocab 256, bf16 params with f32 AdamW
+master state, batch 8 x 5 gradient accumulation
 (reference example-autoregressivelm model.scala:23-27, CliConfig.scala:12-24).
+Tokens are random — throughput does not depend on token values; loss curves
+are validated elsewhere (tests/test_e2e_parity.py, examples/).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` compares against the previous round's recorded number
-(BENCH_r*.json) when available, else 1.0.
+The SAME JSON line also carries an ``extra`` object with the other
+BASELINE.json north-star metrics so regressions are visible round over round:
+  - ``lm_mfu``: model-FLOPs utilization of the headline workload
+    (6*N_params + 12*L*d_model*ctx per token, vs the chip's bf16 peak)
+  - ``cifar100_epoch_seconds`` / ``cifar100_images_per_sec``: steady-state
+    epoch time for the CIFAR-100 residual convnet at batch 256
+    (reference run_cifar.sh, example-cifar100 cifar100.scala:28-300)
+  - ``serving_decode_tokens_per_sec``: continuous-batching paged-KV decode,
+    32 concurrent requests on a 12L/768d GQA ModernLM (bf16)
+
+``vs_baseline`` compares the headline value against the BEST prior round
+(max over all recorded BENCH_r*.json), so a regression in round N can never
+re-baseline round N+1 downward.
+
+Each phase retries on the axon tunnel's intermittent "TPU backend error"
+(service-side flakiness, see CLAUDE.md); a phase that still fails reports an
+error string in ``extra`` instead of zeroing the whole benchmark.
 """
 
 import glob
 import json
 import os
+import sys
 import time
 
 
-def main():
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_readback_rtt():
+    """Host<->device round-trip of a scalar readback through the axon
+    tunnel (~30ms); subtracted from chained-step timings. Measured, not
+    hard-coded, so tunnel-latency drift does not skew results."""
+    import jax.numpy as jnp
+
+    x = jnp.zeros(()) + 1.0
+    float(x)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(x)
+        ts.append(time.perf_counter() - t0)
+    rtt = min(ts)
+    return rtt if 0.0005 < rtt < 1.0 else 0.03
+
+
+def peak_flops():
+    """bf16 peak of the attached chip (TPU v5e: 197 TFLOP/s bf16)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = {"v5 lite": 197e12, "v5litepod": 197e12, "v4": 275e12,
+             "v5p": 459e12, "v6 lite": 918e12, "v6e": 918e12}
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return 197e12
+
+
+def with_retries(fn, name, attempts=3):
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # axon flake: retry; real bug: surfaces thrice
+            log(f"{name}: attempt {i + 1} failed: {e!r}")
+            if i == attempts - 1:
+                return {"error": f"{type(e).__name__}: {e}"[:200]}
+            time.sleep(2.0)
+
+
+def bench_lm(rtt):
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from lamp_tpu import nn, optim, train
 
-    key = jax.random.PRNGKey(0)
-    # the reference's exact training config: batch 8 x 5 gradient-accumulation
-    # sub-batches (CliConfig.scala:12-24), ctx 384, byte vocab, bf16 params
-    BATCH, CTX, VOCAB, ACCUM = 8, 384, 256, 5
+    BATCH, CTX, VOCAB, ACCUM, LAYERS, DIM = 8, 384, 256, 5, 12, 768
     model = nn.LanguageModelModule.init(
-        vocab_size=VOCAB, context_length=CTX, num_blocks=12, embed_dim=768,
-        attention_heads=12, key=key, dtype=jnp.bfloat16, dropout=0.0,
+        vocab_size=VOCAB, context_length=CTX, num_blocks=LAYERS,
+        embed_dim=DIM, attention_heads=12, key=jax.random.PRNGKey(0),
+        dtype=jnp.bfloat16, dropout=0.0,
     )
     opt = optim.AdamW(3e-4, weight_decay=0.01)
 
     def loss_fn(model, batch, key, train_mode):
         tokens, target = batch
         logits, new_model = model.forward(tokens, key=key, train=train_mode)
-        return (
-            nn.lm_loss(logits, target),
-            jnp.asarray(tokens.shape[0], jnp.float32),
-            new_model,
-        )
+        return (nn.lm_loss(logits, target),
+                jnp.asarray(tokens.shape[0], jnp.float32), new_model)
 
-    state = train.TrainState.init(model, opt)
-    step = jax.jit(
-        train.make_train_step(opt, loss_fn, accumulation_steps=ACCUM),
-        donate_argnums=(0,),
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(model)
+        if hasattr(x, "size")
     )
-
-    import numpy as np
+    state = train.TrainState.init(model, opt)
+    step = jax.jit(train.make_train_step(opt, loss_fn, accumulation_steps=ACCUM),
+                   donate_argnums=(0,))
 
     rng = np.random.RandomState(0)
-    tokens = jnp.asarray(
-        rng.randint(0, VOCAB, (ACCUM, BATCH, CTX)).astype(np.int32)
-    )
-    target = jnp.roll(tokens, -1, axis=2)
-    batch = (tokens, target)
+    tokens = jnp.asarray(rng.randint(0, VOCAB, (ACCUM, BATCH, CTX)).astype(np.int32))
+    batch = (tokens, jnp.roll(tokens, -1, axis=2))
     rk = jax.random.PRNGKey(1)
 
-    # warmup / compile; loss readback forces true device sync (through the
-    # axon tunnel block_until_ready alone does not wait for execution)
-    for _ in range(3):
+    for _ in range(3):  # warmup/compile
         state, (loss, _) = step(state, batch, rk)
     float(loss)
 
     iters = 15
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(iters):  # steps chain through donated state
         state, (loss, _) = step(state, batch, rk)
-    float(loss)  # steps chain through donated state; one sync at the end
-    dt = time.perf_counter() - t0 - 0.03  # subtract the readback round trip
+    float(loss)  # one sync at the end
+    dt = time.perf_counter() - t0 - rtt
 
-    tokens_per_sec = ACCUM * BATCH * CTX * iters / dt
-    n_chips = jax.device_count()
-    value = tokens_per_sec / n_chips
+    tok_s = ACCUM * BATCH * CTX * iters / dt / jax.device_count()
+    # standard MFU convention: model FLOPs only (6*N per token for fwd+bwd
+    # of the matmuls + attention score/value term), not actual-HLO FLOPs
+    flops_per_tok = 6 * n_params + 12 * LAYERS * DIM * CTX
+    mfu = tok_s * flops_per_tok / peak_flops()
+    log(f"lm: {tok_s:.0f} tok/s/chip, mfu={mfu:.3f} (n_params={n_params/1e6:.1f}M)")
+    return {"tokens_per_sec_per_chip": round(tok_s, 1), "mfu": round(mfu, 4)}
 
-    vs_baseline = 1.0
-    prior = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".",
-                                          "BENCH_r*.json")))
-    if prior:
+
+def bench_cifar(rtt):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lamp_tpu import models, nn, optim, train
+
+    BATCH, K = 256, 16  # K optimizer steps fused per dispatch (lax.scan)
+    model = models.resnet_cifar(100, key=jax.random.PRNGKey(0), dropout=0.0)
+    opt = optim.AdamW(1e-3, weight_decay=1e-4)
+
+    def loss_fn(m, batch, key, train_mode):
+        xx, yy = batch
+        out, nm = m.forward(xx, key=key, train=train_mode)
+        return (nn.losses.nll_loss(out, yy),
+                jnp.asarray(xx.shape[0], jnp.float32), nm)
+
+    state = train.TrainState.init(model, opt)
+    chained = jax.jit(train.make_chained_train_step(opt, loss_fn),
+                      donate_argnums=(0,))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(K, BATCH, 3, 32, 32).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 100, (K, BATCH)).astype(np.int32))
+    rk = jax.random.PRNGKey(1)
+
+    state, (loss, _) = chained(state, (x, y), rk)
+    float(loss)  # compile + sync
+
+    calls = 6
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        state, (loss, _) = chained(state, (x, y), rk)
+    float(loss)
+    dt = time.perf_counter() - t0 - rtt
+
+    img_s = K * BATCH * calls / dt
+    epoch_s = 50000.0 / img_s  # CIFAR-100 train split
+    log(f"cifar100: {img_s:.0f} img/s, epoch={epoch_s:.2f}s")
+    return {"images_per_sec": round(img_s, 1),
+            "epoch_seconds": round(epoch_s, 3)}
+
+
+def bench_serving():
+    """Steady-state continuous-batching decode at B=32 on the recorded
+    workload (README perf table): llama-style ModernLM 12L/768d GQA,
+    vocab 32k, ctx 512, paged KV (128-token pages), on-device sampling
+    and token emission via the fused multi-step ``step_many`` path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lamp_tpu import nn
+    from lamp_tpu.models import ModernBatchServer, SamplingParams
+
+    lm = nn.ModernLM.init(
+        vocab_size=32000, context_length=512, num_blocks=12, embed_dim=768,
+        num_heads=12, num_kv_heads=4, key=jax.random.PRNGKey(0),
+        dtype=jnp.bfloat16,
+    )
+    server = ModernBatchServer(lm, total_pages=192)
+    rng = np.random.RandomState(0)
+    for i in range(32):
+        server.add(f"r{i}", rng.randint(0, 32000, 24 + (i % 8)).tolist(),
+                   SamplingParams(temperature=0.8))
+
+    calls, n = 4, 64
+    server.step_many(n)  # warmup: compile the fused (B=32, n=64) decode
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        out = server.step_many(n)
+    dt = time.perf_counter() - t0
+    emitted = calls * sum(len(v) for v in out.values())
+    tok_s = emitted / dt
+    log(f"serving: {tok_s:.0f} decode tok/s (B=32, 12L/768d GQA vocab 32k bf16)")
+    return {"decode_tokens_per_sec": round(tok_s, 1)}
+
+
+def best_prior_headline():
+    """Best lm tokens/s/chip over every recorded round — never re-baseline
+    downward from a regressed round."""
+    best = None
+    here = os.path.dirname(__file__) or "."
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
-            with open(prior[-1]) as f:
+            with open(p) as f:
                 doc = json.load(f)
-            if doc.get("value"):
-                vs_baseline = value / float(doc["value"])
+            doc = doc.get("parsed", doc)
+            v = float(doc.get("value") or 0)
+            if v and (best is None or v > best):
+                best = v
         except Exception:
             pass
+    return best
+
+
+def main():
+    rtt = measure_readback_rtt()
+    log(f"readback rtt: {rtt * 1000:.1f} ms")
+
+    lm = with_retries(lambda: bench_lm(rtt), "lm")
+    cifar = with_retries(lambda: bench_cifar(rtt), "cifar100")
+    serving = with_retries(bench_serving, "serving")
+
+    value = float(lm.get("tokens_per_sec_per_chip", 0.0))
+    prior = best_prior_headline()
+    vs_baseline = value / prior if (prior and value) else 1.0
 
     print(json.dumps({
         "metric": "lm_train_tokens_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(vs_baseline, 4),
+        "extra": {
+            "lm_mfu": lm.get("mfu", lm.get("error")),
+            "cifar100_epoch_seconds": cifar.get("epoch_seconds",
+                                                cifar.get("error")),
+            "cifar100_images_per_sec": cifar.get("images_per_sec"),
+            "serving_decode_tokens_per_sec": serving.get(
+                "decode_tokens_per_sec", serving.get("error")),
+        },
     }))
 
 

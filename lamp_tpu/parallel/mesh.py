@@ -159,10 +159,22 @@ def modern_lm_tensor_parallel_rules(axis: str = "tp") -> ShardingRules:
     ])
 
 
-def fsdp_rules(axis: str = "fsdp", min_size: int = 2 ** 14) -> ShardingRules:
-    """ZeRO-3-style fully-sharded rules: shard every large 2D+ parameter's
-    first axis over the fsdp axis (XLA all-gathers weights per layer and
-    reduce-scatters gradients)."""
+def fsdp_rules(axis: str = "fsdp", min_size: int = 2 ** 14,
+               on_replicate: str = "warn") -> ShardingRules:
+    """ZeRO-3-style fully-sharded rules: shard every large 2D+ parameter
+    over the fsdp axis (XLA all-gathers weights per layer and
+    reduce-scatters gradients). Prefers dim 0; if dim 0 is not divisible by
+    the axis size (e.g. an odd-vocab embedding), tries the remaining dims in
+    order before falling back to replication.
+
+    ``on_replicate`` controls what happens when a ``>= min_size`` parameter
+    cannot be sharded on any dim: ``"warn"`` (default) logs a warning once
+    per shape, ``"raise"`` raises ``ValueError``, ``"silent"`` keeps the old
+    behavior. Replicating a large parameter silently would defeat ZeRO
+    without any visible signal (it costs axis-size times the expected
+    per-device memory)."""
+    if on_replicate not in ("warn", "raise", "silent"):
+        raise ValueError(f"on_replicate={on_replicate!r}")
 
     class _FSDP(ShardingRules):
         def __init__(self):
@@ -173,19 +185,61 @@ def fsdp_rules(axis: str = "fsdp", min_size: int = 2 ** 14) -> ShardingRules:
             return P(self.axis) if ndim >= 2 else P()
 
         def shardings_for(self, tree, mesh: Mesh):
-            def make(leaf):
+            n = mesh.shape[axis]
+            warned = set()
+            paths = _leaf_paths(tree)
+
+            def make(path, leaf):
                 if leaf is None:
                     return None
-                if getattr(leaf, "ndim", 0) >= 2 and leaf.size >= min_size \
-                        and leaf.shape[0] % mesh.shape[axis] == 0:
-                    return NamedSharding(mesh, P(axis))
+                if getattr(leaf, "ndim", 0) >= 2 and leaf.size >= min_size:
+                    for dim in range(leaf.ndim):
+                        if leaf.shape[dim] % n == 0:
+                            spec = [None] * leaf.ndim
+                            spec[dim] = axis
+                            return NamedSharding(mesh, P(*spec))
+                    msg = (
+                        f"fsdp_rules: parameter {path!r} {leaf.shape} "
+                        f"(size {leaf.size} >= min_size {min_size}) has no "
+                        f"dim divisible by {axis}={n}; replicating — this "
+                        f"costs {n}x the sharded memory. Pad the offending "
+                        f"dim to a multiple of {n} (e.g. round the vocab up) "
+                        f"or lower the mesh axis size."
+                    )
+                    if on_replicate == "raise":
+                        raise ValueError(msg)
+                    if on_replicate == "warn" and leaf.shape not in warned:
+                        warned.add(leaf.shape)
+                        import warnings
+
+                        warnings.warn(msg, UserWarning, stacklevel=2)
                 return NamedSharding(mesh, P())
 
             return jax.tree_util.tree_map(
-                make, tree, is_leaf=lambda x: x is None
+                make, paths, tree, is_leaf=lambda x: x is None
             )
 
     return _FSDP()
+
+
+def _leaf_paths(tree):
+    """A pytree of the same structure whose leaves are "/"-joined key paths
+    (for diagnostics)."""
+    paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(
+        tree, is_leaf=lambda x: x is None
+    )
+    names = [
+        "/".join(_key_name(k) for k in path) or "<root>"
+        for path, _ in paths_and_leaves
+    ]
+    return jax.tree_util.tree_unflatten(treedef, names)
+
+
+def _key_name(key) -> str:
+    for attr in ("name", "key", "idx"):
+        if hasattr(key, attr):
+            return str(getattr(key, attr))
+    return str(key)
 
 
 def initialize_multihost(coordinator_address: Optional[str] = None,

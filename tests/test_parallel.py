@@ -140,6 +140,38 @@ def test_fsdp_sharding():
     assert np.isfinite(float(loss))
 
 
+def test_fsdp_indivisible_dims():
+    """VERDICT r1 item 9: a large parameter whose dim 0 is not divisible by
+    the fsdp axis must be sharded on another divisible dim, and one with no
+    divisible dim must warn (not silently replicate)."""
+    import warnings
+
+    mesh = parallel.make_mesh({"fsdp": 8})
+    rules = parallel.fsdp_rules(min_size=1024)
+
+    # dim 0 = 1001 (odd vocab) not divisible by 8, dim 1 = 64 is: shard dim 1
+    tree = {"emb": jnp.zeros((1001, 64)), "odd": jnp.zeros((1001, 129))}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sh = rules.shardings_for(tree, mesh)
+    assert sh["emb"].spec == jax.sharding.PartitionSpec(None, "fsdp")
+    # no dim of (1001, 129) divides 8: replicated, with a warning naming it
+    assert sh["odd"].spec == jax.sharding.PartitionSpec()
+    msgs = [str(w.message) for w in caught]
+    assert any("odd" in m and "replicating" in m for m in msgs), msgs
+
+    with pytest.raises(ValueError, match="replicating"):
+        parallel.fsdp_rules(min_size=1024, on_replicate="raise").shardings_for(
+            {"odd": jnp.zeros((1001, 129))}, mesh
+        )
+
+    # small params replicate silently (below min_size)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rules.shardings_for({"b": jnp.zeros((7, 3))}, mesh)
+    assert not caught
+
+
 def test_every_nth_rank_sharding_of_stream():
     """Host-level stream sharding across ranks (reference everyNth usage in
     DDP loaders)."""

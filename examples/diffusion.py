@@ -47,6 +47,12 @@ def main():
     if args.train_data:
         from cifar100 import load_cifar100_bin
         x, y = load_cifar100_bin(args.train_data)
+        if args.image_size != x.shape[-1]:
+            raise SystemExit(
+                f"--train-data yields {x.shape[-1]}x{x.shape[-1]} images but "
+                f"--image-size is {args.image_size}; pass --image-size "
+                f"{x.shape[-1]} (or omit it)."
+            )
     else:
         rng = np.random.RandomState(0)
         x = rng.rand(512, 3, args.image_size, args.image_size).astype(np.float32)

@@ -56,6 +56,10 @@ def write_png(path: str, image: np.ndarray) -> None:
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
+    if c not in (1, 3, 4):
+        raise ValueError(
+            f"write_png: {c} channels unsupported (PNG needs 1, 3, or 4)"
+        )
     color_type = {1: 0, 3: 2, 4: 6}[c]
 
     def chunk(tag: bytes, payload: bytes) -> bytes:

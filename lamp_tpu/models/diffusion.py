@@ -242,6 +242,12 @@ class GaussianDiffusion:
         """eps prediction with optional classifier-free guidance."""
         b = x.shape[0]
         tb = jnp.full((b,), t, jnp.int32)
+        if labels is None and guidance_scale != 1.0:
+            raise ValueError(
+                "guidance_scale != 1.0 requires labels (classifier-free "
+                "guidance contrasts conditional vs null-label predictions; "
+                "an unconditional model has nothing to guide toward)"
+            )
         if labels is None or guidance_scale == 1.0:
             eps, _ = model.forward((x, tb, labels))
             return eps
@@ -261,7 +267,10 @@ class GaussianDiffusion:
         program for the whole trajectory.
         """
         shape = (batch, model.channels, model.image_size, model.image_size)
-        ts = jnp.linspace(self.num_steps - 1, 0, num_steps).astype(jnp.int32)
+        # round (not truncate) for an even ladder without duplicate steps
+        ts = jnp.round(
+            jnp.linspace(self.num_steps - 1, 0, num_steps)
+        ).astype(jnp.int32)
         ts_prev = jnp.concatenate([ts[1:], jnp.array([-1])])
         acp = self.alphas_cumprod
 

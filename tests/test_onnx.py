@@ -15,16 +15,49 @@ from lamp_tpu.io.onnx_export import export_onnx
 from lamp_tpu.io.onnx_interp import run_onnx
 
 
+try:  # optional: cross-check every export under a real ONNX runtime
+    import onnxruntime as _ort
+except ImportError:  # pragma: no cover - absent in the baked image
+    _ort = None
+
+
 def _check(fn, args, atol=1e-4, input_names=None):
     model = export_onnx(fn, args, input_names=input_names)
     expected = fn(*args)
     names = input_names or [f"input_{i}" for i in range(len(args))]
-    got = run_onnx(model, dict(zip(names, [np.asarray(a) for a in args])))
+    feeds = dict(zip(names, [np.asarray(a) for a in args]))
+    got = run_onnx(model, feeds)
     np.testing.assert_allclose(
         np.asarray(expected, np.float64), np.asarray(got[0], np.float64),
         atol=atol, rtol=atol,
     )
+    if _ort is not None:
+        # independent-runtime verification (the reference re-executes its
+        # exports under com.microsoft.onnxruntime — lamp-onnx onnx.test.scala;
+        # the bundled numpy interpreter alone is self-referential)
+        sess = _ort.InferenceSession(
+            model.SerializeToString(), providers=["CPUExecutionProvider"]
+        )
+        ort_feeds = {
+            k: v.astype(np.float32) if v.dtype == np.float64 else v
+            for k, v in feeds.items()
+        }
+        (ort_out, *_rest) = sess.run(None, ort_feeds)
+        np.testing.assert_allclose(
+            np.asarray(expected, np.float64), np.asarray(ort_out, np.float64),
+            atol=max(atol, 1e-3), rtol=max(atol, 1e-3),
+        )
     return model
+
+
+def test_onnxruntime_crosscheck_available():
+    """Named marker for the independent-runtime verification: skipped when
+    onnxruntime is not installed, otherwise proves _check's ort branch ran
+    on a real graph (MLP) rather than silently never executing."""
+    pytest.importorskip("onnxruntime")
+    m = nn.MLP(4, 8, 3, key=jax.random.PRNGKey(0), norm=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4))
+    _check(lambda x: m(x), (x,))
 
 
 def test_export_mlp():

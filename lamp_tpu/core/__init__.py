@@ -2,6 +2,8 @@ from .dtypes import BF16, DOUBLE, HALF, SINGLE, Precision, enable_x64
 from .profiling import (
     BufferLogger,
     Peek,
+    TensorLifetimes,
+    creation_site,
     device_memory_stats,
     live_buffer_report,
     measure_time,
@@ -19,6 +21,8 @@ __all__ = [
     "measure_time",
     "live_buffer_report",
     "BufferLogger",
+    "TensorLifetimes",
+    "creation_site",
     "profile_trace",
     "model_memory_report",
     "device_memory_stats",

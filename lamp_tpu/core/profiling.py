@@ -29,6 +29,8 @@ __all__ = [
     "measure_time",
     "live_buffer_report",
     "BufferLogger",
+    "TensorLifetimes",
+    "creation_site",
     "model_memory_report",
     "device_memory_stats",
     "Peek",
@@ -133,6 +135,142 @@ class BufferLogger:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=1.0)
+
+
+def creation_site(arr, *, max_frames: int = 1) -> str:
+    """The user-code frame(s) where a live array was created, from the
+    runtime's per-buffer traceback (reference TensorLogger records an
+    allocation stack trace per tensor, TensorLogger.scala:11-237). Frames
+    inside jax/jaxlib are filtered; returns "<unknown>" when the runtime
+    did not attach a traceback."""
+    tb = getattr(arr, "traceback", None)
+    if tb is None:
+        return "<unknown>"
+    out = []
+    try:
+        frames = tb.frames
+    except Exception:
+        return "<unknown>"
+    for f in frames:
+        fname = getattr(f, "file_name", "")
+        if "/jax/" in fname or "/jaxlib/" in fname or "jax/_src" in fname:
+            continue
+        out.append(
+            f"{fname}:{getattr(f, 'line_num', 0)} "
+            f"({getattr(f, 'function_name', '?')})"
+        )
+        if len(out) >= max_frames:
+            break
+    return "; ".join(out) if out else "<jax-internal>"
+
+
+class TensorLifetimes:
+    """Per-tensor lifetime tracking: birth timestamps, age histograms, and
+    creation stack traces — the full reference TensorLogger semantics
+    (TensorLogger.scala:11-237: per-tensor birth nanos + stack trace,
+    age-bucketed live report).
+
+    Births are observed by scanning ``jax.live_arrays()``: an array's birth
+    is the first scan that sees it, so scan (or run :meth:`start`'s periodic
+    thread) at least as often as the resolution you need. Identity is held
+    by weakref, so tracking does not extend any array's lifetime.
+
+        tl = TensorLifetimes().start(interval=1.0)
+        ... training ...
+        print(tl.report(top=5))   # oldest/largest live tensors + birth site
+        tl.stop()
+    """
+
+    def __init__(self):
+        import weakref
+
+        self._weakref = weakref.ref
+        self._births: Dict[int, tuple] = {}  # id -> (weakref, birth_ts)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+
+    def scan(self) -> None:
+        """Record first-seen timestamps for newly live arrays and forget
+        dead ones."""
+        now = time.time()
+        with self._lock:
+            self._births = {
+                k: v for k, v in self._births.items() if v[0]() is not None
+            }
+            for arr in jax.live_arrays():
+                k = id(arr)
+                prev = self._births.get(k)
+                # id() reuse after gc: the stored weakref must still point
+                # at THIS array, else it is a new tensor reusing the slot
+                if prev is None or prev[0]() is not arr:
+                    try:
+                        self._births[k] = (self._weakref(arr), now)
+                    except TypeError:
+                        pass
+
+    def start(self, interval: float = 1.0) -> "TensorLifetimes":
+        self.scan()
+
+        def loop():
+            while not self._stop.wait(interval):
+                self.scan()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=1.0)
+
+    def report(self, top: int = 10,
+               age_buckets=(1.0, 10.0, 60.0, 600.0)) -> Dict:
+        """Live-tensor report: age histogram (reference's bucketed ages)
+        plus the ``top`` oldest-largest tensors with their creation sites."""
+        self.scan()
+        now = time.time()
+        rows = []
+        with self._lock:
+            for ref, birth in list(self._births.values()):
+                arr = ref()
+                if arr is None:
+                    continue
+                try:
+                    nbytes = arr.size * arr.dtype.itemsize
+                except Exception:
+                    continue
+                rows.append((now - birth, nbytes, arr))
+        hist = {f"<{b}s": 0 for b in age_buckets}
+        hist[f">={age_buckets[-1]}s"] = 0
+        bytes_hist = dict.fromkeys(hist, 0)
+        for age, nbytes, _ in rows:
+            for b in age_buckets:
+                if age < b:
+                    key = f"<{b}s"
+                    break
+            else:
+                key = f">={age_buckets[-1]}s"
+            hist[key] += 1
+            bytes_hist[key] += nbytes
+        rows.sort(key=lambda r: (r[0], r[1]), reverse=True)
+        return {
+            "live_count": len(rows),
+            "live_bytes": sum(r[1] for r in rows),
+            "age_histogram": hist,
+            "bytes_by_age": bytes_hist,
+            "top": [
+                {
+                    "age_s": round(age, 3),
+                    "nbytes": nbytes,
+                    "shape": tuple(arr.shape),
+                    "dtype": str(arr.dtype),
+                    "born_at": creation_site(arr),
+                }
+                for age, nbytes, arr in rows[:top]
+            ],
+        }
 
 
 def model_memory_report(module) -> Dict:

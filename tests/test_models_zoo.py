@@ -102,6 +102,33 @@ def test_measure_time_and_memory_report():
     assert live["total_bytes"] > 0
 
 
+def test_tensor_lifetimes():
+    """Per-tensor birth timestamps + creation stack traces (reference
+    TensorLogger.scala:11-237 semantics)."""
+    import time as _time
+
+    tl = core.TensorLifetimes()
+    tl.scan()
+    marker = jnp.full((333, 7), 1.5)  # distinctive shape, born after scan
+    _time.sleep(0.02)
+    tl.scan()
+    rep = tl.report(top=1000)
+    assert rep["live_count"] > 0
+    assert rep["live_bytes"] > 0
+    assert sum(rep["age_histogram"].values()) == rep["live_count"]
+    mine = [r for r in rep["top"] if r["shape"] == (333, 7)]
+    assert mine, "marker tensor not in report"
+    assert mine[0]["age_s"] >= 0.0
+    # the creation site points at THIS test file, not jax internals
+    site = core.creation_site(marker)
+    assert "test_models_zoo.py" in site or site in ("<unknown>",), site
+    del marker, mine, rep
+    tl.scan()
+    assert all(
+        r["shape"] != (333, 7) for r in tl.report(top=1000)["top"]
+    ), "dead tensor still reported"
+
+
 def test_peek_passthrough():
     p = core.Peek.init("probe")
     x = jnp.ones((3,))

@@ -1,0 +1,110 @@
+"""Worker process for the 2-process ``jax.distributed`` test.
+
+Launched by tests/test_parallel.py::test_two_process_distributed with
+``python _distributed_worker.py <pid> <nproc> <port> <tmpdir>`` and a
+CPU-platform env (2 local CPU devices per process -> 4 global). Mirrors the
+reference's actually-run 2-process distributed training test
+(/root/reference/lamp-akka/src/test/scala/lamp/distributed/akka/test.scala:1-45
+and the driver loop lamp-data .../distributed/package.scala:171-445):
+
+- rendez-vous through ``initialize_multihost`` (the NcclUniqueId analogue),
+- per-process data sharding via ``BatchStream.every_nth`` (reference everyNth),
+- one FSDP-sharded train step over the global mesh,
+- a sharded checkpoint written by BOTH processes, then restored and verified.
+
+Prints one JSON result line; the parent asserts both processes agree.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    pid, nproc, port, tmp = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    )
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lamp_tpu import data, io, nn, optim, parallel, train
+
+    parallel.initialize_multihost(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.process_index() == pid
+    devs = jax.devices()
+
+    mesh = parallel.make_mesh({"dp": len(devs)})
+    model = nn.MLP(8, 16, 4, key=jax.random.PRNGKey(0), norm=False)
+    opt = optim.AdamW(1e-2)
+    state = train.TrainState.init(model, opt)
+    sstate = parallel.shard_train_state(
+        state, mesh, parallel.fsdp_rules(min_size=64)
+    )
+
+    # One logical dataset, rank-sharded with every_nth: process p takes
+    # microbatches p, p+nproc, ... (the reference's everyNth DDP loader).
+    rng = np.random.RandomState(0)
+    xs = rng.randn(8, 2, 8).astype(np.float32)
+    ys = rng.randint(0, 4, (8, 2)).astype(np.int32)
+    stream = data.from_function(8, lambda i: (xs[i], ys[i]))
+    local = stream.every_nth(nproc, pid).drain_to_list()
+    xloc = np.concatenate([b[0] for b in local])
+    yloc = np.concatenate([b[1] for b in local])
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("dp"))
+    gx = jax.make_array_from_process_local_data(sh, xloc)
+    gy = jax.make_array_from_process_local_data(sh, yloc)
+
+    def loss_fn(m, batch, key, train_mode):
+        x, y = batch
+        logits, nm = m.forward(x, key=key, train=train_mode)
+        return (
+            nn.losses.cross_entropy_loss(logits, y),
+            jnp.asarray(x.shape[0], jnp.float32),
+            nm,
+        )
+
+    step = parallel.make_sharded_train_step(opt, loss_fn, mesh, donate=False)
+    s2, (loss, _) = step(sstate, (gx, gy), jax.random.PRNGKey(0))
+    loss = float(loss)  # replicated: must agree across processes
+
+    # Sharded checkpoint: every process writes only its addressable shards,
+    # then both restore and verify their local shards match.
+    from jax.experimental import multihost_utils
+
+    path = os.path.join(tmp, "ckpt")
+    io.save_pytree_sharded(path, s2.params)
+    multihost_utils.sync_global_devices("ckpt-written")
+    shardings = jax.tree_util.tree_map(lambda a: a.sharding, s2.params)
+    restored = io.load_pytree_sharded(path, s2.params, shardings=shardings)
+
+    def shards_equal(a, b):
+        for sa, sb in zip(a.addressable_shards, b.addressable_shards):
+            if not np.array_equal(np.asarray(sa.data), np.asarray(sb.data)):
+                return False
+        return True
+
+    oks = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(shards_equal, s2.params, restored)
+    )
+    print(json.dumps({
+        "pid": pid,
+        "processes": jax.process_count(),
+        "global_devices": len(devs),
+        "local_devices": jax.local_device_count(),
+        "loss": loss,
+        "local_microbatches": len(local),
+        "restore_ok": bool(all(oks)),
+    }))
+
+
+if __name__ == "__main__":
+    main()

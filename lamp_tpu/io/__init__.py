@@ -3,9 +3,11 @@
 from .checkpoint import (
     load_loop_state,
     load_pytree,
+    load_pytree_sharded,
     read_safetensors,
     read_tensor_blob,
     save_loop_state,
+    save_pytree_sharded,
     AsyncCheckpointer,
     save_pytree,
     write_safetensors,
@@ -17,8 +19,10 @@ __all__ = [
     "write_tensor_blob",
     "read_tensor_blob",
     "save_pytree",
+    "save_pytree_sharded",
     "AsyncCheckpointer",
     "load_pytree",
+    "load_pytree_sharded",
     "save_loop_state",
     "load_loop_state",
     "read_safetensors",

@@ -182,7 +182,15 @@ def fsdp_rules(axis: str = "fsdp", min_size: int = 2 ** 14,
             self.axis = axis
 
         def spec_for(self, path: str, ndim: int) -> P:
-            return P(self.axis) if ndim >= 2 else P()
+            # FSDP specs are shape-dependent (which dim divides the axis
+            # size), which a (path, ndim) signature cannot express; the
+            # shardings_for override below handles whole trees. Raising
+            # here beats returning a P(axis) that is invalid for any
+            # parameter whose dim 0 is not divisible by the axis size.
+            raise NotImplementedError(
+                "fsdp_rules picks the sharded dim per-shape; use "
+                "shardings_for(tree, mesh), not spec_for"
+            )
 
         def shardings_for(self, tree, mesh: Mesh):
             n = mesh.shape[axis]

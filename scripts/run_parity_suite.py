@@ -9,7 +9,7 @@ CURRENT suite config (so it cannot silently go stale), and meets the
 reference's own thresholds (e2e.test.scala:313-314).
 
 Usage:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/run_parity_suite.py
-(takes ~an hour on the 1-core box; run alone so timings don't interleave)
+(~3 minutes on the 1-core box; run alone so timings don't interleave)
 """
 
 import hashlib

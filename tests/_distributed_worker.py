@@ -44,7 +44,7 @@ def main():
     opt = optim.AdamW(1e-2)
     state = train.TrainState.init(model, opt)
     sstate = parallel.shard_train_state(
-        state, mesh, parallel.fsdp_rules(min_size=64)
+        state, mesh, parallel.fsdp_rules("dp", min_size=64)
     )
 
     # One logical dataset, rank-sharded with every_nth: process p takes

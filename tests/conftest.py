@@ -24,3 +24,38 @@ jax.config.update("jax_enable_x64", True)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+import pytest  # noqa: E402
+
+_GATE_FILE = os.path.join(os.path.dirname(__file__), "gate_list.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Apply the ``gate`` marker to the curated pre-commit subset.
+
+    ``tests/gate_list.txt`` holds one node-id prefix per line (comments with
+    #). The gate is the <=10-minute subset run before every commit
+    (``pytest -m gate``); the full non-slow suite runs once per round. Every
+    listed prefix must match at least one collected test so the gate cannot
+    silently shrink when tests are renamed."""
+    try:
+        with open(_GATE_FILE) as fh:
+            prefixes = [
+                ln.strip() for ln in fh
+                if ln.strip() and not ln.lstrip().startswith("#")
+            ]
+    except OSError:
+        return
+    matched = set()
+    for item in items:
+        nodeid = item.nodeid
+        for p in prefixes:
+            if nodeid.startswith(p):
+                item.add_marker(pytest.mark.gate)
+                matched.add(p)
+    if config.getoption("-m") and "gate" in config.getoption("-m"):
+        stale = [p for p in prefixes if p not in matched]
+        if stale:
+            raise pytest.UsageError(
+                f"gate_list.txt entries match no collected test: {stale}"
+            )

@@ -771,7 +771,6 @@ def test_moe_modern_lm_expert_parallel_training():
     assert losses[-1] < losses[0]
 
 
-@pytest.mark.slow
 def test_two_process_distributed(tmp_path):
     """VERDICT r1 item 5: actually run the multi-process path once. Two
     ``jax.distributed`` CPU processes (2 local devices each -> 4 global)
@@ -789,11 +788,15 @@ def test_two_process_distributed(tmp_path):
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(
         os.environ,
         PALLAS_AXON_POOL_IPS="",
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        # the worker script's sys.path[0] is tests/, not the repo root;
+        # without this the subprocess cannot import lamp_tpu
+        PYTHONPATH=repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
     )
     worker = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
     procs = [

@@ -1,7 +1,7 @@
 """Fast gate on the committed full-suite parity artifact.
 
-The full 50-dataset PyTorch battery (test_e2e_parity.py, slow-marked) takes
-~an hour; its result is pinned once per change to the suite config by
+The full 50-dataset PyTorch battery (test_e2e_parity.py, slow-marked) is
+pinned once per change to the suite config by
 ``scripts/run_parity_suite.py`` into ``PARITY_RESULTS.json``. This test runs
 in every non-slow pass and asserts the artifact (a) exists, (b) was produced
 by the CURRENT suite config — a drifted fingerprint means someone changed the

@@ -123,7 +123,8 @@ def main():
 
     prompt = train_bytes[:64]
     sample = generate(state.model, prompt, 256, temperature=0.0)
-    text = bytes(np.asarray(sample[0]) % 256).decode("utf-8", errors="replace")
+    toks = np.asarray(sample[0]).astype(np.uint8)  # int32 -> one byte each
+    text = bytes(toks).decode("utf-8", errors="replace")
     print("greedy sample:", repr(text[:120]))
 
     doc = {

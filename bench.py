@@ -39,17 +39,21 @@ def log(*a):
 
 
 def measure_readback_rtt():
-    """Host<->device round-trip of a scalar readback through the axon
-    tunnel (~30ms); subtracted from chained-step timings. Measured, not
+    """Host<->device round-trip of a FRESH scalar readback through the axon
+    tunnel (~23-30ms); subtracted once from chained-step timings whose final
+    sync is a scalar read. Must be a fresh value each probe — re-reading the
+    same buffer hits a host-side cache and measures ~0. Measured, not
     hard-coded, so tunnel-latency drift does not skew results."""
+    import jax
     import jax.numpy as jnp
 
-    x = jnp.zeros(()) + 1.0
-    float(x)
+    f = jax.jit(lambda i: i + 1.0)
+    float(f(jnp.float32(0)))
     ts = []
-    for _ in range(5):
+    for i in range(5):
+        y = f(jnp.float32(i))
         t0 = time.perf_counter()
-        float(x)
+        float(y)
         ts.append(time.perf_counter() - t0)
     rtt = min(ts)
     return rtt if 0.0005 < rtt < 1.0 else 0.03
@@ -198,19 +202,30 @@ def bench_serving(rtt):
         server.add(f"r{i}", rng.randint(0, 32000, 24 + (i % 8)).tolist(),
                    SamplingParams(temperature=0.8))
 
-    calls, n = 4, 64
-    server.step_many(n)  # warmup: compile the fused (B=32, n=64) decode
-    emitted = 0
-    t0 = time.perf_counter()
-    for _ in range(calls):
-        out = server.step_many(n)
-        emitted += sum(len(v) for v in out.values())
-    dt = time.perf_counter() - t0
-    # each step_many call ends in one host readback of the emitted tokens;
-    # the ~30ms axon-tunnel RTT per call is a property of this box's remote
-    # TPU, not of the engine — subtract it like every other phase does
-    dt -= calls * rtt
-    tok_s = emitted / dt
+    # Two-chain-length DIFFERENCE timing: each step_many call ends in one
+    # host readback of the emitted tokens, whose latency through the axon
+    # tunnel is large and not a property of the engine (~43ms measured for
+    # this call shape — bigger than the scalar-probe rtt, so subtracting
+    # the probed constant would still mis-state per-step time; see
+    # scripts/exp_true_steptime.py). Timing the same call at n=8 and n=64
+    # and differencing cancels the readback exactly:
+    # step = (wall(64) - wall(8)) / 56.
+    n1, n2 = 8, 64
+    server.step_many(n1)  # compile (B=32, n=8)
+    server.step_many(n2)  # compile (B=32, n=64)
+    vals = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        out1 = server.step_many(n1)
+        t1 = time.perf_counter()
+        out2 = server.step_many(n2)
+        t2 = time.perf_counter()
+        per_tok = ((t2 - t1) - (t1 - t0)) / (
+            sum(len(v) for v in out2.values())
+            - sum(len(v) for v in out1.values()))
+        vals.append(per_tok)
+    vals.sort()
+    tok_s = 1.0 / vals[len(vals) // 2]
     log(f"serving: {tok_s:.0f} decode tok/s (B=32, 12L/768d GQA vocab 32k bf16)")
     return {"decode_tokens_per_sec": round(tok_s, 1)}
 

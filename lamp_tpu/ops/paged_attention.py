@@ -16,6 +16,12 @@ head_dim):
   page_indices: [B, pages_per_seq]     logical -> physical page table
   lengths:      [B]                    valid tokens per sequence
 
+FUSED layout (pass ``v_pages=None``): K and V of a page live in ONE array
+  kv_pages:     [P, 2, page, H_kv * D]   (index 0 = K, 1 = V)
+so each page needs ONE async copy instead of two — decode attention at
+short fills is bound by DMA-programming overhead, not KV bytes, so
+halving the copy count is a direct win (docs/serving_headroom.md).
+
 ``H_kv * D`` must be a multiple of 128 on real TPUs (lane tiling).
 A pure-jnp reference backs the kernel on CPU and in tests.
 
@@ -77,7 +83,10 @@ def paged_attention_reference(q, k_pages, v_pages, page_indices, lengths, *,
     restricts each decode token to its last ``window`` keys (Mistral-style
     sliding-window attention at serve time). ``windows`` is an optional
     per-request [B] int32 limit (<=0 rows mean "no limit"); when both are
-    given each row uses the tighter of the two."""
+    given each row uses the tighter of the two. ``v_pages=None`` selects
+    the FUSED layout (k_pages is kv_pages [P, 2, page, H_kv*D])."""
+    if v_pages is None:
+        k_pages, v_pages = k_pages[:, 0], k_pages[:, 1]
     b, h, d = q.shape
     page = k_pages.shape[1]
     pages_per_seq = page_indices.shape[1]
@@ -122,15 +131,19 @@ def _paged_kernel(
     init_ref,            # [1] int32 — 1 until the first cell ran
     # inputs
     q_ref,               # [G, H, D] VMEM (this cell's G sequences' queries)
-    k_pages_ref,         # [P, page, H_kv*D] ANY (stays in HBM)
-    v_pages_ref,
+    k_pages_ref,         # [P, page, H_kv*D] ANY (stays in HBM); with
+                         # fused_kv: kv_pages [P, 2, page, H_kv*D]
+    v_pages_ref,         # None with fused_kv
     # outputs
     o_ref,               # [G, H, D]
     # scratch
-    k_buf, v_buf,        # [2, G, pages_per_block, page, H_kv*D] VMEM
+    k_buf,               # [2, G, pages_per_block, page, H_kv*D] VMEM; with
+                         # fused_kv: [2, G, pages_per_block, 2, page, H_kv*D]
+    v_buf,               # None with fused_kv
     sems,                # DMA semaphores [2, 2]
     *, pages_per_seq, pages_per_block, page, sm_scale, num_kv_heads,
     head_dim, batch, group, window=None, dynamic_window=False, cast_kv=False,
+    fused_kv=False,
 ):
     """Grid = (B/G,), one cell per GROUP of G sequences. Measured on v5e
     (scripts/exp_paged_sweep.py): per-cell fixed cost (~1.6us: grid
@@ -195,14 +208,23 @@ def _paged_kernel(
             for j in range(pages_per_block):
                 logical = block_idx * pages_per_block + j
                 phys = page_indices_ref[b_ * pages_per_seq + logical]
-                copies.append(pltpu.make_async_copy(
-                    k_pages_ref.at[phys], k_buf.at[slot, g, j],
-                    sems.at[slot, 0]
-                ))
-                copies.append(pltpu.make_async_copy(
-                    v_pages_ref.at[phys], v_buf.at[slot, g, j],
-                    sems.at[slot, 1]
-                ))
+                if fused_kv:
+                    # ONE copy moves the page's K and V together — at short
+                    # fills decode attention is bound by DMA programming,
+                    # not bytes, so halving the copy count is a direct win
+                    copies.append(pltpu.make_async_copy(
+                        k_pages_ref.at[phys], k_buf.at[slot, g, j],
+                        sems.at[slot, 0]
+                    ))
+                else:
+                    copies.append(pltpu.make_async_copy(
+                        k_pages_ref.at[phys], k_buf.at[slot, g, j],
+                        sems.at[slot, 0]
+                    ))
+                    copies.append(pltpu.make_async_copy(
+                        v_pages_ref.at[phys], v_buf.at[slot, g, j],
+                        sems.at[slot, 1]
+                    ))
         return copies
 
     entry_cnt = cnt_ref[0]
@@ -273,8 +295,13 @@ def _paged_kernel(
         # MXU the big dot measures 2.5x faster PER SEQUENCE than G small
         # [H, bk] dots (1.66 vs 4.14 us/block, scripts/exp_mxu_forms.py) —
         # M=12-row dots leave the systolic array idle while tiles load.
-        k_all = k_buf[slot].reshape(G * bk, hkv * d)
-        v_all = v_buf[slot].reshape(G * bk, hkv * d)
+        if fused_kv:
+            kv = k_buf[slot]  # [G, ppb, 2, page, fused]
+            k_all = kv[:, :, 0].reshape(G * bk, hkv * d)
+            v_all = kv[:, :, 1].reshape(G * bk, hkv * d)
+        else:
+            k_all = k_buf[slot].reshape(G * bk, hkv * d)
+            v_all = v_buf[slot].reshape(G * bk, hkv * d)
         if cast_kv:
             # fp8 pool: upcast to bf16 for the MXU dots (elementwise, fused
             # into the VMEM read; the DMA above moved half the bytes)
@@ -351,7 +378,12 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
         if window <= 0:
             raise ValueError("window must be a positive int")
     b, h, d = q.shape
-    total_pages, page, fused = k_pages.shape
+    fused_kv = v_pages is None
+    if fused_kv:
+        total_pages, two, page, fused = k_pages.shape
+        assert two == 2, f"fused kv_pages must be [P, 2, page, fused]"
+    else:
+        total_pages, page, fused = k_pages.shape
     assert fused == num_kv_heads * d, (fused, num_kv_heads, d)
     if windows is not None:
         windows = jnp.asarray(windows, jnp.int32)
@@ -389,29 +421,40 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
             group = cand
             break
 
-    kernel = functools.partial(
+    base_kernel = functools.partial(
         _paged_kernel, pages_per_seq=pages_per_seq,
         pages_per_block=pages_per_block, page=page, sm_scale=sm_scale,
         num_kv_heads=num_kv_heads, head_dim=d, batch=b // group, group=group,
         window=window, dynamic_window=windows is not None,
-        cast_kv=_is_low_precision_kv(k_pages.dtype),
+        cast_kv=_is_low_precision_kv(k_pages.dtype), fused_kv=fused_kv,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(b // group,),
-        in_specs=[
-            pl.BlockSpec((group, h, d), lambda bi, *_: (bi, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((group, h, d), lambda bi, *_: (bi, 0, 0)),
-        scratch_shapes=[
+    if fused_kv:
+        def kernel(pi, ln, wins, cnt, init, q_r, kv_r, o_r, kv_b, sems):
+            base_kernel(pi, ln, wins, cnt, init, q_r, kv_r, None, o_r,
+                        kv_b, None, sems)
+
+        kv_in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+        kv_scratch = [pltpu.VMEM(
+            (2, group, pages_per_block, 2, page, fused), k_pages.dtype)]
+        kv_args = (k_pages,)
+    else:
+        kernel = base_kernel
+        kv_in_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pl.ANY)]
+        kv_scratch = [
             pltpu.VMEM((2, group, pages_per_block, page, fused),
                        k_pages.dtype),
             pltpu.VMEM((2, group, pages_per_block, page, fused),
                        v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        ]
+        kv_args = (k_pages, v_pages)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(b // group,),
+        in_specs=[pl.BlockSpec((group, h, d), lambda bi, *_: (bi, 0, 0))]
+        + kv_in_specs,
+        out_specs=pl.BlockSpec((group, h, d), lambda bi, *_: (bi, 0, 0)),
+        scratch_shapes=kv_scratch + [pltpu.SemaphoreType.DMA((2, 2))],
     )
     return pl.pallas_call(
         kernel,
@@ -429,7 +472,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
         (jnp.zeros((b,), jnp.int32) if windows is None else windows),
         jnp.zeros((1,), jnp.int32),   # block counter (writable SMEM state)
         jnp.ones((1,), jnp.int32),    # init flag
-        q, k_pages, v_pages,
+        q, *kv_args,
     )
 
 

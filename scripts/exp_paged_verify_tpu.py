@@ -73,34 +73,71 @@ def main():
         assert err < 3e-2, (name, err)
         assert float(np.max(np.abs(a[3]))) == 0.0, "zero-length row"
 
-    # --- timing: 12-layer chain at the bench fill
-    kpl = jnp.asarray(rng.randn(L, n_pages, PAGE, HKV * HD), jnp.bfloat16)
-    vpl = jnp.asarray(rng.randn(L, n_pages, PAGE, HKV * HD), jnp.bfloat16)
+    # --- fused-KV layout: numerics on the real chip
+    kv = jnp.stack([kp, vp], axis=1)  # [P, 2, page, fused]
+    out = jax.jit(lambda q, kv, pi, ln: paged_attention(
+        q, kv, None, pi, ln, num_kv_heads=HKV))(q, kv, page_idx, lengths)
+    ref = jax.jit(lambda q, kp, vp, pi, ln: paged_attention_reference(
+        q, kp, vp, pi, ln, num_kv_heads=HKV))(q, kp, vp, page_idx, lengths)
+    err = np.max(np.abs(np.asarray(out, np.float32)
+                        - np.asarray(ref, np.float32)))
+    print(f"fused-kv: max|kernel - ref| = {err:.5f}", flush=True)
+    assert err < 3e-2, ("fused", err)
+
+    # --- timing: 12-layer chain at the bench fill, split vs fused pools.
+    # Pools are TUPLES of per-layer arrays (exactly like the serving
+    # engine) — scanning over a stacked [L, ...] pool dynamic-slices a
+    # full-layer COPY out of HBM per layer per step (~67 MB, ~80 us), which
+    # swamps the kernel (measured 734 vs 177 us/step at fill 152; same
+    # pitfall as models/serving.py pool layout comment). Pools are also
+    # jit ARGUMENTS, not closure captures — captured device arrays bake
+    # into the compile payload and the remote-compile helper rejects the
+    # ~800 MB request (HTTP 413).
+    kpl = tuple(jnp.asarray(rng.randn(n_pages, PAGE, HKV * HD), jnp.bfloat16)
+                for _ in range(L))
+    vpl = tuple(jnp.asarray(rng.randn(n_pages, PAGE, HKV * HD), jnp.bfloat16)
+                for _ in range(L))
+    kvl = tuple(jnp.stack([k, v], axis=1) for k, v in zip(kpl, vpl))
     idx_t = jnp.arange(B * PPS, dtype=jnp.int32).reshape(B, PPS)
 
-    def chain(qc, ln, kp_, vp_):
-        def layer(o, kv):
-            k, v = kv
-            return paged_attention(o, k, v, idx_t, ln,
-                                   num_kv_heads=HKV), None
-        o, _ = jax.lax.scan(layer, qc, (kp_, vp_))
+    def chain_split(qc, ln, pools):
+        kps, vps = pools
+        o = qc
+        for li in range(L):
+            o = paged_attention(o, kps[li], vps[li], idx_t, ln,
+                                num_kv_heads=HKV)
         return o * (1.0 + 1e-6)
 
-    n = 64
-    scanned = jax.jit(lambda c, ln, kp_, vp_: jax.lax.scan(
-        lambda cc, _: (chain(cc, ln, kp_, vp_), None), c, length=n)[0])
-    for fill in (152, 504, 1000):
-        ln = jnp.full((B,), fill, jnp.int32)
-        out = scanned(q, ln, kpl, vpl)
-        float(np.asarray(out).reshape(-1)[0])
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = scanned(q, ln, kpl, vpl)
-            float(np.asarray(out).reshape(-1)[0])
-            ts.append((time.perf_counter() - t0 - rtt) / n)
-        print(f"fill={fill:4d}: {min(ts) * 1e6:7.0f} us/step "
-              f"(12-layer chain, B={B})", flush=True)
+    def chain_fused(qc, ln, pools):
+        o = qc
+        for li in range(L):
+            o = paged_attention(o, pools[li], None, idx_t, ln,
+                                num_kv_heads=HKV)
+        return o * (1.0 + 1e-6)
+
+    # two-chain-length difference timing (readback latency cancels; see
+    # scripts/exp_true_steptime.py)
+    n1, n2 = 8, 64
+    for name, chain, pools in [("split", chain_split, (kpl, vpl)),
+                               ("fused", chain_fused, kvl)]:
+        fns = {n: jax.jit(lambda c, ln, p, n=n, chain=chain: jax.lax.scan(
+            lambda cc, _: (chain(cc, ln, p), None), c, length=n)[0])
+            for n in (n1, n2)}
+        for fill in (152, 504, 1000):
+            ln = jnp.full((B,), fill, jnp.int32)
+            for n in (n1, n2):
+                float(np.asarray(fns[n](q, ln, pools)).reshape(-1)[0])
+            vals = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(np.asarray(fns[n1](q, ln, pools)).reshape(-1)[0])
+                t1 = time.perf_counter()
+                float(np.asarray(fns[n2](q, ln, pools)).reshape(-1)[0])
+                t2 = time.perf_counter()
+                vals.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+            vals.sort()
+            print(f"{name} fill={fill:4d}: {vals[1] * 1e6:7.0f} us/step "
+                  f"(12-layer chain, B={B})", flush=True)
 
 
 if __name__ == "__main__":

@@ -267,3 +267,46 @@ def test_paged_grouped_fp8():
                                     lengths, num_kv_heads=hkv)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=4e-3, rtol=4e-2)
+
+
+def _fuse(kp, vp):
+    return jnp.stack([kp, vp], axis=1)  # [P, 2, page, fused]
+
+
+@pytest.mark.parametrize("B", [3, 8])
+def test_paged_fused_kv_matches_reference(B):
+    """v_pages=None selects the FUSED layout (kv_pages [P, 2, page, fused],
+    one DMA per page); outputs must match the split-pool kernel exactly."""
+    (q, kp, vp, idx, lengths), hkv = _setup(B=B, seed=31 + B)
+    lengths = lengths.at[0].set(0)
+    kv = _fuse(kp, vp)
+    ref = paged_attention_reference(q, kv, None, idx, lengths,
+                                    num_kv_heads=hkv)
+    split_ref = paged_attention_reference(q, kp, vp, idx, lengths,
+                                          num_kv_heads=hkv)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(split_ref),
+                               atol=0, rtol=0)
+    out = paged_attention(q, kv, None, idx, lengths, num_kv_heads=hkv,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    assert float(jnp.max(jnp.abs(out[0]))) == 0.0
+
+
+def test_paged_fused_kv_windows_and_fp8():
+    (q, kp, vp, idx, lengths), hkv = _setup(B=8, seed=41)
+    wins = jnp.asarray([5, 0, 40, 1, 0, 17, 64, 3], jnp.int32)
+    kv = _fuse(kp, vp)
+    out = paged_attention(q, kv, None, idx, lengths, num_kv_heads=hkv,
+                          windows=wins, interpret=True)
+    ref = paged_attention_reference(q, kp, vp, idx, lengths,
+                                    num_kv_heads=hkv, windows=wins)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    f8 = jnp.float8_e4m3fn
+    out8 = paged_attention(q, kv.astype(f8), None, idx, lengths,
+                           num_kv_heads=hkv, interpret=True)
+    ref8 = paged_attention_reference(q, kp.astype(f8), vp.astype(f8), idx,
+                                     lengths, num_kv_heads=hkv)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(ref8),
+                               atol=4e-3, rtol=4e-2)

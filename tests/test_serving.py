@@ -1556,3 +1556,46 @@ def test_beam_search_stop_tokens_and_early_stopping():
     for tokens, _ in hyps:
         assert t1 not in tokens
     assert not srv.seq_pages
+
+
+def test_kv_write_scatter_preserves_inplace_aliasing():
+    """The engine's per-token cache write must compile to an IN-PLACE
+    scatter on the donated pool. A write that mixes two advanced indices
+    around a slice (``pool.at[tp, :, ts].set(rows)``) silently defeats
+    XLA's donation aliasing and copies the whole pool every step —
+    measured as a 2.7x decode regression when a fused [P, 2, page, fused]
+    pool layout was tried in the engine (docs/serving_headroom.md).
+    This pins the HLO-level property for the engine's current split-pool
+    write and for the two-scatter fused form a future retry must use."""
+    P, page, F = 16, 8, 64
+    B = 4
+    tp = jnp.arange(B, dtype=jnp.int32)
+    ts = jnp.zeros((B,), jnp.int32)
+    k = jnp.ones((B, F), jnp.bfloat16)
+    v = jnp.ones((B, F), jnp.bfloat16)
+
+    def big_copies(fn, *args):
+        txt = jax.jit(fn, donate_argnums=(0,)).lower(*args).compile().as_text()
+        pool_dims = (f"{P},2,{page},{F}", f"{P},{page},{F}")
+        return sum(1 for l in txt.splitlines()
+                   if " copy(" in l and any(d in l for d in pool_dims))
+
+    # the engine's split-pool write (serving._kv_write): in place
+    from lamp_tpu.models.serving import _kv_write
+    split_pool = jnp.zeros((P, page, F), jnp.bfloat16)
+    assert big_copies(_kv_write, split_pool, tp, ts, k) == 0
+
+    fused_pool = jnp.zeros((P, 2, page, F), jnp.bfloat16)
+
+    # combined scatter on a fused pool: copies the pool (the regression)
+    def w_combined(pool, tp, ts, k, v):
+        return pool.at[tp, :, ts].set(jnp.stack([k, v], axis=-2))
+
+    assert big_copies(w_combined, fused_pool, tp, ts, k, v) >= 1
+
+    # two statically-indexed scatters: in place (viable fused-pool write)
+    def w_two(pool, tp, ts, k, v):
+        pool = pool.at[tp, 0, ts].set(k)
+        return pool.at[tp, 1, ts].set(v)
+
+    assert big_copies(w_two, fused_pool, tp, ts, k, v) == 0

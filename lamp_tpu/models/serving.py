@@ -38,11 +38,21 @@ __all__ = [
 
 
 
-def _kv_write(pool, token_pages, token_slots, rows):
-    """Scatter K/V rows into their page slots, cast to the pool dtype.
-    With an fp8 pool (``kv_dtype=jnp.float8_e4m3fn``) this is where the
-    cache quantizes; for bf16/f32 pools the cast is a no-op."""
-    return pool.at[token_pages, token_slots].set(rows.astype(pool.dtype))
+def _kv_write(pool, token_pages, token_slots, k_rows, v_rows):
+    """Scatter a token's K and V rows into its page slot of the FUSED
+    per-layer pool ``[P, 2, page, F]`` (index 0 = K, 1 = V), cast to the
+    pool dtype. With an fp8 pool (``kv_dtype=jnp.float8_e4m3fn``) this is
+    where the cache quantizes; for bf16/f32 pools the cast is a no-op.
+
+    MUST stay two statically-indexed scatters — NOT
+    ``pool.at[tp, :, ts].set(stack([k, v]))``: mixing advanced indices
+    around a slice defeats XLA's in-place aliasing of the donated pool
+    and copies every pool every step (measured 2.7x decode regression,
+    docs/serving_headroom.md). The in-place property of this form is
+    pinned by tests/test_serving.py::
+    test_kv_write_scatter_preserves_inplace_aliasing."""
+    pool = pool.at[token_pages, 0, token_slots].set(k_rows.astype(pool.dtype))
+    return pool.at[token_pages, 1, token_slots].set(v_rows.astype(pool.dtype))
 
 
 @jax.jit
@@ -98,22 +108,21 @@ class BatchServer:
         dt = (model.token_embedding.weight.dtype if kv_dtype is None
               else jnp.dtype(kv_dtype))
         self.kv_dtype = dt
-        # one pool PER LAYER: [P, page, H_kv*D] (heads fused into lanes so
-        # DMA slices stay 128-aligned for any head_dim). Per-layer arrays —
-        # not one [L, ...] block — so each layer's scatter-update and kernel
-        # read alias in place under jit; slicing layer li out of a fused
-        # pool materialized a full layer copy per layer per step, which made
-        # step time scale with POOL size instead of batch size (measured
-        # 11.5 ms vs 1.6 ms per step at 4096 pages, B=32).
-        self.k_pages = tuple(
+        # one FUSED pool PER LAYER: [P, 2, page, H_kv*D] — index 0 holds a
+        # page's keys, 1 its values, so the paged kernel moves a page's K
+        # and V with ONE async DMA (at serving fills decode attention is
+        # bound by DMA-programming overhead, not KV bytes: 19% faster than
+        # split K/V pools, docs/serving_headroom.md). Heads fuse into lanes
+        # so DMA slices stay 128-aligned for any head_dim. Per-layer arrays
+        # — not one [L, ...] block — so each layer's scatter-update and
+        # kernel read alias in place under jit; slicing layer li out of a
+        # layer-stacked pool materialized a full layer copy per layer per
+        # step, which made step time scale with POOL size instead of batch
+        # size (measured 11.5 ms vs 1.6 ms per step at 4096 pages, B=32).
+        self.kv_pages = tuple(
             jnp.zeros(
-                (total_pages, page_size, self.kv_heads * self.head_dim), dt
-            )
-            for _ in range(self.layers)
-        )
-        self.v_pages = tuple(
-            jnp.zeros(
-                (total_pages, page_size, self.kv_heads * self.head_dim), dt
+                (total_pages, 2, page_size, self.kv_heads * self.head_dim),
+                dt,
             )
             for _ in range(self.layers)
         )
@@ -171,16 +180,16 @@ class BatchServer:
         self.cache_hit_tokens = 0
         self.cache_miss_tokens = 0
         self._copy_page_fn = jax.jit(
-            self._copy_page, donate_argnums=(0, 1)
+            self._copy_page, donate_argnums=(0,)
         )
         # serving weights are frozen: precompute fused per-layer QKV weights
         # once (one [D, (H+2H_kv)*hd] matmul per layer instead of three) and
         # pass them as jit ARGS — closure capture would bake them into the
         # compiled program as constants
         self._extras = self._precompute_extras(model)
-        self._step_fn = jax.jit(self._decode_step, donate_argnums=(1, 2))
-        self._chunk_fn = jax.jit(self._decode_chunk, donate_argnums=(1, 2))
-        self._prefill_fn = jax.jit(self._prefill_seq, donate_argnums=(1, 2),
+        self._step_fn = jax.jit(self._decode_step, donate_argnums=(1,))
+        self._chunk_fn = jax.jit(self._decode_chunk, donate_argnums=(1,))
+        self._prefill_fn = jax.jit(self._prefill_seq, donate_argnums=(1,),
                                    static_argnames=("req_window",))
 
     def _quantize_weight(self, w):
@@ -346,8 +355,8 @@ class BatchServer:
             tokens = np.concatenate(
                 [prompt[:-1], np.zeros(n_pad, prompt.dtype)]
             ).astype(np.int32)
-            self.k_pages, self.v_pages = self._prefill_fn(
-                self.model, self.k_pages, self.v_pages,
+            self.kv_pages = self._prefill_fn(
+                self.model, self.kv_pages,
                 jnp.asarray(tokens), jnp.asarray(tp), jnp.asarray(ts),
                 req_window=window,
             )
@@ -422,21 +431,20 @@ class BatchServer:
         toks = np.concatenate(
             [np.asarray(suffix, np.int32), np.zeros(n_pad, np.int32)]
         )
-        _, self.k_pages, self.v_pages = self._chunk_fn(
-            self.model, self.k_pages, self.v_pages, jnp.asarray(toks[None]),
+        _, self.kv_pages = self._chunk_fn(
+            self.model, self.kv_pages, jnp.asarray(toks[None]),
             idx, jnp.asarray([start], jnp.int32), jnp.asarray(tp),
             jnp.asarray(ts), self._extras, self._lora_arg([seq_id]),
             self._windows_arg([seq_id]),
         )
 
-    def _prefill_seq(self, model, k_pages, v_pages, tokens, token_pages,
+    def _prefill_seq(self, model, kv_pages, tokens, token_pages,
                      token_slots, req_window=None):
         """Dense prefill of ONE sequence: full causal forward over [T] tokens,
         writing every layer's K/V rows into (token_pages, token_slots).
         ``req_window`` (static) applies this request's attention window."""
         t = tokens.shape[0]
-        k_pages = list(k_pages)
-        v_pages = list(v_pages)
+        kv_pages = list(kv_pages)
         x = model.token_embedding(tokens[None]) + jnp.take(
             model.position_embedding.weight, jnp.arange(t)[None], axis=0
         )  # [1, T, D]
@@ -459,8 +467,8 @@ class BatchServer:
             # write kv rows: [T, H*D] into page slots
             k_rows = kk[0].transpose(1, 0, 2).reshape(t, -1)
             v_rows = vv[0].transpose(1, 0, 2).reshape(t, -1)
-            k_pages[li] = _kv_write(k_pages[li], token_pages, token_slots, k_rows)
-            v_pages[li] = _kv_write(v_pages[li], token_pages, token_slots, v_rows)
+            kv_pages[li] = _kv_write(kv_pages[li], token_pages, token_slots,
+                                     k_rows, v_rows)
             o = mha_reference(q, kk, vv, causal=True, window=req_window)
             o = o.transpose(0, 2, 1, 3).reshape(1, t, -1)
             ow = jnp.matmul(
@@ -474,7 +482,7 @@ class BatchServer:
             x = x + ow * block.scale1
             m = block.w2(block.activation(block.w1(block.norm2(x))))
             x = x + m * block.scale2
-        return tuple(k_pages), tuple(v_pages)
+        return tuple(kv_pages)
 
     def remove(self, seq_id) -> None:
         pages = self.seq_pages.pop(seq_id)
@@ -605,12 +613,10 @@ class BatchServer:
         return (jnp.asarray(host_ids, jnp.int32), self._lora_stacks)
 
     @staticmethod
-    def _copy_page(k_pages, v_pages, src, dst):
-        """Device-side page copy for copy-on-write (every layer's pool)."""
-        return (
-            tuple(kp.at[dst].set(kp[src]) for kp in k_pages),
-            tuple(vp.at[dst].set(vp[src]) for vp in v_pages),
-        )
+    def _copy_page(kv_pages, src, dst):
+        """Device-side page copy for copy-on-write (every layer's pool;
+        one copy moves the page's K and V together in the fused layout)."""
+        return tuple(p.at[dst].set(p[src]) for p in kv_pages)
 
     @property
     def available_pages(self) -> int:
@@ -664,9 +670,7 @@ class BatchServer:
                 # cached prefix): copy-on-write
                 new = self._take_page()
                 self._page_refs[new] = 1
-                self.k_pages, self.v_pages = self._copy_page_fn(
-                    self.k_pages, self.v_pages, pg, new
-                )
+                self.kv_pages = self._copy_page_fn(self.kv_pages, pg, new)
                 self._decref(pg)
                 pages[pos // self.page_size] = new
                 pg = new
@@ -689,16 +693,15 @@ class BatchServer:
         np.maximum(idx, 0, out=idx)
         return jnp.asarray(idx), jnp.asarray(lens)
 
-    def _decode_step(self, model, k_pages, v_pages, tokens, page_idx, lengths,
+    def _decode_step(self, model, kv_pages, tokens, page_idx, lengths,
                      token_pages, token_slots, extras, lora=None,
                      req_windows=None):
         """Process a [B] batch of tokens sitting at positions ``lengths``:
         write their per-layer K/V into (token_pages, token_slots), attend over
-        history + self, return (logits [B,V], new_k_pages, new_v_pages)."""
+        history + self, return (logits [B,V], new_kv_pages)."""
         b = tokens.shape[0]
         wqkv, bqkv = extras
-        k_pages = list(k_pages)
-        v_pages = list(v_pages)
+        kv_pages = list(kv_pages)
         x = model.token_embedding(tokens[:, None]) + jnp.take(
             model.position_embedding.weight, lengths[:, None], axis=0
         )
@@ -719,14 +722,10 @@ class BatchServer:
             kk = y[:, nq:2 * nq].reshape(b, h, hd)
             vv = y[:, 2 * nq:].reshape(b, h, hd)
             # write this token's fused-head kv row into its page slot
-            k_pages[li] = _kv_write(k_pages[li], token_pages, token_slots, 
-                kk.reshape(b, -1)
-            )
-            v_pages[li] = _kv_write(v_pages[li], token_pages, token_slots, 
-                vv.reshape(b, -1)
-            )
+            kv_pages[li] = _kv_write(kv_pages[li], token_pages, token_slots,
+                                     kk.reshape(b, -1), vv.reshape(b, -1))
             o = paged_attention(
-                q, k_pages[li], v_pages[li], page_idx, lengths + 1,
+                q, kv_pages[li], None, page_idx, lengths + 1,
                 num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block,
                 windows=req_windows,
@@ -748,9 +747,9 @@ class BatchServer:
         logits = jnp.einsum(
             "btd,vd->btv", x, w, preferred_element_type=jnp.float32
         )[:, 0]
-        return logits, tuple(k_pages), tuple(v_pages)
+        return logits, tuple(kv_pages)
 
-    def _decode_chunk(self, model, k_pages, v_pages, tokens, page_idx,
+    def _decode_chunk(self, model, kv_pages, tokens, page_idx,
                       lengths, token_pages, token_slots, extras, lora=None,
                       req_windows=None):
         """Process M tokens per sequence in ONE call (chunked decode): write
@@ -764,8 +763,7 @@ class BatchServer:
         win_r = (None if req_windows is None
                  else jnp.repeat(req_windows, m))
         wqkv, bqkv = extras
-        k_pages = list(k_pages)
-        v_pages = list(v_pages)
+        kv_pages = list(kv_pages)
         pos = lengths[:, None] + jnp.arange(m)[None, :]  # [B, M]
         x = model.token_embedding(tokens) + jnp.take(
             model.position_embedding.weight, pos, axis=0
@@ -787,10 +785,10 @@ class BatchServer:
             q = y[..., :nq].reshape(b, m, h, hd)
             kk = y[..., nq:2 * nq]
             vv = y[..., 2 * nq:]
-            k_pages[li] = _kv_write(k_pages[li], token_pages, token_slots, kk)
-            v_pages[li] = _kv_write(v_pages[li], token_pages, token_slots, vv)
+            kv_pages[li] = _kv_write(kv_pages[li], token_pages, token_slots,
+                                     kk, vv)
             o = paged_attention(
-                q.reshape(b * m, h, hd), k_pages[li], v_pages[li], pidx,
+                q.reshape(b * m, h, hd), kv_pages[li], None, pidx,
                 plen, num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block, windows=win_r,
             ).reshape(b, m, h * hd)
@@ -810,7 +808,7 @@ class BatchServer:
         logits = jnp.einsum(
             "bmd,vd->bmv", x, w, preferred_element_type=jnp.float32
         )
-        return logits, tuple(k_pages), tuple(v_pages)
+        return logits, tuple(kv_pages)
 
     def _advance(self, seq_ids, tokens):
         """Write tokens' KV + return logits; bumps lengths."""
@@ -820,8 +818,8 @@ class BatchServer:
         idx, lens = self._views(seq_ids)
         tp = jnp.asarray([p for p, _ in slots], jnp.int32)
         ts = jnp.asarray([sl for _, sl in slots], jnp.int32)
-        logits, self.k_pages, self.v_pages = self._step_fn(
-            self.model, self.k_pages, self.v_pages, tokens, idx, lens, tp, ts,
+        logits, self.kv_pages = self._step_fn(
+            self.model, self.kv_pages, tokens, idx, lens, tp, ts,
             self._extras, self._lora_arg(seq_ids), self._windows_arg(seq_ids),
         )
         for s in seq_ids:
@@ -847,8 +845,8 @@ class BatchServer:
                 self.seq_len[s] += 1
         # page table AFTER allocation (a chunk may open new pages)
         idx, _ = self._views(seq_ids)
-        logits, self.k_pages, self.v_pages = self._chunk_fn(
-            self.model, self.k_pages, self.v_pages, jnp.asarray(tokens), idx,
+        logits, self.kv_pages = self._chunk_fn(
+            self.model, self.kv_pages, jnp.asarray(tokens), idx,
             lens0, jnp.asarray(tp), jnp.asarray(ts), self._extras,
             self._lora_arg(seq_ids), self._windows_arg(seq_ids),
         )
@@ -1039,7 +1037,7 @@ class BatchServer:
             out[s] = t
         return out
 
-    def _decode_many(self, model, k_pages, v_pages, tokens0, page_idx,
+    def _decode_many(self, model, kv_pages, tokens0, page_idx,
                      lens0, token_pages, token_slots, extras, lora, key,
                      temps, top_k, top_p, penalties, req_windows=None,
                      ctable=None, cstates=None, min_p=None,
@@ -1056,9 +1054,9 @@ class BatchServer:
             counts0, pmask, pres, freq, rep = penalties
 
         def body(carry, i):
-            tok, kp, vp, k_, cnts, cst = carry
-            logits, kp, vp = self._decode_step(
-                model, kp, vp, tok, page_idx, lens0 + i,
+            tok, kvp, k_, cnts, cst = carry
+            logits, kvp = self._decode_step(
+                model, kvp, tok, page_idx, lens0 + i,
                 token_pages[:, i], token_slots[:, i], extras, lora,
                 req_windows,
             )
@@ -1077,16 +1075,16 @@ class BatchServer:
                 cst = jnp.maximum(stepped, 0)
             if cnts is not None:  # track generated tokens inside the scan
                 cnts = cnts.at[jnp.arange(nxt.shape[0]), nxt].add(1)
-            return (nxt, kp, vp, k_, cnts, cst), (nxt, lp)
+            return (nxt, kvp, k_, cnts, cst), (nxt, lp)
 
-        (_, k_pages, v_pages, _, cnts_end, cst_end), (toks, lps) = \
+        (_, kv_pages, _, cnts_end, cst_end), (toks, lps) = \
             jax.lax.scan(
                 body,
-                (tokens0, k_pages, v_pages, key,
+                (tokens0, kv_pages, key,
                  None if penalties is None else counts0, cstates),
                 jnp.arange(n),
             )
-        return toks, k_pages, v_pages, cnts_end, (
+        return toks, kv_pages, cnts_end, (
             lps if return_logprobs else None)
 
     def step_many(self, n: int) -> Dict:
@@ -1114,15 +1112,15 @@ class BatchServer:
         idx, _ = self._views(seq_ids)
         if not hasattr(self, "_many_fn"):
             self._many_fn = jax.jit(
-                self._decode_many, donate_argnums=(1, 2),
+                self._decode_many, donate_argnums=(1,),
                 static_argnames=("n", "max_top_k", "return_logprobs"),
             )
         temps, top_k, top_p, min_p, pen, mtk, want_lp = \
             self._sampling_arrays(seq_ids)
         ctable, cstates = self._constraint_arrays(seq_ids)
         self.key, sub = jax.random.split(self.key)
-        toks, self.k_pages, self.v_pages, cnts_end, lps = self._many_fn(
-            self.model, self.k_pages, self.v_pages, tokens0, idx, lens0,
+        toks, self.kv_pages, cnts_end, lps = self._many_fn(
+            self.model, self.kv_pages, tokens0, idx, lens0,
             jnp.asarray(tp), jnp.asarray(ts), self._extras,
             self._lora_arg(seq_ids), sub, temps, top_k, top_p, pen,
             self._windows_arg(seq_ids), ctable, cstates, min_p, n=n,
@@ -1194,12 +1192,9 @@ class ModernBatchServer(BatchServer):
             from jax.sharding import PartitionSpec as P
 
             mk = lambda spec: NamedSharding(self._mesh, spec)  # noqa: E731
-            pool = mk(P(None, None, tp_axis))
-            self.k_pages = tuple(
-                jax.device_put(k, pool) for k in self.k_pages
-            )
-            self.v_pages = tuple(
-                jax.device_put(v, pool) for v in self.v_pages
+            pool = mk(P(None, None, None, tp_axis))
+            self.kv_pages = tuple(
+                jax.device_put(kv, pool) for kv in self.kv_pages
             )
             wqkv, wo, w1, w3, w2, lmh = self._extras
             if self._moe:
@@ -1525,19 +1520,18 @@ class ModernBatchServer(BatchServer):
             lmh = q(model.token_embedding.weight.T)
         return (wqkv, wo, w1, w3, w2, lmh)
 
-    def _decode_step(self, model, k_pages, v_pages, tokens, page_idx, lengths,
+    def _decode_step(self, model, kv_pages, tokens, page_idx, lengths,
                      token_pages, token_slots, extras, lora=None,
                      req_windows=None):
         if self._tp > 1:
             return self._tp_call(
-                self._tp_decode_inner, model, k_pages, v_pages, tokens,
+                self._tp_decode_inner, model, kv_pages, tokens,
                 page_idx, lengths, token_pages, token_slots, extras,
                 req_windows,
             )
         b = tokens.shape[0]
         wqkv, wo, w1, w3, w2, lmh = extras
-        k_pages = list(k_pages)
-        v_pages = list(v_pages)
+        kv_pages = list(kv_pages)
         x = model.token_embedding(tokens[:, None])  # [B, 1, D]
         # hoist the RoPE angle gathers out of the layer loop: every layer
         # rotates at the same per-token positions
@@ -1577,14 +1571,10 @@ class ModernBatchServer(BatchServer):
             q = rot(yq.reshape(b, self.heads, hd))
             kk = rot(yk.reshape(b, self.kv_heads, hd))
             vv = yv.reshape(b, self.kv_heads, hd)
-            k_pages[li] = _kv_write(k_pages[li], token_pages, token_slots, 
-                kk.reshape(b, -1)
-            )
-            v_pages[li] = _kv_write(v_pages[li], token_pages, token_slots, 
-                vv.reshape(b, -1)
-            )
+            kv_pages[li] = _kv_write(kv_pages[li], token_pages, token_slots,
+                                     kk.reshape(b, -1), vv.reshape(b, -1))
             o = paged_attention(
-                q, k_pages[li], v_pages[li], page_idx, lengths + 1,
+                q, kv_pages[li], None, page_idx, lengths + 1,
                 num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block,
                 window=self._windows[li], windows=req_windows,
@@ -1612,9 +1602,9 @@ class ModernBatchServer(BatchServer):
             x = x + down
         x = model.final_norm(x)
         logits = self._mm(x, lmh, out_dtype=jnp.float32)[:, 0]
-        return logits, tuple(k_pages), tuple(v_pages)
+        return logits, tuple(kv_pages)
 
-    def _tp_call(self, inner, model, k_pages, v_pages, tokens, page_idx,
+    def _tp_call(self, inner, model, kv_pages, tokens, page_idx,
                  lengths, token_pages, token_slots, extras, req_windows=None):
         """shard_map ``inner`` over the tp axis: pools shard on the fused
         head-lane dim, extras per the Megatron column/row pattern, everything
@@ -1623,7 +1613,7 @@ class ModernBatchServer(BatchServer):
         from jax.sharding import PartitionSpec as P
 
         axis = self._tp_axis
-        pool = P(None, None, axis)
+        pool = P(None, None, None, axis)
         if getattr(self, "_moe", False):
             # per-layer w1 entries are (replicated gate, E-sharded experts)
             w1_spec = tuple((P(), P(axis, None, None))
@@ -1637,8 +1627,8 @@ class ModernBatchServer(BatchServer):
                 P(None, axis), P(axis, None), P(None, axis), P(None, axis),
                 P(axis, None), P(None, axis),
             )
-        in_specs = [P(), pool, pool, P(), P(), P(), P(), P(), extras_spec]
-        args = [model, k_pages, v_pages, tokens, page_idx, lengths,
+        in_specs = [P(), pool, P(), P(), P(), P(), P(), extras_spec]
+        args = [model, kv_pages, tokens, page_idx, lengths,
                 token_pages, token_slots, extras]
         if req_windows is not None:
             in_specs.append(P())
@@ -1647,11 +1637,11 @@ class ModernBatchServer(BatchServer):
             inner,
             mesh=self._mesh,
             in_specs=tuple(in_specs),
-            out_specs=(P(), pool, pool),
+            out_specs=(P(), pool),
             check_vma=False,
         )(*args)
 
-    def _tp_decode_inner(self, model, k_pages, v_pages, tokens, page_idx,
+    def _tp_decode_inner(self, model, kv_pages, tokens, page_idx,
                          lengths, token_pages, token_slots, extras,
                          req_windows=None):
         """Per-device body of the TP decode step: local q/kv heads, local
@@ -1660,8 +1650,7 @@ class ModernBatchServer(BatchServer):
         axis = self._tp_axis
         b = tokens.shape[0]
         wqkv, wo, w1, w3, w2, lmh = extras
-        k_pages = list(k_pages)
-        v_pages = list(v_pages)
+        kv_pages = list(kv_pages)
         x = model.token_embedding(tokens[:, None])
         hd = self.head_dim
         c = jnp.take(model.rope_cos, lengths, axis=0).astype(jnp.float32)
@@ -1686,14 +1675,10 @@ class ModernBatchServer(BatchServer):
             q = rot(y[:, :nq].reshape(b, hq_l, hd))
             kk = rot(y[:, nq:nq + nkv].reshape(b, hkv_l, hd))
             vv = y[:, nq + nkv:].reshape(b, hkv_l, hd)
-            k_pages[li] = _kv_write(k_pages[li], token_pages, token_slots, 
-                kk.reshape(b, -1)
-            )
-            v_pages[li] = _kv_write(v_pages[li], token_pages, token_slots, 
-                vv.reshape(b, -1)
-            )
+            kv_pages[li] = _kv_write(kv_pages[li], token_pages, token_slots,
+                                     kk.reshape(b, -1), vv.reshape(b, -1))
             o = paged_attention(
-                q, k_pages[li], v_pages[li], page_idx, lengths + 1,
+                q, kv_pages[li], None, page_idx, lengths + 1,
                 num_kv_heads=hkv_l, pages_per_block=self.pages_per_block,
                 window=self._windows[li], windows=req_windows,
             )
@@ -1710,9 +1695,9 @@ class ModernBatchServer(BatchServer):
         logits = jax.lax.all_gather(
             local, axis, axis=2, tiled=True
         )[:, 0, :self._vocab]
-        return logits, tuple(k_pages), tuple(v_pages)
+        return logits, tuple(kv_pages)
 
-    def _tp_chunk_inner(self, model, k_pages, v_pages, tokens, page_idx,
+    def _tp_chunk_inner(self, model, kv_pages, tokens, page_idx,
                         lengths, token_pages, token_slots, extras,
                         req_windows=None):
         """Per-device body of the TP chunked decode ([B, M] tokens with
@@ -1722,8 +1707,7 @@ class ModernBatchServer(BatchServer):
         win_r = (None if req_windows is None
                  else jnp.repeat(req_windows, m))
         wqkv, wo, w1, w3, w2, lmh = extras
-        k_pages = list(k_pages)
-        v_pages = list(v_pages)
+        kv_pages = list(kv_pages)
         pos = lengths[:, None] + jnp.arange(m)[None, :]
         x = model.token_embedding(tokens)
         hd = self.head_dim
@@ -1751,12 +1735,10 @@ class ModernBatchServer(BatchServer):
             q = rot(y[..., :nq].reshape(b, m, hq_l, hd))
             kk = rot(y[..., nq:nq + nkv].reshape(b, m, hkv_l, hd))
             vv = y[..., nq + nkv:]
-            k_pages[li] = _kv_write(k_pages[li], token_pages, token_slots, 
-                kk.reshape(b, m, -1)
-            )
-            v_pages[li] = _kv_write(v_pages[li], token_pages, token_slots, vv)
+            kv_pages[li] = _kv_write(kv_pages[li], token_pages, token_slots,
+                                     kk.reshape(b, m, -1), vv)
             o = paged_attention(
-                q.reshape(b * m, hq_l, hd), k_pages[li], v_pages[li],
+                q.reshape(b * m, hq_l, hd), kv_pages[li], None,
                 pidx, plen, num_kv_heads=hkv_l,
                 pages_per_block=self.pages_per_block,
                 window=self._windows[li], windows=win_r,
@@ -1773,14 +1755,14 @@ class ModernBatchServer(BatchServer):
         logits = jax.lax.all_gather(
             local, axis, axis=2, tiled=True
         )[..., :self._vocab]
-        return logits, tuple(k_pages), tuple(v_pages)
+        return logits, tuple(kv_pages)
 
-    def _decode_chunk(self, model, k_pages, v_pages, tokens, page_idx,
+    def _decode_chunk(self, model, kv_pages, tokens, page_idx,
                       lengths, token_pages, token_slots, extras, lora=None,
                       req_windows=None):
         if self._tp > 1:
             return self._tp_call(
-                self._tp_chunk_inner, model, k_pages, v_pages, tokens,
+                self._tp_chunk_inner, model, kv_pages, tokens,
                 page_idx, lengths, token_pages, token_slots, extras,
                 req_windows,
             )
@@ -1788,8 +1770,7 @@ class ModernBatchServer(BatchServer):
         win_r = (None if req_windows is None
                  else jnp.repeat(req_windows, m))
         wqkv, wo, w1, w3, w2, lmh = extras
-        k_pages = list(k_pages)
-        v_pages = list(v_pages)
+        kv_pages = list(kv_pages)
         pos = lengths[:, None] + jnp.arange(m)[None, :]  # [B, M]
         x = model.token_embedding(tokens)                # [B, M, D]
         hd = self.head_dim
@@ -1827,12 +1808,10 @@ class ModernBatchServer(BatchServer):
             q = rot(yq.reshape(b, m, self.heads, hd))
             kk = rot(yk.reshape(b, m, self.kv_heads, hd))
             vv = yv
-            k_pages[li] = _kv_write(k_pages[li], token_pages, token_slots, 
-                kk.reshape(b, m, -1)
-            )
-            v_pages[li] = _kv_write(v_pages[li], token_pages, token_slots, vv)
+            kv_pages[li] = _kv_write(kv_pages[li], token_pages, token_slots,
+                                     kk.reshape(b, m, -1), vv)
             o = paged_attention(
-                q.reshape(b * m, self.heads, hd), k_pages[li], v_pages[li],
+                q.reshape(b * m, self.heads, hd), kv_pages[li], None,
                 pidx, plen, num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block,
                 window=self._windows[li], windows=win_r,
@@ -1859,9 +1838,9 @@ class ModernBatchServer(BatchServer):
             x = x + down
         x = model.final_norm(x)
         logits = self._mm(x, lmh, out_dtype=jnp.float32)
-        return logits, tuple(k_pages), tuple(v_pages)
+        return logits, tuple(kv_pages)
 
-    def _prefill_seq(self, model, k_pages, v_pages, tokens, token_pages,
+    def _prefill_seq(self, model, kv_pages, tokens, token_pages,
                      token_slots, req_window=None):
         from ..nn.modern import apply_rope
         from ..ops.attention import mha_reference
@@ -1872,8 +1851,7 @@ class ModernBatchServer(BatchServer):
             return a if b_ is None else min(a, b_)
 
         t = tokens.shape[0]
-        k_pages = list(k_pages)
-        v_pages = list(v_pages)
+        kv_pages = list(kv_pages)
         x = model.token_embedding(tokens[None])  # [1, T, D]
         cos, sin = model.rope_cos, model.rope_sin
         for li, block in enumerate(model.blocks):
@@ -1890,8 +1868,8 @@ class ModernBatchServer(BatchServer):
             kk = apply_rope(kk, cos, sin)
             k_rows = kk[0].transpose(1, 0, 2).reshape(t, -1)
             v_rows = vv[0].transpose(1, 0, 2).reshape(t, -1)
-            k_pages[li] = _kv_write(k_pages[li], token_pages, token_slots, k_rows)
-            v_pages[li] = _kv_write(v_pages[li], token_pages, token_slots, v_rows)
+            kv_pages[li] = _kv_write(kv_pages[li], token_pages, token_slots,
+                                     k_rows, v_rows)
             if self.kv_heads != self.heads:
                 rep = self.heads // self.kv_heads
                 kk = jnp.repeat(kk, rep, axis=1)
@@ -1902,7 +1880,7 @@ class ModernBatchServer(BatchServer):
             x = x + (o @ block.w_o.weight)
             m, _ = block.mlp.forward(block.norm2(x))
             x = x + m
-        return tuple(k_pages), tuple(v_pages)
+        return tuple(kv_pages)
 
 
 

@@ -171,17 +171,16 @@ def main():
     print(f"matmul stack int8: {mm_q_us:.0f} us ({q_mb:.0f} MB, roofline "
           f"{q_mb * 1e6 / (HBM_GBS * 1e3):.0f} us)")
 
-    # --- 4. paged attention alone at the steady-state fill (~150 tokens)
+    # --- 4. paged attention alone at the steady-state fill (~150 tokens),
+    # in the engine's FUSED pool layout ([P, 2, page, F]: one DMA per page
+    # moves K and V together)
     fill = 152
     pages_per_req = (fill + PAGE - 1) // PAGE
     n_pages = B * pages_per_req + 1
     kp = jax.random.normal(jax.random.PRNGKey(7),
-                           (L, n_pages, PAGE, HKV * HD), jnp.bfloat16)
-    vp = jax.random.normal(jax.random.PRNGKey(8),
-                           (L, n_pages, PAGE, HKV * HD), jnp.bfloat16)
+                           (L, n_pages, 2, PAGE, HKV * HD), jnp.bfloat16)
     page_idx = jnp.arange(B * pages_per_req, dtype=jnp.int32).reshape(
         B, pages_per_req)
-    max_blocks = server.pages_per_block
     pad = jnp.zeros((B, max(0, 8 - pages_per_req)), jnp.int32)
     page_idx = jnp.concatenate([page_idx, pad], axis=1)[:, :8]
     lengths = jnp.full((B,), fill, jnp.int32)
@@ -190,7 +189,7 @@ def main():
         o = q
         for li in range(L):
             o = paged_attention(
-                o, kp[li], vp[li], page_idx, lengths,
+                o, kp[li], None, page_idx, lengths,
                 num_kv_heads=HKV, pages_per_block=server.pages_per_block,
             )
         return o * (1.0 + 1e-6)

@@ -1176,8 +1176,8 @@ def test_modern_serving_fp8_kv_cache():
     ref = ModernBatchServer(model, page_size=8, total_pages=32)
     s8 = ModernBatchServer(model, page_size=8, total_pages=32,
                            kv_dtype=jnp.float8_e4m3fn)
-    assert s8.k_pages[0].dtype == jnp.float8_e4m3fn
-    assert s8.k_pages[0].nbytes * 4 == ref.k_pages[0].nbytes  # f32 model
+    assert s8.kv_pages[0].dtype == jnp.float8_e4m3fn
+    assert s8.kv_pages[0].nbytes * 4 == ref.kv_pages[0].nbytes  # f32 model
     ref.add("a", prompt)
     s8.add("a", prompt)
     for _ in range(8):
@@ -1190,8 +1190,8 @@ def test_modern_serving_fp8_kv_cache():
     def logits_of(server):
         idx, lens = server._views(["a"])
         tp, ts = server._alloc_slot("a")
-        logits, server.k_pages, server.v_pages = server._step_fn(
-            server.model, server.k_pages, server.v_pages,
+        logits, server.kv_pages = server._step_fn(
+            server.model, server.kv_pages,
             jnp.asarray([server.last_token["a"]], jnp.int32), idx, lens,
             jnp.asarray([tp], jnp.int32), jnp.asarray([ts], jnp.int32),
             server._extras, None, None,
@@ -1559,14 +1559,15 @@ def test_beam_search_stop_tokens_and_early_stopping():
 
 
 def test_kv_write_scatter_preserves_inplace_aliasing():
-    """The engine's per-token cache write must compile to an IN-PLACE
-    scatter on the donated pool. A write that mixes two advanced indices
-    around a slice (``pool.at[tp, :, ts].set(rows)``) silently defeats
-    XLA's donation aliasing and copies the whole pool every step —
-    measured as a 2.7x decode regression when a fused [P, 2, page, fused]
-    pool layout was tried in the engine (docs/serving_headroom.md).
-    This pins the HLO-level property for the engine's current split-pool
-    write and for the two-scatter fused form a future retry must use."""
+    """The engine's per-token cache write must compile to IN-PLACE
+    scatters on the donated fused pool. A write that mixes two advanced
+    indices around a slice (``pool.at[tp, :, ts].set(rows)``) silently
+    defeats XLA's donation aliasing and copies the whole pool every step
+    — measured as a 2.7x decode regression the first time the fused
+    [P, 2, page, fused] layout was tried (docs/serving_headroom.md).
+    This pins the HLO-level property for the engine's actual write
+    (serving._kv_write: two statically-indexed scatters) and keeps the
+    combined-scatter form recognized as the copying regression."""
     P, page, F = 16, 8, 64
     B = 4
     tp = jnp.arange(B, dtype=jnp.int32)
@@ -1580,22 +1581,21 @@ def test_kv_write_scatter_preserves_inplace_aliasing():
         return sum(1 for l in txt.splitlines()
                    if " copy(" in l and any(d in l for d in pool_dims))
 
-    # the engine's split-pool write (serving._kv_write): in place
-    from lamp_tpu.models.serving import _kv_write
-    split_pool = jnp.zeros((P, page, F), jnp.bfloat16)
-    assert big_copies(_kv_write, split_pool, tp, ts, k) == 0
-
     fused_pool = jnp.zeros((P, 2, page, F), jnp.bfloat16)
+
+    # the engine's write (serving._kv_write, two static-index scatters):
+    # in place on the donated fused pool
+    from lamp_tpu.models.serving import _kv_write
+    assert big_copies(_kv_write, fused_pool, tp, ts, k, v) == 0
+
+    # ... and for the [B, M] chunked-decode index shape too
+    tp2 = jnp.zeros((B, 3), jnp.int32)
+    ts2 = jnp.tile(jnp.arange(3, dtype=jnp.int32), (B, 1))
+    k2 = jnp.ones((B, 3, F), jnp.bfloat16)
+    assert big_copies(_kv_write, fused_pool, tp2, ts2, k2, k2) == 0
 
     # combined scatter on a fused pool: copies the pool (the regression)
     def w_combined(pool, tp, ts, k, v):
         return pool.at[tp, :, ts].set(jnp.stack([k, v], axis=-2))
 
     assert big_copies(w_combined, fused_pool, tp, ts, k, v) >= 1
-
-    # two statically-indexed scatters: in place (viable fused-pool write)
-    def w_two(pool, tp, ts, k, v):
-        pool = pool.at[tp, 0, ts].set(k)
-        return pool.at[tp, 1, ts].set(v)
-
-    assert big_copies(w_two, fused_pool, tp, ts, k, v) == 0

@@ -33,6 +33,13 @@ import os
 import sys
 import time
 
+# BENCH_SMOKE=1 shrinks every phase to toy shapes/iteration counts so the
+# full script (timing structure, estimators, JSON assembly) can be driven
+# end-to-end on CPU in ~a minute. Numbers produced under smoke are
+# meaningless; the flag exists so bench-harness changes are testable
+# without the real chip (.claude/skills/verify/SKILL.md).
+SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0") or "0"))
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -91,10 +98,12 @@ def bench_lm(rtt):
     from lamp_tpu import nn, optim, train
 
     BATCH, CTX, VOCAB, ACCUM, LAYERS, DIM = 8, 384, 256, 5, 12, 768
+    if SMOKE:
+        BATCH, CTX, ACCUM, LAYERS, DIM = 2, 64, 2, 2, 128
     model = nn.LanguageModelModule.init(
         vocab_size=VOCAB, context_length=CTX, num_blocks=LAYERS,
-        embed_dim=DIM, attention_heads=12, key=jax.random.PRNGKey(0),
-        dtype=jnp.bfloat16, dropout=0.0,
+        embed_dim=DIM, attention_heads=2 if SMOKE else 12,
+        key=jax.random.PRNGKey(0), dtype=jnp.bfloat16, dropout=0.0,
     )
     opt = optim.AdamW(3e-4, weight_decay=0.01)
 
@@ -121,12 +130,20 @@ def bench_lm(rtt):
         state, (loss, _) = step(state, batch, rk)
     float(loss)
 
-    iters = 15
-    t0 = time.perf_counter()
-    for _ in range(iters):  # steps chain through donated state
-        state, (loss, _) = step(state, batch, rk)
-    float(loss)  # one sync at the end
-    dt = time.perf_counter() - t0 - rtt
+    # Best-of-3 timed windows: the axon tunnel's service throughput drifts
+    # 5-15% on identical code (docs/bench_variance.md), so a single window
+    # conflates service jitter with code speed. Each window is itself an
+    # average over 15 chained steps (~1s of device work); the min window
+    # is the standard timeit-style estimate of the code's capability.
+    iters = 2 if SMOKE else 15
+    dt = None
+    for _ in range(2 if SMOKE else 3):
+        t0 = time.perf_counter()
+        for _ in range(iters):  # steps chain through donated state
+            state, (loss, _) = step(state, batch, rk)
+        float(loss)  # one sync at the end
+        w = time.perf_counter() - t0 - rtt
+        dt = w if dt is None else min(dt, w)
 
     tok_s = ACCUM * BATCH * CTX * iters / dt / jax.device_count()
     # standard MFU convention: model FLOPs only (6*N per token for fwd+bwd
@@ -145,6 +162,8 @@ def bench_cifar(rtt):
     from lamp_tpu import models, nn, optim, train
 
     BATCH, K = 256, 16  # K optimizer steps fused per dispatch (lax.scan)
+    if SMOKE:
+        BATCH, K = 8, 2
     model = models.resnet_cifar(100, key=jax.random.PRNGKey(0), dropout=0.0)
     opt = optim.AdamW(1e-3, weight_decay=1e-4)
 
@@ -165,12 +184,16 @@ def bench_cifar(rtt):
     state, (loss, _) = chained(state, (x, y), rk)
     float(loss)  # compile + sync
 
-    calls = 6
-    t0 = time.perf_counter()
-    for _ in range(calls):
-        state, (loss, _) = chained(state, (x, y), rk)
-    float(loss)
-    dt = time.perf_counter() - t0 - rtt
+    # best-of-3 windows vs tunnel jitter (see bench_lm / bench_variance.md)
+    calls = 2 if SMOKE else 6
+    dt = None
+    for _ in range(2 if SMOKE else 3):
+        t0 = time.perf_counter()
+        for _ in range(calls):
+            state, (loss, _) = chained(state, (x, y), rk)
+        float(loss)
+        w = time.perf_counter() - t0 - rtt
+        dt = w if dt is None else min(dt, w)
 
     img_s = K * BATCH * calls / dt
     epoch_s = 50000.0 / img_s  # CIFAR-100 train split
@@ -191,15 +214,17 @@ def bench_serving(rtt):
     from lamp_tpu import nn
     from lamp_tpu.models import ModernBatchServer, SamplingParams
 
+    n_req, vocab = (4, 512) if SMOKE else (32, 32000)
     lm = nn.ModernLM.init(
-        vocab_size=32000, context_length=512, num_blocks=12, embed_dim=768,
-        num_heads=12, num_kv_heads=4, key=jax.random.PRNGKey(0),
-        dtype=jnp.bfloat16,
+        vocab_size=vocab, context_length=512,
+        num_blocks=2 if SMOKE else 12, embed_dim=128 if SMOKE else 768,
+        num_heads=2 if SMOKE else 12, num_kv_heads=2 if SMOKE else 4,
+        key=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
     )
-    server = ModernBatchServer(lm, total_pages=192)
+    server = ModernBatchServer(lm, total_pages=24 if SMOKE else 192)
     rng = np.random.RandomState(0)
-    for i in range(32):
-        server.add(f"r{i}", rng.randint(0, 32000, 24 + (i % 8)).tolist(),
+    for i in range(n_req):
+        server.add(f"r{i}", rng.randint(0, vocab, 24 + (i % 8)).tolist(),
                    SamplingParams(temperature=0.8))
 
     # Two-chain-length DIFFERENCE timing: each step_many call ends in one
@@ -210,22 +235,31 @@ def bench_serving(rtt):
     # scripts/exp_true_steptime.py). Timing the same call at n=8 and n=64
     # and differencing cancels the readback exactly:
     # step = (wall(64) - wall(8)) / 56.
-    n1, n2 = 8, 64
+    n1, n2 = (2, 6) if SMOKE else (8, 64)
     server.step_many(n1)  # compile (B=32, n=8)
     server.step_many(n2)  # compile (B=32, n=64)
-    vals = []
-    for _ in range(4):
+    # Service jitter only ever INFLATES a wall measurement of a fixed
+    # workload, so min-per-call-shape is the least-contaminated estimate;
+    # differencing the two mins then cancels the readback exactly.
+    # (min of the per-pair differences would be biased the other way:
+    # jitter landing in the n=8 call deflates that pair's difference.)
+    # 4 pairs: warmup (72) + 4*72 = 360 decode steps total, safely under
+    # every request's ~480-token budget (ctx 512 - prompt), so emission per
+    # pair stays the full B*(n2-n1) and `toks` is constant across pairs.
+    w1, w2 = [], []
+    toks = None
+    for _ in range(2 if SMOKE else 4):
         t0 = time.perf_counter()
         out1 = server.step_many(n1)
         t1 = time.perf_counter()
         out2 = server.step_many(n2)
         t2 = time.perf_counter()
-        per_tok = ((t2 - t1) - (t1 - t0)) / (
-            sum(len(v) for v in out2.values())
-            - sum(len(v) for v in out1.values()))
-        vals.append(per_tok)
-    vals.sort()
-    tok_s = 1.0 / vals[len(vals) // 2]
+        w1.append(t1 - t0)
+        w2.append(t2 - t1)
+        toks = (sum(len(v) for v in out2.values())
+                - sum(len(v) for v in out1.values()))
+    per_tok = (min(w2) - min(w1)) / toks
+    tok_s = 1.0 / per_tok
     log(f"serving: {tok_s:.0f} decode tok/s (B=32, 12L/768d GQA vocab 32k bf16)")
     return {"decode_tokens_per_sec": round(tok_s, 1)}
 

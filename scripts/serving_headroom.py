@@ -242,8 +242,17 @@ Generated by scripts/serving_headroom.py.
 """
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "serving_headroom.md")
+    # preserve hand-written sections appended after the generated block
+    # (anything below the "Generated by" line, e.g. the fused-pool history)
+    tail = ""
+    if os.path.exists(out):
+        with open(out) as fh:
+            prev = fh.read()
+        marker = "Generated by scripts/serving_headroom.py.\n"
+        if marker in prev:
+            tail = prev.split(marker, 1)[1]
     with open(out, "w") as fh:
-        fh.write(doc)
+        fh.write(doc + tail)
     print(f"-> {out}")
 
 

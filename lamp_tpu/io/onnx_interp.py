@@ -127,6 +127,10 @@ def _run_graph(graph: pb.GraphProto, outer_env: Dict[str, np.ndarray],
             out = [ins[0]]
         elif op == "Not":
             out = [~ins[0]]
+        elif op == "IsNaN":
+            out = [np.isnan(ins[0])]
+        elif op == "IsInf":
+            out = [np.isinf(ins[0])]
         elif op == "Equal":
             out = [ins[0] == ins[1]]
         elif op == "Less":

@@ -20,6 +20,13 @@ try:  # optional: cross-check every export under a real ONNX runtime
 except ImportError:  # pragma: no cover - absent in the baked image
     _ort = None
 
+try:  # independent verifier built on torch's native op kernels
+    import torch as _torch
+
+    from lamp_tpu.io.onnx_torch import run_onnx_torch
+except ImportError:  # pragma: no cover - torch is baked into this image
+    _torch = None
+
 
 def _check(fn, args, atol=1e-4, input_names=None):
     model = export_onnx(fn, args, input_names=input_names)
@@ -47,7 +54,32 @@ def _check(fn, args, atol=1e-4, input_names=None):
             np.asarray(expected, np.float64), np.asarray(ort_out, np.float64),
             atol=max(atol, 1e-3), rtol=max(atol, 1e-3),
         )
+    if _torch is not None:
+        # second independent verification: re-execute the graph dispatching
+        # every node to torch's native kernels (conv/pool/einsum/erf/… are
+        # implementations written by neither the exporter nor the numpy
+        # interpreter — the reference gets this independence from
+        # onnxruntime, build.sbt:259)
+        torch_out = run_onnx_torch(model, feeds)
+        np.testing.assert_allclose(
+            np.asarray(expected, np.float64),
+            np.asarray(torch_out[0], np.float64),
+            atol=max(atol, 1e-3), rtol=max(atol, 1e-3),
+        )
     return model
+
+
+def test_torch_crosscheck_runs():
+    """The torch-based independent verifier must actually execute on this
+    box (torch is baked in) — unlike the onnxruntime branch which skips."""
+    assert _torch is not None
+    m = nn.MLP(4, 8, 3, key=jax.random.PRNGKey(0), norm=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4))
+    model = export_onnx(lambda x: m(x), (x,))
+    got = run_onnx_torch(model, {"input_0": np.asarray(x)})
+    np.testing.assert_allclose(
+        np.asarray(m(x), np.float64), got[0].astype(np.float64), atol=1e-4
+    )
 
 
 def test_onnxruntime_crosscheck_available():

@@ -143,9 +143,9 @@ def _paged_kernel(
     sems,                # DMA semaphores [2, 2]
     *, pages_per_seq, pages_per_block, page, sm_scale, num_kv_heads,
     head_dim, batch, group, window=None, dynamic_window=False, cast_kv=False,
-    fused_kv=False,
+    fused_kv=False, single_pass=False,
 ):
-    """Grid = (B/G,), one cell per GROUP of G sequences. Measured on v5e
+    """One GROUP of G sequences per cell. Measured on v5e
     (scripts/exp_paged_sweep.py): per-cell fixed cost (~1.6us: grid
     sequencing, DMA programming, epilogue) dominates decode-attention time
     at B=32 — KV bytes are only ~10% of it — so packing G sequences per
@@ -158,8 +158,19 @@ def _paged_kernel(
     ``dynamic_window`` (per-request limits in ``windows_ref``) the walk
     starts at the first block intersecting the group's sliding bands
     ``[length - w, length)``, so DMA and compute are bounded by the
-    windows, not the sequence lengths."""
-    cell = pl.program_id(0)
+    windows, not the sequence lengths.
+
+    Two grid modes:
+      - ``single_pass=False``: grid = (B/G,), one Mosaic grid cell per
+        group; q_ref/o_ref are [G, H, D] blocks and the double-buffer
+        parity crosses cells through the writable ``cnt_ref`` scalar.
+      - ``single_pass=True``: grid = (1,), ALL groups walked by an
+        internal ``fori_loop``; q_ref/o_ref are the full [B, H, D] arrays
+        (dynamic slices per group) and the parity is a loop carry. This
+        pays the per-cell fixed cost ONCE per kernel launch instead of
+        B/G times — at the serving bench shapes that cost is ~40% of the
+        whole kernel (docs/serving_headroom.md).
+    """
     bk = pages_per_block * page
     n_blocks = pages_per_seq // pages_per_block
     G = group
@@ -198,9 +209,6 @@ def _paged_kernel(
             end = end_g if end is None else jnp.maximum(end, end_g)
         return start, end
 
-    start, end = live_range(cell)
-    n_live = end - start
-
     def page_dma(slot, cell_, block_idx):
         copies = []
         for g in range(G):
@@ -227,134 +235,165 @@ def _paged_kernel(
                     ))
         return copies
 
-    entry_cnt = cnt_ref[0]
-
-    @pl.when(init_ref[0] == 1)
-    def _first():  # the very first cell starts its own first-block DMA
-        for c in page_dma(entry_cnt % 2, cell, start):
-            c.start()
-
-    init_ref[0] = 0
-    cnt_ref[0] = entry_cnt + n_live
-
-    # hoisted out of the block loop: expand q block-diagonally
-    # ([G*H, H_kv*D], head h nonzero only in its own kv group's lane slice)
-    # so ONE matmul per sequence contracts every group at once — a per-group
-    # loop of tiny [q_per_kv, D] dots costs several times the DMA time in
-    # per-instruction overhead
-    q_all = q_ref[...].reshape(G * hq, d)
+    # fixed (cell-independent) iotas for the score-matrix masks
     rows = jax.lax.broadcasted_iota(jnp.int32, (G * hq, d), 0) % hq
-    q_exp = jnp.concatenate(
-        [jnp.where(rows // q_per_kv == g, q_all, 0) for g in range(hkv)],
-        axis=1,
-    )  # [G*H, H_kv*D]
-
-    # per-row (= per q head, grouped by sequence) lengths and windows as
-    # [G*H, 1] columns, hoisted out of the block loop; the block masks below
-    # are then a handful of broadcast compares on the full [G*H, G*bk] score
-    # matrix instead of G per-sequence passes
-    lengths = [lengths_ref[cell * G + g] for g in range(G)]
-    wins = [win_of(cell * G + g) for g in range(G)]
-    len_col = jnp.concatenate(
-        [jnp.zeros((hq, 1), jnp.int32) + lengths[g] for g in range(G)],
-        axis=0,
-    ) if G > 1 else jnp.zeros((hq, 1), jnp.int32) + lengths[0]
-    windowed = window is not None or dynamic_window
-    if windowed:
-        win_col = jnp.concatenate(
-            [jnp.zeros((hq, 1), jnp.int32) +
-             (wins[g] if wins[g] is not None else _NO_WINDOW)
-             for g in range(G)],
-            axis=0,
-        ) if G > 1 else (jnp.zeros((hq, 1), jnp.int32) + wins[0])
-    # which sequence owns each score row / column
     seq_row = jax.lax.broadcasted_iota(jnp.int32, (G * hq, 1), 0) // hq
     col_seq = jax.lax.broadcasted_iota(jnp.int32, (1, G * bk), 1) // bk
     tok0 = jax.lax.broadcasted_iota(jnp.int32, (1, G * bk), 1) % bk
+    windowed = window is not None or dynamic_window
 
-    def body(i, carry):
-        m_acc, l_acc, o_acc = carry   # [G*H, 1], [G*H, 1], [G*H, H_kv*D]
-        slot = (entry_cnt + i) % 2
-        nslot = (entry_cnt + i + 1) % 2
-
-        @pl.when(i + 1 < n_live)
-        def _():  # next block of this group
-            for c in page_dma(nslot, cell, start + i + 1):
-                c.start()
-
-        @pl.when((i + 1 == n_live) & (cell + 1 < batch))
-        def _():  # last live block: prefetch the next group's first block
-            for c in page_dma(nslot, cell + 1, live_range(cell + 1)[0]):
-                c.start()
-
-        for c in page_dma(slot, cell, start + i):
-            c.wait()
-
-        # ONE [G*H, fused] x [G*bk, fused]^T dot for the whole group: G^2-G
-        # of its blocks are cross-sequence garbage (masked below), but on the
-        # MXU the big dot measures 2.5x faster PER SEQUENCE than G small
-        # [H, bk] dots (1.66 vs 4.14 us/block, scripts/exp_mxu_forms.py) —
-        # M=12-row dots leave the systolic array idle while tiles load.
-        if fused_kv:
-            kv = k_buf[slot]  # [G, ppb, 2, page, fused]
-            k_all = kv[:, :, 0].reshape(G * bk, hkv * d)
-            v_all = kv[:, :, 1].reshape(G * bk, hkv * d)
+    def run_cell(cell, entry_cnt):
+        """Attend the G sequences of group ``cell`` (block walk + online
+        softmax + output store); returns the number of blocks walked so the
+        caller can advance the double-buffer parity."""
+        start, end = live_range(cell)
+        n_live = end - start
+        # hoisted out of the block loop: expand q block-diagonally
+        # ([G*H, H_kv*D], head h nonzero only in its own kv group's lane
+        # slice) so ONE matmul per sequence contracts every group at once —
+        # a per-group loop of tiny [q_per_kv, D] dots costs several times
+        # the DMA time in per-instruction overhead
+        if single_pass:
+            q_all = q_ref[pl.ds(cell * G, G)].reshape(G * hq, d)
         else:
-            k_all = k_buf[slot].reshape(G * bk, hkv * d)
-            v_all = v_buf[slot].reshape(G * bk, hkv * d)
-        if cast_kv:
-            # fp8 pool: upcast to bf16 for the MXU dots (elementwise, fused
-            # into the VMEM read; the DMA above moved half the bytes)
-            k_all = k_all.astype(jnp.bfloat16)
-            v_all = v_all.astype(jnp.bfloat16)
-        s = jax.lax.dot_general(
-            q_exp, k_all, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale  # [G*H, G*bk]
-        tok = tok0 + (start + i) * bk          # [1, G*bk] block-global pos
-        keep = (col_seq == seq_row) & (tok < len_col)
-        if windowed:
-            keep = keep & (tok >= len_col - win_col)
-        s = jnp.where(keep, s, NEG_INF)
-
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_acc, m_cur)
-        alpha = jnp.exp(m_acc - m_new)
-        # the where-guard (not just the NEG_INF fill) matters: a row whose
-        # current block is FULLY masked (group walk covers the union of the
-        # members' live ranges, so a member can see blocks outside its own
-        # band) has m_new == NEG_INF on first touch and exp(s - m_new) == 1
-        # for every masked entry without it
-        p = jnp.where(keep, jnp.exp(s - m_new), 0.0)
-        l_new = alpha * l_acc + jnp.sum(p, axis=1, keepdims=True)
-        # o_exp[h] = p[h] @ v over ALL lane groups (cross-sequence p entries
-        # are exactly 0 after the mask, so each row only picks up its own
-        # sequence's v rows); each head's own group slice is extracted at
-        # the end
-        o_blk = jax.lax.dot(
-            p.astype(v_all.dtype), v_all, preferred_element_type=jnp.float32
+            q_all = q_ref[...].reshape(G * hq, d)
+        q_exp = jnp.concatenate(
+            [jnp.where(rows // q_per_kv == g, q_all, 0) for g in range(hkv)],
+            axis=1,
         )  # [G*H, H_kv*D]
-        return m_new, l_new, o_acc * alpha + o_blk
 
-    m0 = jnp.full((G * hq, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((G * hq, 1), jnp.float32)
-    o0 = jnp.zeros((G * hq, hkv * d), jnp.float32)
-    m, l, o_exp = jax.lax.fori_loop(0, n_live, body, (m0, l0, o0))
+        # per-row (= per q head, grouped by sequence) lengths and windows as
+        # [G*H, 1] columns, hoisted out of the block loop; the block masks
+        # below are then a handful of broadcast compares on the full
+        # [G*H, G*bk] score matrix instead of G per-sequence passes
+        lengths = [lengths_ref[cell * G + g] for g in range(G)]
+        wins = [win_of(cell * G + g) for g in range(G)]
+        len_col = jnp.concatenate(
+            [jnp.zeros((hq, 1), jnp.int32) + lengths[g] for g in range(G)],
+            axis=0,
+        ) if G > 1 else jnp.zeros((hq, 1), jnp.int32) + lengths[0]
+        if windowed:
+            win_col = jnp.concatenate(
+                [jnp.zeros((hq, 1), jnp.int32) +
+                 (wins[g] if wins[g] is not None else _NO_WINDOW)
+                 for g in range(G)],
+                axis=0,
+            ) if G > 1 else (jnp.zeros((hq, 1), jnp.int32) + wins[0])
+        else:
+            win_col = None
 
-    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    o_exp = o_exp * l_inv
-    o = jnp.zeros((G * hq, d), jnp.float32)
-    for g in range(hkv):
-        o = o + jnp.where(
-            rows // q_per_kv == g, o_exp[:, g * d:(g + 1) * d], 0.0
-        )
-    # no valid keys -> zero output, per sequence
-    len_rows = jnp.concatenate(
-        [jnp.full((hq, 1), 0, jnp.int32) + lengths[g] for g in range(G)],
-        axis=0,
-    ) if G > 1 else jnp.zeros((hq, 1), jnp.int32) + lengths[0]
-    o = jnp.where(len_rows > 0, o, 0.0)
-    o_ref[...] = o.reshape(G, hq, d).astype(o_ref.dtype)
+        def body(i, carry):
+            m_acc, l_acc, o_acc = carry  # [G*H, 1], [G*H, 1], [G*H, Hkv*D]
+            slot = (entry_cnt + i) % 2
+            nslot = (entry_cnt + i + 1) % 2
+
+            @pl.when(i + 1 < n_live)
+            def _():  # next block of this group
+                for c in page_dma(nslot, cell, start + i + 1):
+                    c.start()
+
+            @pl.when((i + 1 == n_live) & (cell + 1 < batch))
+            def _():  # last live block: prefetch next group's first block
+                for c in page_dma(nslot, cell + 1, live_range(cell + 1)[0]):
+                    c.start()
+
+            for c in page_dma(slot, cell, start + i):
+                c.wait()
+
+            # ONE [G*H, fused] x [G*bk, fused]^T dot for the whole group:
+            # G^2-G of its blocks are cross-sequence garbage (masked below),
+            # but on the MXU the big dot measures 2.5x faster PER SEQUENCE
+            # than G small [H, bk] dots (1.66 vs 4.14 us/block,
+            # scripts/exp_mxu_forms.py) — M=12-row dots leave the systolic
+            # array idle while tiles load.
+            if fused_kv:
+                kv = k_buf[slot]  # [G, ppb, 2, page, fused]
+                k_all = kv[:, :, 0].reshape(G * bk, hkv * d)
+                v_all = kv[:, :, 1].reshape(G * bk, hkv * d)
+            else:
+                k_all = k_buf[slot].reshape(G * bk, hkv * d)
+                v_all = v_buf[slot].reshape(G * bk, hkv * d)
+            if cast_kv:
+                # fp8 pool: upcast to bf16 for the MXU dots (elementwise,
+                # fused into the VMEM read; the DMA moved half the bytes)
+                k_all = k_all.astype(jnp.bfloat16)
+                v_all = v_all.astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q_exp, k_all, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale  # [G*H, G*bk]
+            tok = tok0 + (start + i) * bk      # [1, G*bk] block-global pos
+            keep = (col_seq == seq_row) & (tok < len_col)
+            if windowed:
+                keep = keep & (tok >= len_col - win_col)
+            s = jnp.where(keep, s, NEG_INF)
+
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_acc, m_cur)
+            alpha = jnp.exp(m_acc - m_new)
+            # the where-guard (not just the NEG_INF fill) matters: a row
+            # whose current block is FULLY masked (group walk covers the
+            # union of the members' live ranges, so a member can see blocks
+            # outside its own band) has m_new == NEG_INF on first touch and
+            # exp(s - m_new) == 1 for every masked entry without it
+            p = jnp.where(keep, jnp.exp(s - m_new), 0.0)
+            l_new = alpha * l_acc + jnp.sum(p, axis=1, keepdims=True)
+            # o_exp[h] = p[h] @ v over ALL lane groups (cross-sequence p
+            # entries are exactly 0 after the mask, so each row only picks
+            # up its own sequence's v rows); each head's own group slice is
+            # extracted at the end
+            o_blk = jax.lax.dot(
+                p.astype(v_all.dtype), v_all,
+                preferred_element_type=jnp.float32,
+            )  # [G*H, H_kv*D]
+            return m_new, l_new, o_acc * alpha + o_blk
+
+        m0 = jnp.full((G * hq, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((G * hq, 1), jnp.float32)
+        o0 = jnp.zeros((G * hq, hkv * d), jnp.float32)
+        m, l, o_exp = jax.lax.fori_loop(0, n_live, body, (m0, l0, o0))
+
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_exp = o_exp * l_inv
+        o = jnp.zeros((G * hq, d), jnp.float32)
+        for g in range(hkv):
+            o = o + jnp.where(
+                rows // q_per_kv == g, o_exp[:, g * d:(g + 1) * d], 0.0
+            )
+        # no valid keys -> zero output, per sequence
+        len_rows = jnp.concatenate(
+            [jnp.full((hq, 1), 0, jnp.int32) + lengths[g] for g in range(G)],
+            axis=0,
+        ) if G > 1 else jnp.zeros((hq, 1), jnp.int32) + lengths[0]
+        o = jnp.where(len_rows > 0, o, 0.0)
+        o = o.reshape(G, hq, d).astype(o_ref.dtype)
+        if single_pass:
+            o_ref[pl.ds(cell * G, G)] = o
+        else:
+            o_ref[...] = o
+        return n_live
+
+    if single_pass:
+        # grid = (1,): walk every group in ONE Mosaic cell, slot parity as
+        # a loop carry; the first group's first block is DMA'd up front
+        for c in page_dma(0, 0, live_range(0)[0]):
+            c.start()
+
+        def cell_body(cell, cnt):
+            return cnt + run_cell(cell, cnt)
+
+        jax.lax.fori_loop(0, batch, cell_body, jnp.int32(0))
+    else:
+        cell = pl.program_id(0)
+        entry_cnt = cnt_ref[0]
+
+        @pl.when(init_ref[0] == 1)
+        def _first():  # the very first cell starts its own first-block DMA
+            for c in page_dma(entry_cnt % 2, cell, live_range(cell)[0]):
+                c.start()
+
+        init_ref[0] = 0
+        cnt_ref[0] = entry_cnt + run_cell(cell, entry_cnt)
 
 
 def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
@@ -363,6 +402,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
                     pages_per_block: int = 2,
                     window: Optional[int] = None,
                     windows=None,
+                    single_pass: Optional[bool] = None,
                     interpret: Optional[bool] = None):
     """Decode attention over the paged KV pool (shapes in module docstring).
     Returns [B, H, D]. Grid: one cell per sequence. ``window`` restricts each
@@ -421,12 +461,19 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
             group = cand
             break
 
+    if single_pass is None:
+        # one Mosaic cell walking all groups internally beats one cell per
+        # group whenever there is more than one group: the per-cell fixed
+        # cost (~1.6us on v5e) is paid once per launch instead of B/G times
+        single_pass = b // group > 1
+
     base_kernel = functools.partial(
         _paged_kernel, pages_per_seq=pages_per_seq,
         pages_per_block=pages_per_block, page=page, sm_scale=sm_scale,
         num_kv_heads=num_kv_heads, head_dim=d, batch=b // group, group=group,
         window=window, dynamic_window=windows is not None,
         cast_kv=_is_low_precision_kv(k_pages.dtype), fused_kv=fused_kv,
+        single_pass=single_pass,
     )
     if fused_kv:
         def kernel(pi, ln, wins, cnt, init, q_r, kv_r, o_r, kv_b, sems):
@@ -448,14 +495,25 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
                        v_pages.dtype),
         ]
         kv_args = (k_pages, v_pages)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(b // group,),
-        in_specs=[pl.BlockSpec((group, h, d), lambda bi, *_: (bi, 0, 0))]
-        + kv_in_specs,
-        out_specs=pl.BlockSpec((group, h, d), lambda bi, *_: (bi, 0, 0)),
-        scratch_shapes=kv_scratch + [pltpu.SemaphoreType.DMA((2, 2))],
-    )
+    if single_pass:
+        # full q/o in VMEM (dynamic [G]-slices per group inside the kernel)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(1,),
+            in_specs=[pl.BlockSpec((b, h, d), lambda *_: (0, 0, 0))]
+            + kv_in_specs,
+            out_specs=pl.BlockSpec((b, h, d), lambda *_: (0, 0, 0)),
+            scratch_shapes=kv_scratch + [pltpu.SemaphoreType.DMA((2, 2))],
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(b // group,),
+            in_specs=[pl.BlockSpec((group, h, d), lambda bi, *_: (bi, 0, 0))]
+            + kv_in_specs,
+            out_specs=pl.BlockSpec((group, h, d), lambda bi, *_: (bi, 0, 0)),
+            scratch_shapes=kv_scratch + [pltpu.SemaphoreType.DMA((2, 2))],
+        )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -310,3 +310,39 @@ def test_paged_fused_kv_windows_and_fp8():
                                      lengths, num_kv_heads=hkv)
     np.testing.assert_allclose(np.asarray(out8), np.asarray(ref8),
                                atol=4e-3, rtol=4e-2)
+
+
+@pytest.mark.parametrize("single_pass", [False, True])
+@pytest.mark.parametrize("B", [8, 16])
+def test_paged_single_pass_modes_match_reference(B, single_pass):
+    """Both grid modes (one Mosaic cell per group vs ONE cell walking all
+    groups with an internal fori_loop) must agree with the reference on
+    mixed lengths including zero rows."""
+    args, hkv = _setup(B=B, PAGES=4, TOTAL=B * 4 + 2, seed=3)
+    q, kp, vp, idx, _ = args
+    rng = np.random.RandomState(7)
+    lengths = jnp.asarray(
+        np.where(rng.rand(B) < 0.2, 0, rng.randint(1, 4 * 16, B)), jnp.int32)
+    ref = paged_attention_reference(q, kp, vp, idx, lengths, num_kv_heads=hkv)
+    out = paged_attention(q, kp, vp, idx, lengths, num_kv_heads=hkv,
+                          single_pass=single_pass, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+@pytest.mark.parametrize("single_pass", [False, True])
+def test_paged_single_pass_fused_windows(single_pass):
+    """Single-pass mode with the engine's fused-KV layout + per-request
+    windows (the serving configuration)."""
+    B, PAGES, PAGE = 8, 4, 16
+    (q, kp, vp, idx, lengths), hkv = _setup(
+        B=B, PAGES=PAGES, TOTAL=B * PAGES + 1, seed=11)
+    kv = jnp.stack([kp, vp], axis=1)  # [P, 2, page, fused]
+    wins = jnp.asarray([0, 3, 17, 0, 9, 1, 64, 5], jnp.int32)
+    ref = paged_attention_reference(q, kv, None, idx, lengths,
+                                    num_kv_heads=hkv, windows=wins)
+    out = paged_attention(q, kv, None, idx, lengths, num_kv_heads=hkv,
+                          windows=wins, single_pass=single_pass,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)

@@ -10,6 +10,11 @@ reference's own thresholds (e2e.test.scala:313-314).
 
 Usage:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/run_parity_suite.py
 (~3 minutes on the 1-core box; run alone so timings don't interleave)
+
+``--full`` drops the 2000-row subsampling (every dataset at the
+reference's full scale, filter-capped at 20,000 rows) and writes
+``PARITY_RESULTS_FULL.json`` instead — the large-N config the reference
+trains (e2e.test.scala:205-209). Run once per round; takes ~15-40 min.
 """
 
 import hashlib
@@ -27,7 +32,7 @@ import numpy as np  # noqa: E402
 import test_e2e_parity as suite  # noqa: E402
 
 
-def config_fingerprint(dataset_names):
+def config_fingerprint(dataset_names, max_rows):
     """Hash of everything that affects the parity numbers: model/train
     hyperparameters, subsampling, and the dataset roster."""
     cfg = {
@@ -35,7 +40,7 @@ def config_fingerprint(dataset_names):
         "epochs": suite.EPOCHS,
         "batch": suite.BATCH,
         "lr": suite.LR,
-        "max_rows": suite.MAX_ROWS,
+        "max_rows": max_rows,
         "datasets": list(dataset_names),
     }
     blob = json.dumps(cfg, sort_keys=True).encode()
@@ -43,10 +48,11 @@ def config_fingerprint(dataset_names):
 
 
 def main():
+    full = "--full" in sys.argv[1:]
     t0 = time.time()
-    datasets = suite._datasets()
+    datasets = suite._datasets(max_rows=0 if full else None)
     names = [d[0] for d in datasets]
-    cfg, fp = config_fingerprint(names)
+    cfg, fp = config_fingerprint(names, 0 if full else suite.MAX_ROWS)
     print(f"{len(datasets)} datasets, config fingerprint {fp}")
 
     per_dataset = []
@@ -86,7 +92,8 @@ def main():
         "datasets": per_dataset,
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "PARITY_RESULTS.json")
+        os.path.abspath(__file__))),
+        "PARITY_RESULTS_FULL.json" if full else "PARITY_RESULTS.json")
     with open(out, "w") as fh:
         json.dump(doc, fh, indent=1)
     print(f"mean gap {gap:.4f} (< 0.1), r^2 {r2:.4f} (> 0.3) -> {out}")

@@ -33,8 +33,9 @@ PENN_ML_DIR = "/root/reference/datasets/penn-ml-benchmarks/classification"
 MAX_ROWS = 2000
 
 
-def _load_penn_ml():
+def _load_penn_ml(max_rows=None):
     """Real penn-ml datasets through the reference's selection filter."""
+    max_rows = MAX_ROWS if max_rows is None else max_rows
     out = []
     for name in sorted(os.listdir(PENN_ML_DIR)):
         path = os.path.join(PENN_ML_DIR, name, f"{name}.tsv.gz")
@@ -63,9 +64,9 @@ def _load_penn_ml():
         classes = len(vals)
         rng = np.random.RandomState(0)
         perm = rng.permutation(n)
-        if n > MAX_ROWS:
-            perm = perm[:MAX_ROWS]
-            n = MAX_ROWS
+        if max_rows and n > max_rows:
+            perm = perm[:max_rows]
+            n = max_rows
         x, y = x[perm], y[perm]
         x = ((x - x.mean(0)) / (x.std(0) + 1e-9)).astype(np.float32)
         split = int(0.7 * n)
@@ -97,9 +98,9 @@ def _synthetic_datasets(n_datasets=50):
     return out
 
 
-def _datasets(limit=None):
+def _datasets(limit=None, max_rows=None):
     if os.path.isdir(PENN_ML_DIR):
-        ds = _load_penn_ml()
+        ds = _load_penn_ml(max_rows=max_rows)
         assert len(ds) >= 20, f"only {len(ds)} penn-ml datasets passed filter"
     else:
         ds = _synthetic_datasets(50)
@@ -182,6 +183,32 @@ def test_pytorch_parity_suite():
     r2 = np.corrcoef(ours, theirs)[0, 1] ** 2
     print(f"mean accuracy gap: {diff_mean:.4f}, r^2: {r2:.4f}")
     # reference thresholds (e2e.test.scala:313-314)
+    assert diff_mean < 0.1, diff_mean
+    assert r2 > 0.3, r2
+
+
+@pytest.mark.slow
+def test_pytorch_parity_suite_fullsize():
+    """Same battery WITHOUT the 2000-row subsampling — every dataset at the
+    reference's full scale (its filter admits up to 20,000 rows,
+    e2e.test.scala:205-209), so large-N training dynamics are compared too.
+    Run once per round via ``scripts/run_parity_suite.py --full`` which
+    pins PARITY_RESULTS_FULL.json; this test exists for direct invocation
+    (-m slow) and uses the same thresholds."""
+    datasets = _datasets(max_rows=0)
+    ours, theirs = [], []
+    for name, x, y, xt, yt, classes in datasets:
+        a_ours = _train_ours(x, y, xt, yt, classes, seed=0)
+        a_torch = _train_torch(x, y, xt, yt, classes, seed=0)
+        ours.append(a_ours)
+        theirs.append(a_torch)
+        print(f"{name} (n={len(x) + len(xt)}): ours={a_ours:.3f} "
+              f"torch={a_torch:.3f}")
+    ours = np.asarray(ours)
+    theirs = np.asarray(theirs)
+    diff_mean = np.abs(ours - theirs).mean()
+    r2 = np.corrcoef(ours, theirs)[0, 1] ** 2
+    print(f"mean accuracy gap: {diff_mean:.4f}, r^2: {r2:.4f}")
     assert diff_mean < 0.1, diff_mean
     assert r2 > 0.3, r2
 

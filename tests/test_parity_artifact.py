@@ -56,8 +56,37 @@ def test_parity_artifact_matches_current_config():
 
     doc = _load()
     names = [d[0] for d in suite._datasets()]
-    _, fp = config_fingerprint(names)
+    _, fp = config_fingerprint(names, suite.MAX_ROWS)
     assert doc["config_fingerprint"] == fp, (
         f"artifact fingerprint {doc['config_fingerprint']} != current {fp}; "
         "re-run scripts/run_parity_suite.py"
+    )
+
+
+def test_fullsize_parity_artifact():
+    """The full-scale (no row subsampling) battery pinned by
+    ``run_parity_suite.py --full`` must also meet the reference thresholds
+    and match the current config once it exists."""
+    full = os.path.join(ROOT, "PARITY_RESULTS_FULL.json")
+    assert os.path.exists(full), (
+        "PARITY_RESULTS_FULL.json missing — run "
+        "scripts/run_parity_suite.py --full"
+    )
+    with open(full) as fh:
+        doc = json.load(fh)
+    assert doc["mean_accuracy_gap"] < 0.1, doc["mean_accuracy_gap"]
+    assert doc["r2"] > 0.3, doc["r2"]
+    assert doc["config"]["max_rows"] in (0, None)
+
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    sys.path.insert(0, os.path.join(ROOT, "tests"))
+    from run_parity_suite import config_fingerprint
+
+    import test_e2e_parity as suite
+
+    names = [d[0] for d in suite._datasets()]
+    _, fp = config_fingerprint(names, 0)
+    assert doc["config_fingerprint"] == fp, (
+        f"full-size artifact fingerprint {doc['config_fingerprint']} != "
+        f"current {fp}; re-run scripts/run_parity_suite.py --full"
     )

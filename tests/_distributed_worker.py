@@ -95,6 +95,51 @@ def main():
     oks = jax.tree_util.tree_leaves(
         jax.tree_util.tree_map(shards_equal, s2.params, restored)
     )
+
+    # --- phase 2: tensor parallelism ACROSS the process boundary. The tp
+    # axis is the leading mesh axis, so each tp group pairs one device from
+    # process 0 with one from process 1 — the Megatron-style w_o/w2
+    # all-reduces ride the inter-process (DCN-analogue) channel, not just
+    # local devices. dp is the trailing axis (within-process).
+    tp_mesh = parallel.make_mesh({"tp": 2, "dp": len(devs) // 2})
+    lm = nn.LanguageModelModule.init(
+        vocab_size=13, context_length=8, num_blocks=1, embed_dim=16,
+        attention_heads=2, key=jax.random.PRNGKey(1), dropout=0.0,
+    )
+
+    def lm_loss_fn(m, batch, key, train_mode):
+        tokens, target = batch
+        logits, nm = m.forward(tokens, key=key, train=train_mode)
+        return (
+            nn.lm_loss(logits, target),
+            jnp.asarray(tokens.shape[0], jnp.float32),
+            nm,
+        )
+
+    lm_state = train.TrainState.init(lm, opt)
+    tp_state = parallel.shard_train_state(
+        lm_state, tp_mesh, parallel.lm_tensor_parallel_rules("tp")
+    )
+    toks = rng.randint(0, 13, (4, 8)).astype(np.int32)
+    tp_sh = NamedSharding(tp_mesh, P("dp"))
+    # tp is the LEADING mesh axis, so each process's two devices cover BOTH
+    # dp shards (its devices differ in dp, agree in tp) — every process
+    # therefore supplies the FULL batch; the dp split happens within it
+    gtoks = jax.make_array_from_process_local_data(tp_sh, toks)
+    gtarg = jax.make_array_from_process_local_data(
+        tp_sh, np.roll(toks, -1, axis=1)
+    )
+    tp_step = parallel.make_sharded_train_step(
+        opt, lm_loss_fn, tp_mesh, donate=False
+    )
+    tp_state2, (tp_loss, _) = tp_step(
+        tp_state, (gtoks, gtarg), jax.random.PRNGKey(2)
+    )
+    tp_loss = float(tp_loss)  # replicated: must agree across processes
+    # and a second step must still be finite (grads flowed through the
+    # cross-process all-reduces)
+    _, (tp_loss2, _) = tp_step(tp_state2, (gtoks, gtarg), jax.random.PRNGKey(3))
+
     print(json.dumps({
         "pid": pid,
         "processes": jax.process_count(),
@@ -103,6 +148,8 @@ def main():
         "loss": loss,
         "local_microbatches": len(local),
         "restore_ok": bool(all(oks)),
+        "tp_loss": tp_loss,
+        "tp_loss_step2": float(tp_loss2),
     }))
 
 

@@ -826,3 +826,10 @@ def test_two_process_distributed(tmp_path):
     assert r0["loss"] == r1["loss"]
     assert np.isfinite(r0["loss"])
     assert r0["restore_ok"] and r1["restore_ok"]
+    # TP phase: the tp mesh axis pairs devices from BOTH processes, so the
+    # Megatron w_o/w2 all-reduces crossed the process boundary; the
+    # replicated loss must agree bit-for-bit and keep training
+    assert r0["tp_loss"] == r1["tp_loss"]
+    assert np.isfinite(r0["tp_loss"])
+    assert r0["tp_loss_step2"] == r1["tp_loss_step2"]
+    assert np.isfinite(r0["tp_loss_step2"])

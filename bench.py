@@ -261,7 +261,34 @@ def bench_serving(rtt):
     per_tok = (min(w2) - min(w1)) / toks
     tok_s = 1.0 / per_tok
     log(f"serving: {tok_s:.0f} decode tok/s (B=32, 12L/768d GQA vocab 32k bf16)")
-    return {"decode_tokens_per_sec": round(tok_s, 1)}
+
+    # int8 weight-only mode: the measured 1.43x weight-stream lever
+    # (docs/serving_headroom.md); quality is gated separately by
+    # tests/test_serving.py::test_modern_serving_quantized_decode
+    server8 = ModernBatchServer(lm, total_pages=24 if SMOKE else 192,
+                                quantize_bits=8)
+    rng = np.random.RandomState(0)
+    for i in range(n_req):
+        server8.add(f"q{i}", rng.randint(0, vocab, 24 + (i % 8)).tolist(),
+                    SamplingParams(temperature=0.8))
+    server8.step_many(n1)
+    server8.step_many(n2)
+    w1, w2, toks8 = [], [], None
+    for _ in range(2 if SMOKE else 4):
+        t0 = time.perf_counter()
+        out1 = server8.step_many(n1)
+        t1 = time.perf_counter()
+        out2 = server8.step_many(n2)
+        t2 = time.perf_counter()
+        w1.append(t1 - t0)
+        w2.append(t2 - t1)
+        toks8 = (sum(len(v) for v in out2.values())
+                 - sum(len(v) for v in out1.values()))
+    tok_s8 = toks8 / (min(w2) - min(w1))
+    log(f"serving int8: {tok_s8:.0f} decode tok/s (same workload, "
+        f"weight-only int8)")
+    return {"decode_tokens_per_sec": round(tok_s, 1),
+            "decode_tokens_per_sec_int8": round(tok_s8, 1)}
 
 
 def best_prior_headline():
@@ -311,6 +338,8 @@ def main():
             "cifar100_images_per_sec": cifar.get("images_per_sec"),
             "serving_decode_tokens_per_sec": serving.get(
                 "decode_tokens_per_sec", serving.get("error")),
+            "serving_decode_tokens_per_sec_int8": serving.get(
+                "decode_tokens_per_sec_int8"),
         },
     }))
 

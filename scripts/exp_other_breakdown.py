@@ -44,17 +44,25 @@ def with_retries(fn, attempts=4):
             time.sleep(3.0)
 
 
-def diff_pairs(call, pairs=4):
+def diff_pairs(call, pairs=6):
+    """Per-step seconds via the two-chain-length DIFFERENCE method with
+    MIN-based estimation: service jitter only ever INFLATES a wall reading
+    of a fixed workload, so min per chain length is the least-contaminated
+    estimate and differencing the mins cancels the per-call readback
+    exactly (per-pair differencing is biased: a latency spike landing in
+    the short call makes that pair's difference too small — observed as
+    NEGATIVE per-step times in bad tunnel windows)."""
     call(N1), call(N2)
-    vals = []
+    w1, w2 = [], []
     for _ in range(pairs):
         t0 = time.perf_counter()
         call(N1)
         t1 = time.perf_counter()
         call(N2)
         t2 = time.perf_counter()
-        vals.append(((t2 - t1) - (t1 - t0)) / (N2 - N1))
-    return float(np.median(vals))
+        w1.append(t1 - t0)
+        w2.append(t2 - t1)
+    return (min(w2) - min(w1)) / (N2 - N1)
 
 
 def time_scan(fn, carry, reps=4):

@@ -42,24 +42,51 @@ def with_retries(fn, attempts=4):
 N1, N2 = 8, 64
 
 
-def diff_pairs(call, pairs=4):
+def diff_pairs(call, pairs=6):
     """Per-step seconds via the two-chain-length DIFFERENCE method:
     wall(n) = overhead + n*step, so step = (wall(N2)-wall(N1))/(N2-N1) and
     the per-call host-readback latency cancels EXACTLY — no assumed RTT.
     (Measured on this box: the readback a step_many call pays is ~43 ms,
     vs ~23 ms for a fresh scalar and ~0 for a cached one; subtracting any
     probed constant mis-states per-step time by hundreds of us at n=64.
-    See scripts/exp_true_steptime.py.)"""
+    See scripts/exp_true_steptime.py.)
+
+    MIN-based estimation: service jitter only ever INFLATES a wall reading
+    of a fixed workload, so min per chain length is the least-contaminated
+    estimate and differencing the mins still cancels the readback exactly.
+    (Per-pair differencing + median is biased: a latency spike landing in
+    the SHORT call makes that pair's difference too small — observed as
+    NEGATIVE per-step times in bad tunnel windows.)"""
     call(N1), call(N2)  # compile both
-    vals = []
+    w1, w2 = [], []
     for _ in range(pairs):
         t0 = time.perf_counter()
         call(N1)
         t1 = time.perf_counter()
         call(N2)
         t2 = time.perf_counter()
-        vals.append(((t2 - t1) - (t1 - t0)) / (N2 - N1))
-    return float(np.median(vals))
+        w1.append(t1 - t0)
+        w2.append(t2 - t1)
+    return (min(w2) - min(w1)) / (N2 - N1)
+
+
+def measure_at_least(fn, floor_us, name, attempts=3):
+    """Re-measure while the result is BELOW its own HBM roofline — a
+    physically impossible reading (the difference method degrades to noise
+    when the tunnel has latency spikes between the paired calls). Returns
+    the first plausible value, or raises if every attempt is impossible
+    so a garbage number never lands in the committed doc."""
+    last = None
+    for i in range(attempts):
+        last = fn()
+        if last >= 0.9 * floor_us:
+            return last
+        print(f"{name}: {last:.0f} us is below the {floor_us:.0f} us HBM "
+              f"roofline — impossible, re-measuring ({i + 1}/{attempts})",
+              file=sys.stderr)
+    raise RuntimeError(
+        f"{name}: measured {last:.0f} us < roofline {floor_us:.0f} us "
+        f"after {attempts} attempts; tunnel too unstable to trust")
 
 
 def time_scan(fn, carry, reps=4):
@@ -100,8 +127,11 @@ def main():
         server.add(f"r{i}", rng.randint(0, VOCAB, 24 + (i % 8)).tolist(),
                    SamplingParams(temperature=0.8))
     with_retries(lambda: server.step_many(N1))  # warm the KV fill a bit
-    full_us = with_retries(lambda: diff_pairs(
-        lambda n: server.step_many(n))) * 1e6
+    # floor: bf16 weights (200MB) + KV must stream through HBM every step
+    full_floor = (200.0 + 60.0) * 1e3 / HBM_GBS
+    full_us = with_retries(lambda: measure_at_least(
+        lambda: diff_pairs(lambda n: server.step_many(n)) * 1e6,
+        full_floor, "full engine step"))
     print(f"full engine step: {full_us:.0f} us")
 
     # --- 2. weight-stream floor: just the decode matmuls, chained
@@ -130,9 +160,10 @@ def main():
         return x + logits[:, :D].astype(jnp.bfloat16) * 1e-6
 
     x0 = jax.random.normal(ks[5], (B, D), jnp.bfloat16)
-    mm_us = with_retries(lambda: time_scan(matmul_stack, x0)) * 1e6
     weight_mb = (wqkv.size + wo.size + w13.size + w2.size + lmh.size) * 2 / 1e6
     roof_us = weight_mb * 1e6 / (HBM_GBS * 1e3)
+    mm_us = with_retries(lambda: measure_at_least(
+        lambda: time_scan(matmul_stack, x0) * 1e6, roof_us, "matmul stack"))
     print(f"matmul stack: {mm_us:.0f} us (weights {weight_mb:.0f} MB, "
           f"HBM roofline {roof_us:.0f} us)")
 
@@ -166,10 +197,13 @@ def main():
         logits = mm_q(x, lmh_q)
         return x + logits[:, :D].astype(jnp.bfloat16) * 1e-6
 
-    mm_q_us = with_retries(lambda: time_scan(matmul_stack_q, x0)) * 1e6
     q_mb = weight_mb / 2
+    q_roof_us = q_mb * 1e6 / (HBM_GBS * 1e3)
+    mm_q_us = with_retries(lambda: measure_at_least(
+        lambda: time_scan(matmul_stack_q, x0) * 1e6, q_roof_us,
+        "matmul stack int8"))
     print(f"matmul stack int8: {mm_q_us:.0f} us ({q_mb:.0f} MB, roofline "
-          f"{q_mb * 1e6 / (HBM_GBS * 1e3):.0f} us)")
+          f"{q_roof_us:.0f} us)")
 
     # --- 4. paged attention alone at the steady-state fill (~150 tokens),
     # in the engine's FUSED pool layout ([P, 2, page, F]: one DMA per page
@@ -195,8 +229,10 @@ def main():
         return o * (1.0 + 1e-6)
 
     q0 = jax.random.normal(jax.random.PRNGKey(9), (B, HQ, HD), jnp.bfloat16)
-    att_us = with_retries(lambda: time_scan(attn_chain, q0)) * 1e6
     kv_mb = B * fill * HKV * HD * 2 * 2 * L / 1e6
+    att_us = with_retries(lambda: measure_at_least(
+        lambda: time_scan(attn_chain, q0) * 1e6,
+        kv_mb * 1e6 / (HBM_GBS * 1e3), "paged attention"))
     print(f"paged attention x12 @ fill {fill}: {att_us:.0f} us "
           f"(KV touched {kv_mb:.0f} MB, roofline "
           f"{kv_mb * 1e6 / (HBM_GBS * 1e3):.0f} us)")
@@ -227,7 +263,8 @@ Decode throughput = 32 tokens / step-time:
   {roof_us + kv_mb * 1e6 / (HBM_GBS * 1e3):.0f} µs → {32 / (roof_us + kv_mb * 1e6 / (HBM_GBS * 1e3)) * 1e6:,.0f} tok/s
 
 So the engine runs at {100 * (roof_us + kv_mb * 1e6 / (HBM_GBS * 1e3)) / full_us:.0f}% of the
-HBM roofline (run-to-run tunnel variance on the full step is ~±15%; the
+HBM roofline (run-to-run tunnel variance on the full step is ~±15%: the
+same engine measured 480/577/680 µs across three round-3 sessions; the
 component rows are independently measured and need not sum exactly).
 The weight stream dominates and is {100 * roof_us / mm_us:.0f}%
 HBM-efficient against the NOMINAL 819 GB/s ({mm_us:.0f} µs vs {roof_us:.0f} µs
@@ -249,8 +286,14 @@ Generated by scripts/serving_headroom.py.
         with open(out) as fh:
             prev = fh.read()
         marker = "Generated by scripts/serving_headroom.py.\n"
-        if marker in prev:
-            tail = prev.split(marker, 1)[1]
+        if marker not in prev:
+            # the marker sentence was reworded/removed: overwriting now
+            # would silently discard every hand-written section below it
+            raise RuntimeError(
+                f"{out} exists but lacks the marker line {marker!r}; "
+                "refusing to overwrite (hand-written tail would be lost). "
+                "Re-add the marker or move the hand-written sections.")
+        tail = prev.split(marker, 1)[1]
     with open(out, "w") as fh:
         fh.write(doc + tail)
     print(f"-> {out}")

@@ -55,6 +55,25 @@ def _kv_write(pool, token_pages, token_slots, k_rows, v_rows):
     return pool.at[token_pages, 1, token_slots].set(v_rows.astype(pool.dtype))
 
 
+def _kv_write_combined(pool, token_pages, token_slots, k_rows, v_rows):
+    """ONE scatter writes a token batch's K AND V rows into the fused pool
+    ``[P, 2, page, F]``. All three index arrays are advanced (no slice in
+    between), so unlike the forbidden ``pool.at[tp, :, ts]`` form XLA keeps
+    the in-place aliasing of the donated pool (pinned by
+    tests/test_serving.py::test_kv_write_scatter_preserves_inplace_aliasing).
+    Halves the scatter-dispatch count of :func:`_kv_write`; decode paths
+    additionally DEFER these writes out of the layer loop (the kernel's
+    ``append_kv`` injects the current token), so the scatter chain depends
+    on nothing downstream and XLA can overlap it with the layer matmuls."""
+    b = token_pages.shape[0]
+    pages2 = jnp.concatenate([token_pages, token_pages])
+    sel = jnp.concatenate([jnp.zeros((b,), jnp.int32),
+                           jnp.ones((b,), jnp.int32)])
+    slots2 = jnp.concatenate([token_slots, token_slots])
+    rows = jnp.concatenate([k_rows, v_rows]).astype(pool.dtype)
+    return pool.at[pages2, sel, slots2].set(rows)
+
+
 @jax.jit
 def _bump_counts(counts, nxt):
     """counts [B, V] += one_hot(nxt) (device-side, single dispatch)."""
@@ -706,6 +725,7 @@ class BatchServer:
             model.position_embedding.weight, lengths[:, None], axis=0
         )
         hd = self.head_dim
+        deferred_rows = []  # per-layer (k_rows, v_rows) written after loop
         for li, block in enumerate(model.encoder.blocks):
             att = block.attention
             h = att.num_heads
@@ -721,14 +741,16 @@ class BatchServer:
             q = y[:, :nq].reshape(b, h, hd)
             kk = y[:, nq:2 * nq].reshape(b, h, hd)
             vv = y[:, 2 * nq:].reshape(b, h, hd)
-            # write this token's fused-head kv row into its page slot
-            kv_pages[li] = _kv_write(kv_pages[li], token_pages, token_slots,
-                                     kk.reshape(b, -1), vv.reshape(b, -1))
+            # current token injected via append_kv; pool write deferred out
+            # of the layer loop (one combined scatter per layer after it)
+            kk_f, vv_f = kk.reshape(b, -1), vv.reshape(b, -1)
+            deferred_rows.append((kk_f, vv_f))
             o = paged_attention(
-                q, kv_pages[li], None, page_idx, lengths + 1,
+                q, kv_pages[li], None, page_idx, lengths,
                 num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block,
                 windows=req_windows,
+                append_kv=(kk_f, vv_f),
             )
             o = o.reshape(b, 1, h * self.head_dim)
             ow = jnp.matmul(
@@ -742,6 +764,11 @@ class BatchServer:
             x = x + ow * block.scale1
             m = block.w2(block.activation(block.w1(block.norm2(x))))
             x = x + m * block.scale2
+        # deferred pool writes (see _kv_write_combined): off the critical
+        # path because attention used append_kv
+        for li, (kk_f, vv_f) in enumerate(deferred_rows):
+            kv_pages[li] = _kv_write_combined(
+                kv_pages[li], token_pages, token_slots, kk_f, vv_f)
         x = model.final_norm(x)
         w = model.token_embedding.weight
         logits = jnp.einsum(
@@ -1551,6 +1578,7 @@ class ModernBatchServer(BatchServer):
         nq = self.heads * hd
         nkv = self.kv_heads * hd
         dl = self._lora_delta
+        deferred_rows = []  # per-layer (k_rows, v_rows) written after loop
         for li, block in enumerate(model.blocks):
             a3 = block.norm1(x)            # [B, 1, D]
             a = a3[:, 0]
@@ -1571,13 +1599,18 @@ class ModernBatchServer(BatchServer):
             q = rot(yq.reshape(b, self.heads, hd))
             kk = rot(yk.reshape(b, self.kv_heads, hd))
             vv = yv.reshape(b, self.kv_heads, hd)
-            kv_pages[li] = _kv_write(kv_pages[li], token_pages, token_slots,
-                                     kk.reshape(b, -1), vv.reshape(b, -1))
+            # the current token's K/V is INJECTED into the kernel
+            # (append_kv) instead of read back from the pool, so the pool
+            # write is deferred out of the layer loop entirely — see the
+            # deferred-scatter block after the loop
+            kk_f, vv_f = kk.reshape(b, -1), vv.reshape(b, -1)
+            deferred_rows.append((kk_f, vv_f))
             o = paged_attention(
-                q, kv_pages[li], None, page_idx, lengths + 1,
+                q, kv_pages[li], None, page_idx, lengths,
                 num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block,
                 window=self._windows[li], windows=req_windows,
+                append_kv=(kk_f, vv_f),
             )
             o3 = o.reshape(b, 1, -1)
             att = self._mm(o3, wo[li])
@@ -1600,6 +1633,12 @@ class ModernBatchServer(BatchServer):
                 if lora is not None and "w2" in st:
                     down = down + dl(gate, st["w2"], ids, li)
             x = x + down
+        # deferred pool writes: one combined K+V scatter per layer, off the
+        # critical path (attention used append_kv), so XLA is free to
+        # overlap the whole chain with the layer matmuls above
+        for li, (kk_f, vv_f) in enumerate(deferred_rows):
+            kv_pages[li] = _kv_write_combined(
+                kv_pages[li], token_pages, token_slots, kk_f, vv_f)
         x = model.final_norm(x)
         logits = self._mm(x, lmh, out_dtype=jnp.float32)[:, 0]
         return logits, tuple(kv_pages)

@@ -78,13 +78,25 @@ def paged_attention_reference(q, k_pages, v_pages, page_indices, lengths, *,
                               num_kv_heads: int,
                               sm_scale: Optional[float] = None,
                               window: Optional[int] = None,
-                              windows=None):
+                              windows=None,
+                              append_kv=None,
+                              page_offset: int = 0):
     """jnp reference: gather pages then masked attention. ``window``
     restricts each decode token to its last ``window`` keys (Mistral-style
     sliding-window attention at serve time). ``windows`` is an optional
     per-request [B] int32 limit (<=0 rows mean "no limit"); when both are
     given each row uses the tighter of the two. ``v_pages=None`` selects
-    the FUSED layout (k_pages is kv_pages [P, 2, page, H_kv*D])."""
+    the FUSED layout (k_pages is kv_pages [P, 2, page, H_kv*D]).
+
+    ``append_kv=(new_k [B, H_kv*D], new_v [B, H_kv*D])`` injects the
+    CURRENT decode token's K/V directly into the attention (as key
+    position ``lengths[b]``, always visible to its own query) without it
+    being in the pool — the serving engine uses this to DEFER all layers'
+    pool writes to one batched scatter per step instead of two scatters
+    per layer (docs/serving_headroom.md). ``page_offset`` is added to
+    every physical page id — layer ``li`` of a layer-stacked pool
+    ``[L*P, ...]`` is addressed with ``page_offset=li * P`` so no
+    XLA-level layer slice (= full pool copy) ever materializes."""
     if v_pages is None:
         k_pages, v_pages = k_pages[:, 0], k_pages[:, 1]
     b, h, d = q.shape
@@ -99,8 +111,21 @@ def paged_attention_reference(q, k_pages, v_pages, page_indices, lengths, *,
         k_pages = k_pages.astype(q.dtype)
         v_pages = v_pages.astype(q.dtype)
     # gather: [B, pages, page, H_kv*D] -> [B, T, H_kv, D] -> [B, H_kv, T, D]
-    k = k_pages[page_indices].reshape(b, pages_per_seq * page, h_kv, d)
-    v = v_pages[page_indices].reshape(b, pages_per_seq * page, h_kv, d)
+    k = k_pages[page_indices + page_offset].reshape(
+        b, pages_per_seq * page, h_kv, d)
+    v = v_pages[page_indices + page_offset].reshape(
+        b, pages_per_seq * page, h_kv, d)
+    eff_lengths = lengths
+    if append_kv is not None:
+        new_k, new_v = append_kv
+        # place the new token at key position lengths[b] (clamped into the
+        # table; the engine guarantees the slot's page is allocated)
+        pos_new = jnp.minimum(lengths, pages_per_seq * page - 1)
+        k = k.at[jnp.arange(b), pos_new].set(
+            new_k.reshape(b, h_kv, d).astype(k.dtype))
+        v = v.at[jnp.arange(b), pos_new].set(
+            new_v.reshape(b, h_kv, d).astype(v.dtype))
+        eff_lengths = lengths + 1
     k = jnp.moveaxis(k, 2, 1)
     v = jnp.moveaxis(v, 2, 1)
     if h_kv != h:
@@ -109,16 +134,17 @@ def paged_attention_reference(q, k_pages, v_pages, page_indices, lengths, *,
     s = jnp.einsum("bhd,bhkd->bhk", q, k,
                    preferred_element_type=jnp.float32) * sm_scale
     pos = jnp.arange(pages_per_seq * page)[None, None, :]
-    keep = pos < lengths[:, None, None]
+    keep = pos < eff_lengths[:, None, None]
     w_eff = _effective_window(window, windows, b)
     if w_eff is not None:
-        keep = keep & (pos >= lengths[:, None, None] - w_eff[:, None, None])
+        keep = keep & (pos >= eff_lengths[:, None, None]
+                       - w_eff[:, None, None])
     s = jnp.where(keep, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhk,bhkd->bhd", p.astype(v.dtype), v,
                    preferred_element_type=jnp.float32)
     # no valid keys -> zero output (not the meaningless uniform-softmax mean)
-    o = jnp.where(lengths[:, None, None] > 0, o, 0.0)
+    o = jnp.where(eff_lengths[:, None, None] > 0, o, 0.0)
     return o.astype(q.dtype)
 
 
@@ -131,6 +157,8 @@ def _paged_kernel(
     init_ref,            # [1] int32 — 1 until the first cell ran
     # inputs
     q_ref,               # [G, H, D] VMEM (this cell's G sequences' queries)
+    new_k_ref,           # [G, H_kv*D] VMEM (append mode) or None
+    new_v_ref,           # [G, H_kv*D] VMEM (append mode) or None
     k_pages_ref,         # [P, page, H_kv*D] ANY (stays in HBM); with
                          # fused_kv: kv_pages [P, 2, page, H_kv*D]
     v_pages_ref,         # None with fused_kv
@@ -143,7 +171,7 @@ def _paged_kernel(
     sems,                # DMA semaphores [2, 2]
     *, pages_per_seq, pages_per_block, page, sm_scale, num_kv_heads,
     head_dim, batch, group, window=None, dynamic_window=False, cast_kv=False,
-    fused_kv=False, single_pass=False,
+    fused_kv=False, single_pass=False, page_offset=0,
 ):
     """One GROUP of G sequences per cell. Measured on v5e
     (scripts/exp_paged_sweep.py): per-cell fixed cost (~1.6us: grid
@@ -179,14 +207,23 @@ def _paged_kernel(
     hkv = num_kv_heads
     q_per_kv = hq // hkv
 
+    append = new_k_ref is not None
+
     def win_of(b_):
-        """Effective window for row b_: python int, traced int32, or None."""
+        """Effective window for row b_: python int, traced int32, or None.
+        In append mode the window covers the OLD tokens plus the injected
+        self token, so the old-token band is one narrower: the mask
+        ``tok >= len - (w-1)`` equals ``tok >= (len+1) - w``."""
         if not dynamic_window:
-            return window
+            if window is None:
+                return None
+            return max(window - 1, 0) if append else window
         w = windows_ref[b_]
         w = jnp.where(w > 0, w, _NO_WINDOW)
         if window is not None:
             w = jnp.minimum(w, jnp.int32(window))
+        if append:
+            w = jnp.maximum(w - 1, 0)
         return w
 
     # a length-0 sequence still walks one block so the DMA chain stays
@@ -215,7 +252,8 @@ def _paged_kernel(
             b_ = cell_ * G + g
             for j in range(pages_per_block):
                 logical = block_idx * pages_per_block + j
-                phys = page_indices_ref[b_ * pages_per_seq + logical]
+                phys = (page_indices_ref[b_ * pages_per_seq + logical]
+                        + page_offset)
                 if fused_kv:
                     # ONE copy moves the page's K and V together — at short
                     # fills decode attention is bound by DMA programming,
@@ -353,6 +391,37 @@ def _paged_kernel(
         o0 = jnp.zeros((G * hq, hkv * d), jnp.float32)
         m, l, o_exp = jax.lax.fori_loop(0, n_live, body, (m0, l0, o0))
 
+        if append:
+            # inject the CURRENT token's K/V (VMEM inputs, not yet in the
+            # pool) as one extra online-softmax column — always visible to
+            # its own query, so the engine can defer all pool writes to one
+            # batched scatter per step
+            if single_pass:
+                ak = new_k_ref[pl.ds(cell * G, G)]
+                av = new_v_ref[pl.ds(cell * G, G)]
+            else:
+                ak = new_k_ref[...]
+                av = new_v_ref[...]
+            if cast_kv:
+                ak = ak.astype(jnp.bfloat16)
+                av = av.astype(jnp.bfloat16)
+            # [G, F] -> [G*H, F] (each query head sees its sequence's row;
+            # q_exp's zero-masking picks the head's own kv-group D-slice)
+            nk = jnp.broadcast_to(
+                ak[:, None, :].astype(jnp.float32), (G, hq, hkv * d)
+            ).reshape(G * hq, hkv * d)
+            nv = jnp.broadcast_to(
+                av[:, None, :].astype(jnp.float32), (G, hq, hkv * d)
+            ).reshape(G * hq, hkv * d)
+            s_new = jnp.sum(
+                q_exp.astype(jnp.float32) * nk, axis=1, keepdims=True
+            ) * sm_scale
+            m_f = jnp.maximum(m, s_new)
+            alpha = jnp.exp(m - m_f)
+            p_new = jnp.exp(s_new - m_f)
+            l = l * alpha + p_new
+            o_exp = o_exp * alpha + p_new * nv
+
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_exp = o_exp * l_inv
         o = jnp.zeros((G * hq, d), jnp.float32)
@@ -360,12 +429,15 @@ def _paged_kernel(
             o = o + jnp.where(
                 rows // q_per_kv == g, o_exp[:, g * d:(g + 1) * d], 0.0
             )
-        # no valid keys -> zero output, per sequence
-        len_rows = jnp.concatenate(
-            [jnp.full((hq, 1), 0, jnp.int32) + lengths[g] for g in range(G)],
-            axis=0,
-        ) if G > 1 else jnp.zeros((hq, 1), jnp.int32) + lengths[0]
-        o = jnp.where(len_rows > 0, o, 0.0)
+        if not append:
+            # no valid keys -> zero output, per sequence (append mode always
+            # has >= 1 valid key: the injected self token)
+            len_rows = jnp.concatenate(
+                [jnp.zeros((hq, 1), jnp.int32) + lengths[g]
+                 for g in range(G)],
+                axis=0,
+            ) if G > 1 else jnp.zeros((hq, 1), jnp.int32) + lengths[0]
+            o = jnp.where(len_rows > 0, o, 0.0)
         o = o.reshape(G, hq, d).astype(o_ref.dtype)
         if single_pass:
             o_ref[pl.ds(cell * G, G)] = o
@@ -402,6 +474,8 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
                     pages_per_block: int = 2,
                     window: Optional[int] = None,
                     windows=None,
+                    append_kv=None,
+                    page_offset: int = 0,
                     single_pass: Optional[bool] = None,
                     interpret: Optional[bool] = None):
     """Decode attention over the paged KV pool (shapes in module docstring).
@@ -410,7 +484,17 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
     band entirely (sliding-window serving: cost bounded by the window).
     ``windows`` adds PER-REQUEST limits: a [B] int32 array where entry b
     caps row b's attention to its last ``windows[b]`` keys (<=0 entries
-    mean "no per-request limit"); rows use the tighter of the two limits."""
+    mean "no per-request limit"); rows use the tighter of the two limits.
+
+    ``append_kv=(new_k [B, H_kv*D], new_v [B, H_kv*D])`` injects the
+    current decode token's K/V as key position ``lengths[b]`` straight
+    from VMEM (it need not be in the pool): the serving engine defers all
+    layers' pool writes to ONE batched scatter per step. ``lengths`` are
+    then the OLD lengths; the effective count is ``lengths + 1`` and the
+    self token is always visible (also inside any window).
+    ``page_offset`` (static int) is added to every physical page id so a
+    layer-stacked pool ``[L*P, ...]`` is addressed per layer without any
+    XLA-level slicing (``page_offset=li * P``)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if window is not None:
@@ -429,13 +513,25 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
         windows = jnp.asarray(windows, jnp.int32)
         if windows.shape != (b,):
             raise ValueError(f"windows must be [B]={b}, got {windows.shape}")
+    if append_kv is not None:
+        new_k, new_v = append_kv
+        if new_k.shape != (b, fused) or new_v.shape != (b, fused):
+            raise ValueError(
+                f"append_kv arrays must be [B={b}, {fused}], got "
+                f"{new_k.shape} / {new_v.shape}")
+        append_kv = (new_k.astype(k_pages.dtype)
+                     if not _is_low_precision_kv(k_pages.dtype)
+                     else new_k.astype(q.dtype),
+                     new_v.astype(k_pages.dtype)
+                     if not _is_low_precision_kv(k_pages.dtype)
+                     else new_v.astype(q.dtype))
     if not interpret and fused % 128:
         # Mosaic requires HBM DMA slices lane-aligned (fused width % 128);
         # models too narrow for the kernel take the gather-based path.
         return paged_attention_reference(
             q, k_pages, v_pages, page_indices, lengths,
             num_kv_heads=num_kv_heads, sm_scale=sm_scale, window=window,
-            windows=windows,
+            windows=windows, append_kv=append_kv, page_offset=page_offset,
         )
     pages_per_seq = page_indices.shape[1]
     assert h % num_kv_heads == 0
@@ -467,25 +563,53 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
         # cost (~1.6us on v5e) is paid once per launch instead of B/G times
         single_pass = b // group > 1
 
+    append = append_kv is not None
     base_kernel = functools.partial(
         _paged_kernel, pages_per_seq=pages_per_seq,
         pages_per_block=pages_per_block, page=page, sm_scale=sm_scale,
         num_kv_heads=num_kv_heads, head_dim=d, batch=b // group, group=group,
         window=window, dynamic_window=windows is not None,
         cast_kv=_is_low_precision_kv(k_pages.dtype), fused_kv=fused_kv,
-        single_pass=single_pass,
+        single_pass=single_pass, page_offset=page_offset,
     )
+    if append:
+        if single_pass:
+            nk_spec = pl.BlockSpec((b, fused), lambda *_: (0, 0))
+        else:
+            nk_spec = pl.BlockSpec((group, fused), lambda bi, *_: (bi, 0))
+        append_specs = [nk_spec, nk_spec]
+        append_args = (append_kv[0], append_kv[1])
+    else:
+        append_specs = []
+        append_args = ()
     if fused_kv:
-        def kernel(pi, ln, wins, cnt, init, q_r, kv_r, o_r, kv_b, sems):
-            base_kernel(pi, ln, wins, cnt, init, q_r, kv_r, None, o_r,
-                        kv_b, None, sems)
+        if append:
+            def kernel(pi, ln, wins, cnt, init, q_r, nk_r, nv_r, kv_r,
+                       o_r, kv_b, sems):
+                base_kernel(pi, ln, wins, cnt, init, q_r, nk_r, nv_r,
+                            kv_r, None, o_r, kv_b, None, sems)
+        else:
+            def kernel(pi, ln, wins, cnt, init, q_r, kv_r, o_r, kv_b,
+                       sems):
+                base_kernel(pi, ln, wins, cnt, init, q_r, None, None,
+                            kv_r, None, o_r, kv_b, None, sems)
 
         kv_in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
         kv_scratch = [pltpu.VMEM(
             (2, group, pages_per_block, 2, page, fused), k_pages.dtype)]
         kv_args = (k_pages,)
     else:
-        kernel = base_kernel
+        if append:
+            def kernel(pi, ln, wins, cnt, init, q_r, nk_r, nv_r, k_r, v_r,
+                       o_r, k_b, v_b, sems):
+                base_kernel(pi, ln, wins, cnt, init, q_r, nk_r, nv_r,
+                            k_r, v_r, o_r, k_b, v_b, sems)
+        else:
+            def kernel(pi, ln, wins, cnt, init, q_r, k_r, v_r, o_r, k_b,
+                       v_b, sems):
+                base_kernel(pi, ln, wins, cnt, init, q_r, None, None,
+                            k_r, v_r, o_r, k_b, v_b, sems)
+
         kv_in_specs = [pl.BlockSpec(memory_space=pl.ANY),
                        pl.BlockSpec(memory_space=pl.ANY)]
         kv_scratch = [
@@ -501,7 +625,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
             num_scalar_prefetch=5,
             grid=(1,),
             in_specs=[pl.BlockSpec((b, h, d), lambda *_: (0, 0, 0))]
-            + kv_in_specs,
+            + append_specs + kv_in_specs,
             out_specs=pl.BlockSpec((b, h, d), lambda *_: (0, 0, 0)),
             scratch_shapes=kv_scratch + [pltpu.SemaphoreType.DMA((2, 2))],
         )
@@ -510,7 +634,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
             num_scalar_prefetch=5,
             grid=(b // group,),
             in_specs=[pl.BlockSpec((group, h, d), lambda bi, *_: (bi, 0, 0))]
-            + kv_in_specs,
+            + append_specs + kv_in_specs,
             out_specs=pl.BlockSpec((group, h, d), lambda bi, *_: (bi, 0, 0)),
             scratch_shapes=kv_scratch + [pltpu.SemaphoreType.DMA((2, 2))],
         )
@@ -530,7 +654,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths, *,
         (jnp.zeros((b,), jnp.int32) if windows is None else windows),
         jnp.zeros((1,), jnp.int32),   # block counter (writable SMEM state)
         jnp.ones((1,), jnp.int32),    # init flag
-        q, *kv_args,
+        q, *append_args, *kv_args,
     )
 
 

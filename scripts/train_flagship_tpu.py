@@ -13,6 +13,17 @@ its example-timemachine/autoregressivelm tests exercise), and writes
 before/after, tokens/s, and a greedy text sample.
 
 Usage: python scripts/train_flagship_tpu.py   (real TPU via axon; ~4 min)
+
+``--large``: the BASELINE.json north star names "wikitext LM
+tokens/sec/chip" with a quality-at-scale curve; the reference checkout's
+datasets/wikitext directory contains ONLY a LICENSE placeholder (no
+wiki.train.tokens anywhere on this box) and the box has zero egress, so
+wikitext itself cannot be obtained. The closest honest substitute is the
+largest real English prose available locally: ~18 MB of documentation
+text (*.md/*.txt under site-packages, deterministically sorted,
+ASCII-filtered — ~90x the default 204 KB corpus). --large trains the
+same flagship config for 2000 steps (~31 M tokens, ~2 epochs) and pins
+held-out bits-per-byte into TRAIN_CURVE_LARGE.json. (~6 min TPU)
 """
 
 import json
@@ -29,6 +40,49 @@ CORPUS = "/root/reference/lamp-data/src/test/resources/35-0.txt"
 STEPS = 400
 BATCH, CTX = 8, 384
 LOG_EVERY = 10
+LARGE = "--large" in sys.argv[1:]
+if LARGE:
+    STEPS = 2000
+    LOG_EVERY = 50
+
+
+def assemble_large_corpus():
+    """~18 MB of real English prose from the locally-installed packages'
+    documentation files — deterministic (sorted paths), ASCII-filtered.
+    See the --large note in the module docstring for why not wikitext."""
+    import glob
+
+    paths = sorted(
+        glob.glob("/opt/venv/lib/python3.12/site-packages/**/*.md",
+                  recursive=True)
+        + glob.glob("/opt/venv/lib/python3.12/site-packages/**/*.txt",
+                    recursive=True)
+        + [p for p in glob.glob("/usr/share/doc/**/*", recursive=True)
+           if os.path.isfile(p) and not p.endswith((".gz", ".png"))]
+        + glob.glob("/usr/lib/google-cloud-sdk/**/*.md", recursive=True)
+        + glob.glob("/usr/lib/google-cloud-sdk/**/*.rst", recursive=True)
+    )
+    parts = []
+    total = 0
+    for path in paths:
+        try:
+            with open(path, "rb") as fh:
+                b = fh.read()
+        except OSError:
+            continue
+        if not b or len(b) < 512:
+            continue
+        arr = np.frombuffer(b, np.uint8)
+        # keep prose: mostly printable ASCII, not data tables/dictionaries
+        printable = ((arr >= 32) & (arr < 127)) | (arr == 10) | (arr == 9) | (arr == 13)
+        if printable.mean() < 0.9:
+            continue
+        parts.append(arr)
+        total += len(arr)
+        if total > 24_000_000:
+            break
+    corpus = np.concatenate(parts)
+    return corpus.astype(np.int32), len(paths)
 
 
 def with_retries(fn, attempts=4):
@@ -51,8 +105,14 @@ def main():
     from lamp_tpu import nn, optim, train
     from lamp_tpu.models import generate
 
-    with open(CORPUS, "rb") as f:
-        raw = np.frombuffer(f.read(), np.uint8).astype(np.int32)
+    if LARGE:
+        raw, _ = assemble_large_corpus()
+        corpus_desc = ("site-packages documentation prose (see --large "
+                       "docstring; wikitext is not obtainable on this box)")
+    else:
+        with open(CORPUS, "rb") as f:
+            raw = np.frombuffer(f.read(), np.uint8).astype(np.int32)
+        corpus_desc = CORPUS
     n_valid = len(raw) // 10
     train_bytes, valid_bytes = raw[:-n_valid], raw[-n_valid:]
     print(f"corpus: {len(raw)} bytes ({len(train_bytes)} train / "
@@ -132,7 +192,7 @@ def main():
                    "vocab": 256, "batch": BATCH, "steps": STEPS,
                    "optimizer": "AdamW(3e-4, wd=0.01)", "dropout": 0.1,
                    "param_dtype": "bfloat16"},
-        "corpus": {"path": CORPUS, "bytes": int(len(raw)),
+        "corpus": {"path": corpus_desc, "bytes": int(len(raw)),
                    "held_out_bytes": int(n_valid)},
         "device": str(jax.devices()[0]),
         "held_out_loss_before": round(loss0, 4),
@@ -143,8 +203,9 @@ def main():
         "curve": curve,
         "greedy_sample_after_training": text,
     }
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "TRAIN_CURVE.json")
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "TRAIN_CURVE_LARGE.json" if LARGE else "TRAIN_CURVE.json")
     with open(out, "w") as fh:
         json.dump(doc, fh, indent=1)
     print(f"-> {out}")

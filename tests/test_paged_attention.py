@@ -346,3 +346,128 @@ def test_paged_single_pass_fused_windows(single_pass):
                           interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=2e-5)
+
+
+@pytest.mark.parametrize("single_pass", [False, True])
+def test_paged_append_kv_matches_write_then_attend(single_pass):
+    """append_kv (current token injected from VMEM, pool writes deferred)
+    must equal the write-then-attend order the engine used before: scatter
+    the rows into the pool, then attend with lengths+1."""
+    B, PAGES, PAGE = 8, 4, 16
+    (q, kp, vp, _, lengths), hkv = _setup(
+        B=B, PAGES=PAGES, TOTAL=B * PAGES + 1, seed=21)
+    # DISJOINT page tables (real serving invariant): the oracle below
+    # writes rows into pages, so cross-sequence page sharing would corrupt
+    # other rows
+    idx = jnp.arange(1, B * PAGES + 1, dtype=jnp.int32).reshape(B, PAGES)
+    rng = np.random.RandomState(5)
+    # lengths strictly below capacity so the append slot exists; include 0
+    lengths = jnp.asarray(
+        np.where(rng.rand(B) < 0.25, 0,
+                 rng.randint(1, PAGES * PAGE - 1, B)), jnp.int32)
+    F = kp.shape[-1]
+    new_k = jnp.asarray(rng.randn(B, F).astype(np.float32))
+    new_v = jnp.asarray(rng.randn(B, F).astype(np.float32))
+
+    # oracle: write rows into the pool at slot `lengths`, attend len+1
+    kp2, vp2 = np.asarray(kp).copy(), np.asarray(vp).copy()
+    for b in range(B):
+        pos = int(lengths[b])
+        pg = int(idx[b, pos // PAGE])
+        kp2[pg, pos % PAGE] = np.asarray(new_k[b])
+        vp2[pg, pos % PAGE] = np.asarray(new_v[b])
+    ref = paged_attention_reference(
+        q, jnp.asarray(kp2), jnp.asarray(vp2), idx, lengths + 1,
+        num_kv_heads=hkv)
+
+    out = paged_attention(q, kp, vp, idx, lengths, num_kv_heads=hkv,
+                          append_kv=(new_k, new_v),
+                          single_pass=single_pass, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    # and the jnp reference path agrees too
+    ref2 = paged_attention_reference(
+        q, kp, vp, idx, lengths, num_kv_heads=hkv,
+        append_kv=(new_k, new_v))
+    np.testing.assert_allclose(np.asarray(ref2), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+@pytest.mark.parametrize("single_pass", [False, True])
+def test_paged_append_kv_with_windows(single_pass):
+    """append + per-request windows: the self token counts as the newest
+    of the `w` visible keys (band [len+1-w, len])."""
+    B, PAGES, PAGE = 8, 4, 16
+    (q, kp, vp, _, _), hkv = _setup(
+        B=B, PAGES=PAGES, TOTAL=B * PAGES + 1, seed=22)
+    idx = jnp.arange(1, B * PAGES + 1, dtype=jnp.int32).reshape(B, PAGES)
+    rng = np.random.RandomState(6)
+    lengths = jnp.asarray(rng.randint(0, PAGES * PAGE - 1, B), jnp.int32)
+    wins = jnp.asarray([1, 2, 5, 0, 17, 1, 30, 3], jnp.int32)
+    F = kp.shape[-1]
+    new_k = jnp.asarray(rng.randn(B, F).astype(np.float32))
+    new_v = jnp.asarray(rng.randn(B, F).astype(np.float32))
+
+    kp2, vp2 = np.asarray(kp).copy(), np.asarray(vp).copy()
+    for b in range(B):
+        pos = int(lengths[b])
+        pg = int(idx[b, pos // PAGE])
+        kp2[pg, pos % PAGE] = np.asarray(new_k[b])
+        vp2[pg, pos % PAGE] = np.asarray(new_v[b])
+    ref = paged_attention_reference(
+        q, jnp.asarray(kp2), jnp.asarray(vp2), idx, lengths + 1,
+        num_kv_heads=hkv, windows=wins)
+
+    out = paged_attention(q, kp, vp, idx, lengths, num_kv_heads=hkv,
+                          windows=wins, append_kv=(new_k, new_v),
+                          single_pass=single_pass, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+@pytest.mark.parametrize("single_pass", [False, True])
+def test_paged_page_offset_stacked_pool(single_pass):
+    """A layer-stacked pool [L*P, ...] addressed via page_offset=li*P must
+    equal per-layer pools — no XLA slicing, same numbers."""
+    L = 3
+    B, PAGES, PAGE = 4, 2, 16
+    per_layer = []
+    rng = np.random.RandomState(9)
+    TOTAL = B * PAGES + 1
+    for li in range(L):
+        (q, kp, vp, idx, lengths), hkv = _setup(
+            B=B, PAGES=PAGES, TOTAL=TOTAL, seed=30 + li)
+        per_layer.append((q, kp, vp, idx, lengths, hkv))
+    stacked_k = jnp.concatenate([kp for _, kp, _, _, _, _ in per_layer])
+    stacked_v = jnp.concatenate([vp for _, _, vp, _, _, _ in per_layer])
+    for li, (q, kp, vp, idx, lengths, hkv) in enumerate(per_layer):
+        ref = paged_attention(q, kp, vp, idx, lengths, num_kv_heads=hkv,
+                              single_pass=single_pass, interpret=True)
+        out = paged_attention(q, stacked_k, stacked_v, idx, lengths,
+                              num_kv_heads=hkv, page_offset=li * TOTAL,
+                              single_pass=single_pass, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_paged_append_kv_fused_pool_and_fp8():
+    """append on the engine's FUSED pool layout, bf16 and fp8 pools."""
+    B, PAGES, PAGE = 8, 4, 16
+    (q, kp, vp, idx, _), hkv = _setup(
+        B=B, PAGES=PAGES, TOTAL=B * PAGES + 1, seed=23)
+    rng = np.random.RandomState(8)
+    lengths = jnp.asarray(rng.randint(0, PAGES * PAGE - 1, B), jnp.int32)
+    F = kp.shape[-1]
+    new_k = jnp.asarray(rng.randn(B, F).astype(np.float32))
+    new_v = jnp.asarray(rng.randn(B, F).astype(np.float32))
+    for dt in (jnp.bfloat16, jnp.float8_e4m3fn):
+        kv = jnp.stack([kp, vp], axis=1).astype(dt)
+        qq = q.astype(jnp.bfloat16)
+        ref = paged_attention_reference(
+            qq, kv, None, idx, lengths, num_kv_heads=hkv,
+            append_kv=(new_k, new_v))
+        out = paged_attention(qq, kv, None, idx, lengths, num_kv_heads=hkv,
+                              append_kv=(new_k, new_v), interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=0.06, rtol=0.06)

@@ -1594,8 +1594,14 @@ def test_kv_write_scatter_preserves_inplace_aliasing():
     k2 = jnp.ones((B, 3, F), jnp.bfloat16)
     assert big_copies(_kv_write, fused_pool, tp2, ts2, k2, k2) == 0
 
-    # combined scatter on a fused pool: copies the pool (the regression)
+    # slice-mixing combined scatter: copies the pool (the regression)
     def w_combined(pool, tp, ts, k, v):
         return pool.at[tp, :, ts].set(jnp.stack([k, v], axis=-2))
 
     assert big_copies(w_combined, fused_pool, tp, ts, k, v) >= 1
+
+    # the ALL-ADVANCED combined form (serving._kv_write_combined: one
+    # scatter writes K and V rows; no slice between advanced indices) must
+    # stay in place — it is what the deferred-write decode path uses
+    from lamp_tpu.models.serving import _kv_write_combined
+    assert big_copies(_kv_write_combined, fused_pool, tp, ts, k, v) == 0

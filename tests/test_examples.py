@@ -61,6 +61,21 @@ def test_example_cifar100_mesh():
 
 
 @pytest.mark.slow
+def test_example_cifar100_distributed():
+    """The multi-PROCESS example (reference example-cifar100-distributed +
+    run_cifar_dist{1,2}.sh): 2 jax.distributed worker processes, rank-
+    sharded batches, one SPMD step over the global mesh."""
+    env = dict(ENV, PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [sys.executable, "examples/cifar100_distributed.py",
+         "--launch-local", "2", "--epochs", "1"],
+        cwd=ROOT, env=env, timeout=420, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+    assert "all 2 workers finished" in r.stdout
+
+
+@pytest.mark.slow
 def test_example_bert():
     r = _run(["examples/bert.py", "--steps", "8", "--layers", "1", "--dim",
               "32", "--batch-size", "8", "--max-length", "64"])

@@ -1708,18 +1708,20 @@ class ModernBatchServer(BatchServer):
         hkv_l = self.kv_heads // self._tp
         nq = hq_l * hd
         nkv = hkv_l * hd
+        deferred_rows = []  # deferred writes, as in the non-TP decode step
         for li, block in enumerate(model.blocks):
             a = block.norm1(x)[:, 0]
             y = self._mm(a, wqkv[li])
             q = rot(y[:, :nq].reshape(b, hq_l, hd))
             kk = rot(y[:, nq:nq + nkv].reshape(b, hkv_l, hd))
             vv = y[:, nq + nkv:].reshape(b, hkv_l, hd)
-            kv_pages[li] = _kv_write(kv_pages[li], token_pages, token_slots,
-                                     kk.reshape(b, -1), vv.reshape(b, -1))
+            kk_f, vv_f = kk.reshape(b, -1), vv.reshape(b, -1)
+            deferred_rows.append((kk_f, vv_f))
             o = paged_attention(
-                q, kv_pages[li], None, page_idx, lengths + 1,
+                q, kv_pages[li], None, page_idx, lengths,
                 num_kv_heads=hkv_l, pages_per_block=self.pages_per_block,
                 window=self._windows[li], windows=req_windows,
+                append_kv=(kk_f, vv_f),
             )
             att = self._mm(o.reshape(b, 1, -1), wo[li])
             x = x + jax.lax.psum(att, axis)
@@ -1729,6 +1731,9 @@ class ModernBatchServer(BatchServer):
             else:
                 gate = jax.nn.silu(self._mm(h, w1[li])) * self._mm(h, w3[li])
                 x = x + jax.lax.psum(self._mm(gate, w2[li]), axis)
+        for li, (kk_f, vv_f) in enumerate(deferred_rows):
+            kv_pages[li] = _kv_write_combined(
+                kv_pages[li], token_pages, token_slots, kk_f, vv_f)
         x = model.final_norm(x)
         local = self._mm(x, lmh, out_dtype=jnp.float32)  # [B, 1, Vp/t]
         logits = jax.lax.all_gather(

@@ -72,19 +72,32 @@ def make_train_step(optimizer: Optimizer, loss_fn: Callable, *,
                     accumulation_steps: int = 1,
                     loss_calculation: str = "simple",
                     adversarial_eps: float = 1e-3,
-                    gradient_pmean_axis: Optional[str] = None):
+                    gradient_pmean_axis: Optional[str] = None,
+                    accumulation_unroll: Optional[bool] = None):
     """Build a jittable ``step(state, batch, key, lr_factor) -> (state, loss)``.
 
     ``loss_fn(model, batch, key, train) -> (loss, n_examples, new_model)``.
 
     - ``accumulation_steps > 1``: ``batch`` must be a pytree whose leaves have
       a leading axis of that size; gradients are example-weight averaged over
-      the sub-batches via ``lax.scan`` (reference IOLoops.scala:638-657).
+      the sub-batches (reference IOLoops.scala:638-657).
+    - ``accumulation_unroll``: unroll the accumulation loop in the traced
+      program instead of ``lax.scan``-ing it. A scanned accumulator is a
+      loop CARRY of every parameter-sized f32 gradient buffer — XLA
+      double-buffers carries it cannot prove in-place, so each micro-batch
+      paid a full accumulator copy (measured on the flagship 12L/768d
+      b8x5 step: 14.0 ms of "optimizer+accumulation" overhead vs 4.3 ms
+      with the same update math unrolled — scripts/exp_lm_step_sol.py /
+      exp_opt_flat.py). Default: unroll when ``accumulation_steps <= 8``
+      (compile size grows linearly with the unroll factor; large counts
+      keep the scan).
     - ``loss_calculation``: "simple" | "adversarial" | "perturbed"
       (reference SupervisedModel.scala:84,116,26).
     - ``gradient_pmean_axis``: mesh axis name for data-parallel gradient
       averaging inside shard_map/pjit (the NCCL allreduce equivalent).
     """
+    if accumulation_unroll is None:
+        accumulation_unroll = accumulation_steps <= 8
 
     def grads_of(params, rest, batch, key):
         def wrapped(p):
@@ -139,7 +152,34 @@ def make_train_step(optimizer: Optimizer, loss_fn: Callable, *,
 
     def step(state: TrainState, batch, key, lr_factor=1.0):
         params, rest = state.params, state.rest
-        if accumulation_steps > 1:
+        if accumulation_steps > 1 and accumulation_unroll:
+            gsum, lsum, nsum, k = None, 0.0, 0.0, key
+            for i in range(accumulation_steps):
+                k, sub_key = jax.random.split(k)
+                sub = jax.tree_util.tree_map(lambda x: x[i], batch)
+                loss_i, n_i, g_i, rest = compute(params, rest, sub, sub_key)
+                nf = jnp.asarray(n_i, jnp.float32)
+                if gsum is None:
+                    gsum = jax.tree_util.tree_map(
+                        lambda g: None if g is None
+                        else g.astype(jnp.float32) * nf,
+                        g_i, is_leaf=lambda x: x is None,
+                    )
+                else:
+                    gsum = jax.tree_util.tree_map(
+                        lambda a, g: None if a is None
+                        else a + g.astype(jnp.float32) * nf,
+                        gsum, g_i, is_leaf=lambda x: x is None,
+                    )
+                lsum = lsum + loss_i * nf
+                nsum = nsum + nf
+            grads = jax.tree_util.tree_map(
+                lambda g, p: None if g is None else (g / nsum).astype(p.dtype),
+                gsum, params, is_leaf=lambda x: x is None,
+            )
+            loss = lsum / nsum
+            n = nsum
+        elif accumulation_steps > 1:
             def body(carry, sub):
                 rest_c, gsum, lsum, nsum, k = carry
                 k, sub_key = jax.random.split(k)

@@ -68,11 +68,18 @@ def main():
     from lamp_tpu import nn, optim, train
     from lamp_tpu.ops.fused_adamw import AdamWStochastic
 
-    model = nn.LanguageModelModule.init(
-        vocab_size=VOCAB, context_length=CTX, num_blocks=LAYERS,
-        embed_dim=DIM, attention_heads=HEADS, key=jax.random.PRNGKey(0),
-        dtype=jnp.bfloat16, dropout=0.0,
-    )
+    def make_model():
+        # fresh arrays per phase: donated train steps DELETE the buffers of
+        # whatever pytree seeded TrainState, so phases must not share one
+        # model instance (the bug mode is "Array has been deleted" on the
+        # second phase)
+        return nn.LanguageModelModule.init(
+            vocab_size=VOCAB, context_length=CTX, num_blocks=LAYERS,
+            embed_dim=DIM, attention_heads=HEADS, key=jax.random.PRNGKey(0),
+            dtype=jnp.bfloat16, dropout=0.0,
+        )
+
+    model = make_model()
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(model)
                    if hasattr(x, "size"))
     tokens_per_step = ACCUM * BATCH * CTX
@@ -91,15 +98,16 @@ def main():
     batch = (toks, jnp.roll(toks, -1, axis=2))
     rk = jax.random.PRNGKey(1)
 
-    def time_step(opt, label, m=None):
+    def time_step(opt, label, mk=None):
         step = jax.jit(
             train.make_train_step(opt, loss_fn, accumulation_steps=ACCUM),
             donate_argnums=(0,))
 
         def attempt():
-            # fresh state per attempt: the previous attempt's state was
-            # DONATED into a step that may have died mid-flight
-            holder = {"s": train.TrainState.init(m or model, opt)}
+            # fresh model+state per attempt: the previous attempt's state
+            # was DONATED (its arrays deleted), and the state aliases the
+            # seeding model's buffers
+            holder = {"s": train.TrainState.init((mk or make_model)(), opt)}
 
             def call(n):
                 for _ in range(n):
@@ -126,12 +134,12 @@ def main():
     # extra lever, not the comparable number)
     from lamp_tpu.ops.int8_training import quantize_training
 
-    model_q = quantize_training(model)
     time_step(optim.AdamW(3e-4, weight_decay=0.01),
-              "full step (int8 training matmuls)", m=model_q)
+              "full step (int8 training matmuls)",
+              mk=lambda: quantize_training(make_model()))
 
     # 2. fwd+bwd only (same 5-accum loss/grad, no optimizer update)
-    params0 = model
+    params0 = make_model()
 
     def grad_only(m):
         def one(i, acc):

@@ -74,6 +74,37 @@ def _kv_write_combined(pool, token_pages, token_slots, k_rows, v_rows):
     return pool.at[pages2, sel, slots2].set(rows)
 
 
+def _kv_write_stacked(pool, total_pages, token_pages, token_slots,
+                      deferred_rows):
+    """ONE combined scatter writes EVERY layer's deferred K and V rows into
+    the layer-stacked fused pool ``[L*P, 2, page, F]`` (layer ``li`` owns
+    physical rows ``[li*P, (li+1)*P)``; the paged kernel addresses them with
+    ``page_offset=li*P``, never an XLA-level layer slice).
+
+    ``deferred_rows`` is the decode loop's per-layer ``[(k_rows [B, F],
+    v_rows [B, F]), ...]`` list. Collapses the former 12-scatters-per-step
+    chain (one per layer) into a single [2*L*B]-row scatter — decode-step
+    scatter cost is dispatch-bound, not byte-bound
+    (scripts/exp_stacked_writes.py). Index layout mirrors
+    :func:`_kv_write_combined` (all advanced indices adjacent, static axis-1
+    entries via the ``sel`` array) so XLA's in-place aliasing of the donated
+    pool is preserved — pinned by tests/test_serving.py::
+    test_kv_write_scatter_preserves_inplace_aliasing."""
+    layers = len(deferred_rows)
+    b = token_pages.shape[0]
+    off = jnp.arange(layers, dtype=jnp.int32) * total_pages
+    pages_l = (off[:, None] + token_pages[None, :]).reshape(-1)  # [L*B]
+    pages2 = jnp.concatenate([pages_l, pages_l])
+    sel = jnp.concatenate([jnp.zeros((layers * b,), jnp.int32),
+                           jnp.ones((layers * b,), jnp.int32)])
+    slots_l = jnp.tile(token_slots, layers)
+    slots2 = jnp.concatenate([slots_l, slots_l])
+    rows = jnp.concatenate(
+        [r for r, _ in deferred_rows] + [r for _, r in deferred_rows]
+    ).astype(pool.dtype)
+    return pool.at[pages2, sel, slots2].set(rows)
+
+
 @jax.jit
 def _bump_counts(counts, nxt):
     """counts [B, V] += one_hot(nxt) (device-side, single dispatch)."""
@@ -127,23 +158,28 @@ class BatchServer:
         dt = (model.token_embedding.weight.dtype if kv_dtype is None
               else jnp.dtype(kv_dtype))
         self.kv_dtype = dt
-        # one FUSED pool PER LAYER: [P, 2, page, H_kv*D] — index 0 holds a
-        # page's keys, 1 its values, so the paged kernel moves a page's K
-        # and V with ONE async DMA (at serving fills decode attention is
+        # ONE layer-stacked FUSED pool: [L*P, 2, page, H_kv*D] — layer li
+        # owns physical page rows [li*P, (li+1)*P); within a page, index 0
+        # holds its keys, 1 its values, so the paged kernel moves a page's
+        # K and V with ONE async DMA (at serving fills decode attention is
         # bound by DMA-programming overhead, not KV bytes: 19% faster than
         # split K/V pools, docs/serving_headroom.md). Heads fuse into lanes
-        # so DMA slices stay 128-aligned for any head_dim. Per-layer arrays
-        # — not one [L, ...] block — so each layer's scatter-update and
-        # kernel read alias in place under jit; slicing layer li out of a
-        # layer-stacked pool materialized a full layer copy per layer per
-        # step, which made step time scale with POOL size instead of batch
-        # size (measured 11.5 ms vs 1.6 ms per step at 4096 pages, B=32).
-        self.kv_pages = tuple(
-            jnp.zeros(
-                (total_pages, 2, page_size, self.kv_heads * self.head_dim),
-                dt,
-            )
-            for _ in range(self.layers)
+        # so DMA slices stay 128-aligned for any head_dim.
+        #
+        # The kernel addresses layer li via ``page_offset=li*P`` (a static
+        # int folded into the page-table lookup) — NEVER ``kv_pages[li]``:
+        # slicing a layer out of a stacked pool materializes a full-layer
+        # copy per layer per step as the pallas operand, making step time
+        # scale with POOL size instead of batch size (measured 11.5 ms vs
+        # 1.6 ms per step at 4096 pages, B=32 — that measurement is what
+        # previously forced per-layer tuple pools; page_offset removes the
+        # slice, and the single array lets the decode step write ALL
+        # layers' K/V with ONE combined scatter instead of L of them,
+        # see _kv_write_stacked).
+        self.kv_pages = jnp.zeros(
+            (self.layers * total_pages, 2, page_size,
+             self.kv_heads * self.head_dim),
+            dt,
         )
         # page 0 is reserved as the "trash" page: bucketed prefill pads the
         # prompt up to a multiple of PREFILL_BUCKET (one jit trace per bucket
@@ -463,12 +499,12 @@ class BatchServer:
         writing every layer's K/V rows into (token_pages, token_slots).
         ``req_window`` (static) applies this request's attention window."""
         t = tokens.shape[0]
-        kv_pages = list(kv_pages)
         x = model.token_embedding(tokens[None]) + jnp.take(
             model.position_embedding.weight, jnp.arange(t)[None], axis=0
         )  # [1, T, D]
         from ..ops.attention import mha_reference
 
+        deferred_rows = []  # all layers' rows -> ONE stacked scatter
         for li, block in enumerate(model.encoder.blocks):
             att = block.attention
             h = att.num_heads
@@ -483,11 +519,11 @@ class BatchServer:
             q = heads(att.w_q)
             kk = heads(att.w_k)
             vv = heads(att.w_v)
-            # write kv rows: [T, H*D] into page slots
+            # write kv rows: [T, H*D] into page slots (deferred: prefill
+            # attention reads the in-flight kk/vv, not the pool)
             k_rows = kk[0].transpose(1, 0, 2).reshape(t, -1)
             v_rows = vv[0].transpose(1, 0, 2).reshape(t, -1)
-            kv_pages[li] = _kv_write(kv_pages[li], token_pages, token_slots,
-                                     k_rows, v_rows)
+            deferred_rows.append((k_rows, v_rows))
             o = mha_reference(q, kk, vv, causal=True, window=req_window)
             o = o.transpose(0, 2, 1, 3).reshape(1, t, -1)
             ow = jnp.matmul(
@@ -501,7 +537,8 @@ class BatchServer:
             x = x + ow * block.scale1
             m = block.w2(block.activation(block.w1(block.norm2(x))))
             x = x + m * block.scale2
-        return tuple(kv_pages)
+        return _kv_write_stacked(kv_pages, self.total_pages, token_pages,
+                                 token_slots, deferred_rows)
 
     def remove(self, seq_id) -> None:
         pages = self.seq_pages.pop(seq_id)
@@ -631,11 +668,13 @@ class BatchServer:
             return None  # purely-base batch: no gather/delta work at all
         return (jnp.asarray(host_ids, jnp.int32), self._lora_stacks)
 
-    @staticmethod
-    def _copy_page(kv_pages, src, dst):
-        """Device-side page copy for copy-on-write (every layer's pool;
-        one copy moves the page's K and V together in the fused layout)."""
-        return tuple(p.at[dst].set(p[src]) for p in kv_pages)
+    def _copy_page(self, kv_pages, src, dst):
+        """Device-side page copy for copy-on-write: gathers the page's rows
+        across ALL layers of the stacked pool ([L, 2, page, F] worth of
+        K+V) and scatters them at the destination ids — one gather + one
+        scatter regardless of depth."""
+        off = jnp.arange(self.layers, dtype=jnp.int32) * self.total_pages
+        return kv_pages.at[off + dst].set(kv_pages[off + src])
 
     @property
     def available_pages(self) -> int:
@@ -720,7 +759,6 @@ class BatchServer:
         history + self, return (logits [B,V], new_kv_pages)."""
         b = tokens.shape[0]
         wqkv, bqkv = extras
-        kv_pages = list(kv_pages)
         x = model.token_embedding(tokens[:, None]) + jnp.take(
             model.position_embedding.weight, lengths[:, None], axis=0
         )
@@ -746,11 +784,12 @@ class BatchServer:
             kk_f, vv_f = kk.reshape(b, -1), vv.reshape(b, -1)
             deferred_rows.append((kk_f, vv_f))
             o = paged_attention(
-                q, kv_pages[li], None, page_idx, lengths,
+                q, kv_pages, None, page_idx, lengths,
                 num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block,
                 windows=req_windows,
                 append_kv=(kk_f, vv_f),
+                page_offset=li * self.total_pages,
             )
             o = o.reshape(b, 1, h * self.head_dim)
             ow = jnp.matmul(
@@ -764,17 +803,16 @@ class BatchServer:
             x = x + ow * block.scale1
             m = block.w2(block.activation(block.w1(block.norm2(x))))
             x = x + m * block.scale2
-        # deferred pool writes (see _kv_write_combined): off the critical
-        # path because attention used append_kv
-        for li, (kk_f, vv_f) in enumerate(deferred_rows):
-            kv_pages[li] = _kv_write_combined(
-                kv_pages[li], token_pages, token_slots, kk_f, vv_f)
+        # deferred pool write (see _kv_write_stacked): ONE scatter for all
+        # layers, off the critical path because attention used append_kv
+        kv_pages = _kv_write_stacked(kv_pages, self.total_pages,
+                                     token_pages, token_slots, deferred_rows)
         x = model.final_norm(x)
         w = model.token_embedding.weight
         logits = jnp.einsum(
             "btd,vd->btv", x, w, preferred_element_type=jnp.float32
         )[:, 0]
-        return logits, tuple(kv_pages)
+        return logits, kv_pages
 
     def _decode_chunk(self, model, kv_pages, tokens, page_idx,
                       lengths, token_pages, token_slots, extras, lora=None,
@@ -790,7 +828,6 @@ class BatchServer:
         win_r = (None if req_windows is None
                  else jnp.repeat(req_windows, m))
         wqkv, bqkv = extras
-        kv_pages = list(kv_pages)
         pos = lengths[:, None] + jnp.arange(m)[None, :]  # [B, M]
         x = model.token_embedding(tokens) + jnp.take(
             model.position_embedding.weight, pos, axis=0
@@ -812,12 +849,17 @@ class BatchServer:
             q = y[..., :nq].reshape(b, m, h, hd)
             kk = y[..., nq:2 * nq]
             vv = y[..., 2 * nq:]
-            kv_pages[li] = _kv_write(kv_pages[li], token_pages, token_slots,
-                                     kk, vv)
+            # chunk attention READS the pool (pseudo-sequence causality),
+            # so this layer's write cannot be deferred: per-layer scatter
+            # at the layer's page_offset band of the stacked pool
+            kv_pages = _kv_write(
+                kv_pages, token_pages + li * self.total_pages, token_slots,
+                kk, vv)
             o = paged_attention(
-                q.reshape(b * m, h, hd), kv_pages[li], None, pidx,
+                q.reshape(b * m, h, hd), kv_pages, None, pidx,
                 plen, num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block, windows=win_r,
+                page_offset=li * self.total_pages,
             ).reshape(b, m, h * hd)
             ow = jnp.matmul(
                 o, att.w_o.weight,
@@ -835,7 +877,7 @@ class BatchServer:
         logits = jnp.einsum(
             "bmd,vd->bmv", x, w, preferred_element_type=jnp.float32
         )
-        return logits, tuple(kv_pages)
+        return logits, kv_pages
 
     def _advance(self, seq_ids, tokens):
         """Write tokens' KV + return logits; bumps lengths."""
@@ -1220,9 +1262,7 @@ class ModernBatchServer(BatchServer):
 
             mk = lambda spec: NamedSharding(self._mesh, spec)  # noqa: E731
             pool = mk(P(None, None, None, tp_axis))
-            self.kv_pages = tuple(
-                jax.device_put(kv, pool) for kv in self.kv_pages
-            )
+            self.kv_pages = jax.device_put(self.kv_pages, pool)
             wqkv, wo, w1, w3, w2, lmh = self._extras
             if self._moe:
                 n_exp = w3[0].shape[0]
@@ -1558,7 +1598,6 @@ class ModernBatchServer(BatchServer):
             )
         b = tokens.shape[0]
         wqkv, wo, w1, w3, w2, lmh = extras
-        kv_pages = list(kv_pages)
         x = model.token_embedding(tokens[:, None])  # [B, 1, D]
         # hoist the RoPE angle gathers out of the layer loop: every layer
         # rotates at the same per-token positions
@@ -1606,11 +1645,12 @@ class ModernBatchServer(BatchServer):
             kk_f, vv_f = kk.reshape(b, -1), vv.reshape(b, -1)
             deferred_rows.append((kk_f, vv_f))
             o = paged_attention(
-                q, kv_pages[li], None, page_idx, lengths,
+                q, kv_pages, None, page_idx, lengths,
                 num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block,
                 window=self._windows[li], windows=req_windows,
                 append_kv=(kk_f, vv_f),
+                page_offset=li * self.total_pages,
             )
             o3 = o.reshape(b, 1, -1)
             att = self._mm(o3, wo[li])
@@ -1633,15 +1673,14 @@ class ModernBatchServer(BatchServer):
                 if lora is not None and "w2" in st:
                     down = down + dl(gate, st["w2"], ids, li)
             x = x + down
-        # deferred pool writes: one combined K+V scatter per layer, off the
-        # critical path (attention used append_kv), so XLA is free to
-        # overlap the whole chain with the layer matmuls above
-        for li, (kk_f, vv_f) in enumerate(deferred_rows):
-            kv_pages[li] = _kv_write_combined(
-                kv_pages[li], token_pages, token_slots, kk_f, vv_f)
+        # deferred pool write: ONE combined K+V scatter for ALL layers, off
+        # the critical path (attention used append_kv), so XLA is free to
+        # overlap it with the layer matmuls above
+        kv_pages = _kv_write_stacked(kv_pages, self.total_pages,
+                                     token_pages, token_slots, deferred_rows)
         x = model.final_norm(x)
         logits = self._mm(x, lmh, out_dtype=jnp.float32)[:, 0]
-        return logits, tuple(kv_pages)
+        return logits, kv_pages
 
     def _tp_call(self, inner, model, kv_pages, tokens, page_idx,
                  lengths, token_pages, token_slots, extras, req_windows=None):
@@ -1689,7 +1728,6 @@ class ModernBatchServer(BatchServer):
         axis = self._tp_axis
         b = tokens.shape[0]
         wqkv, wo, w1, w3, w2, lmh = extras
-        kv_pages = list(kv_pages)
         x = model.token_embedding(tokens[:, None])
         hd = self.head_dim
         c = jnp.take(model.rope_cos, lengths, axis=0).astype(jnp.float32)
@@ -1718,10 +1756,11 @@ class ModernBatchServer(BatchServer):
             kk_f, vv_f = kk.reshape(b, -1), vv.reshape(b, -1)
             deferred_rows.append((kk_f, vv_f))
             o = paged_attention(
-                q, kv_pages[li], None, page_idx, lengths,
+                q, kv_pages, None, page_idx, lengths,
                 num_kv_heads=hkv_l, pages_per_block=self.pages_per_block,
                 window=self._windows[li], windows=req_windows,
                 append_kv=(kk_f, vv_f),
+                page_offset=li * self.total_pages,
             )
             att = self._mm(o.reshape(b, 1, -1), wo[li])
             x = x + jax.lax.psum(att, axis)
@@ -1731,15 +1770,14 @@ class ModernBatchServer(BatchServer):
             else:
                 gate = jax.nn.silu(self._mm(h, w1[li])) * self._mm(h, w3[li])
                 x = x + jax.lax.psum(self._mm(gate, w2[li]), axis)
-        for li, (kk_f, vv_f) in enumerate(deferred_rows):
-            kv_pages[li] = _kv_write_combined(
-                kv_pages[li], token_pages, token_slots, kk_f, vv_f)
+        kv_pages = _kv_write_stacked(kv_pages, self.total_pages,
+                                     token_pages, token_slots, deferred_rows)
         x = model.final_norm(x)
         local = self._mm(x, lmh, out_dtype=jnp.float32)  # [B, 1, Vp/t]
         logits = jax.lax.all_gather(
             local, axis, axis=2, tiled=True
         )[:, 0, :self._vocab]
-        return logits, tuple(kv_pages)
+        return logits, kv_pages
 
     def _tp_chunk_inner(self, model, kv_pages, tokens, page_idx,
                         lengths, token_pages, token_slots, extras,
@@ -1751,7 +1789,6 @@ class ModernBatchServer(BatchServer):
         win_r = (None if req_windows is None
                  else jnp.repeat(req_windows, m))
         wqkv, wo, w1, w3, w2, lmh = extras
-        kv_pages = list(kv_pages)
         pos = lengths[:, None] + jnp.arange(m)[None, :]
         x = model.token_embedding(tokens)
         hd = self.head_dim
@@ -1779,13 +1816,15 @@ class ModernBatchServer(BatchServer):
             q = rot(y[..., :nq].reshape(b, m, hq_l, hd))
             kk = rot(y[..., nq:nq + nkv].reshape(b, m, hkv_l, hd))
             vv = y[..., nq + nkv:]
-            kv_pages[li] = _kv_write(kv_pages[li], token_pages, token_slots,
-                                     kk.reshape(b, m, -1), vv)
+            kv_pages = _kv_write(
+                kv_pages, token_pages + li * self.total_pages, token_slots,
+                kk.reshape(b, m, -1), vv)
             o = paged_attention(
-                q.reshape(b * m, hq_l, hd), kv_pages[li], None,
+                q.reshape(b * m, hq_l, hd), kv_pages, None,
                 pidx, plen, num_kv_heads=hkv_l,
                 pages_per_block=self.pages_per_block,
                 window=self._windows[li], windows=win_r,
+                page_offset=li * self.total_pages,
             ).reshape(b, m, -1)
             x = x + jax.lax.psum(self._mm(o, wo[li]), axis)
             h = block.norm2(x)
@@ -1799,7 +1838,7 @@ class ModernBatchServer(BatchServer):
         logits = jax.lax.all_gather(
             local, axis, axis=2, tiled=True
         )[..., :self._vocab]
-        return logits, tuple(kv_pages)
+        return logits, kv_pages
 
     def _decode_chunk(self, model, kv_pages, tokens, page_idx,
                       lengths, token_pages, token_slots, extras, lora=None,
@@ -1814,7 +1853,6 @@ class ModernBatchServer(BatchServer):
         win_r = (None if req_windows is None
                  else jnp.repeat(req_windows, m))
         wqkv, wo, w1, w3, w2, lmh = extras
-        kv_pages = list(kv_pages)
         pos = lengths[:, None] + jnp.arange(m)[None, :]  # [B, M]
         x = model.token_embedding(tokens)                # [B, M, D]
         hd = self.head_dim
@@ -1852,13 +1890,15 @@ class ModernBatchServer(BatchServer):
             q = rot(yq.reshape(b, m, self.heads, hd))
             kk = rot(yk.reshape(b, m, self.kv_heads, hd))
             vv = yv
-            kv_pages[li] = _kv_write(kv_pages[li], token_pages, token_slots,
-                                     kk.reshape(b, m, -1), vv)
+            kv_pages = _kv_write(
+                kv_pages, token_pages + li * self.total_pages, token_slots,
+                kk.reshape(b, m, -1), vv)
             o = paged_attention(
-                q.reshape(b * m, self.heads, hd), kv_pages[li], None,
+                q.reshape(b * m, self.heads, hd), kv_pages, None,
                 pidx, plen, num_kv_heads=self.kv_heads,
                 pages_per_block=self.pages_per_block,
                 window=self._windows[li], windows=win_r,
+                page_offset=li * self.total_pages,
             ).reshape(b, m, -1)
             att = self._mm(o, wo[li])
             if lora is not None and "o" in st:
@@ -1882,7 +1922,7 @@ class ModernBatchServer(BatchServer):
             x = x + down
         x = model.final_norm(x)
         logits = self._mm(x, lmh, out_dtype=jnp.float32)
-        return logits, tuple(kv_pages)
+        return logits, kv_pages
 
     def _prefill_seq(self, model, kv_pages, tokens, token_pages,
                      token_slots, req_window=None):
@@ -1895,9 +1935,9 @@ class ModernBatchServer(BatchServer):
             return a if b_ is None else min(a, b_)
 
         t = tokens.shape[0]
-        kv_pages = list(kv_pages)
         x = model.token_embedding(tokens[None])  # [1, T, D]
         cos, sin = model.rope_cos, model.rope_sin
+        deferred_rows = []  # all layers' rows -> ONE stacked scatter
         for li, block in enumerate(model.blocks):
             a = block.norm1(x)
 
@@ -1912,8 +1952,7 @@ class ModernBatchServer(BatchServer):
             kk = apply_rope(kk, cos, sin)
             k_rows = kk[0].transpose(1, 0, 2).reshape(t, -1)
             v_rows = vv[0].transpose(1, 0, 2).reshape(t, -1)
-            kv_pages[li] = _kv_write(kv_pages[li], token_pages, token_slots,
-                                     k_rows, v_rows)
+            deferred_rows.append((k_rows, v_rows))
             if self.kv_heads != self.heads:
                 rep = self.heads // self.kv_heads
                 kk = jnp.repeat(kk, rep, axis=1)
@@ -1924,7 +1963,8 @@ class ModernBatchServer(BatchServer):
             x = x + (o @ block.w_o.weight)
             m, _ = block.mlp.forward(block.norm2(x))
             x = x + m
-        return tuple(kv_pages)
+        return _kv_write_stacked(kv_pages, self.total_pages, token_pages,
+                                 token_slots, deferred_rows)
 
 
 

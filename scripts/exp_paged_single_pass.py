@@ -54,17 +54,18 @@ def main():
         overhead is ~25-70 ms and would swamp naive RTT correction)."""
         pages_per_seq = max(2048 // page, (FILL + page - 1) // page)
         n_pages = B * pages_per_seq + 1
-        kv = jax.random.normal(
-            jax.random.PRNGKey(7), (L, n_pages, 2, page, HKV * HD),
-            jnp.bfloat16)
+        # SEPARATE per-layer pools exactly like the engine: a layer-stacked
+        # [L, P, ...] array indexed kv[li] materializes a full-layer slice
+        # copy per layer per step as the pallas operand (~34 MB each at
+        # this pool size — measured to swamp the kernel ~14x)
+        kv = tuple(
+            jax.random.normal(jax.random.PRNGKey(7 + li),
+                              (n_pages, 2, page, HKV * HD), jnp.bfloat16)
+            for li in range(L))
         page_idx = jnp.arange(B * pages_per_seq, dtype=jnp.int32).reshape(
             B, pages_per_seq)
 
         def chain(q, lengths, kv):
-            # STATIC per-layer indexing (kv[li]) like the engine's separate
-            # per-layer pools — a lax.scan over the L axis would
-            # dynamic-slice a 100 MB pool copy per layer (~1.4 ms/step of
-            # pure copy, swamping the kernel)
             o = q
             for li in range(L):
                 o = paged_attention(

@@ -206,13 +206,16 @@ def main():
           f"{q_roof_us:.0f} us)")
 
     # --- 4. paged attention alone at the steady-state fill (~150 tokens),
-    # in the engine's FUSED pool layout ([P, 2, page, F]: one DMA per page
-    # moves K and V together)
+    # in the engine's LAYER-STACKED fused pool layout ([L*P, 2, page, F]:
+    # one DMA per page moves K and V together; layer li addressed through
+    # the kernel's static page_offset, never an XLA kv[li] slice — a slice
+    # materializes a full-layer copy per layer per step as the pallas
+    # operand and swamps the kernel)
     fill = 152
     pages_per_req = (fill + PAGE - 1) // PAGE
     n_pages = B * pages_per_req + 1
     kp = jax.random.normal(jax.random.PRNGKey(7),
-                           (L, n_pages, 2, PAGE, HKV * HD), jnp.bfloat16)
+                           (L * n_pages, 2, PAGE, HKV * HD), jnp.bfloat16)
     page_idx = jnp.arange(B * pages_per_req, dtype=jnp.int32).reshape(
         B, pages_per_req)
     pad = jnp.zeros((B, max(0, 8 - pages_per_req)), jnp.int32)
@@ -223,8 +226,9 @@ def main():
         o = q
         for li in range(L):
             o = paged_attention(
-                o, kp[li], None, page_idx, lengths,
+                o, kp, None, page_idx, lengths,
                 num_kv_heads=HKV, pages_per_block=server.pages_per_block,
+                page_offset=li * n_pages,
             )
         return o * (1.0 + 1e-6)
 

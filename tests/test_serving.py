@@ -1605,3 +1605,23 @@ def test_kv_write_scatter_preserves_inplace_aliasing():
     # stay in place — it is what the deferred-write decode path uses
     from lamp_tpu.models.serving import _kv_write_combined
     assert big_copies(_kv_write_combined, fused_pool, tp, ts, k, v) == 0
+
+    # ... and the LAYER-STACKED form (serving._kv_write_stacked: ONE
+    # scatter writes every layer's K and V rows into the [L*P, ...] pool),
+    # which is what the engine's decode/prefill paths actually emit
+    from lamp_tpu.models.serving import _kv_write_stacked
+    L = 3
+    stacked_pool = jnp.zeros((L * P, 2, page, F), jnp.bfloat16)
+
+    def w_stacked(pool, tp, ts, k, v):
+        return _kv_write_stacked(pool, P, tp, ts,
+                                 [(k, v) for _ in range(L)])
+
+    def big_copies_stacked(fn, *args):
+        txt = jax.jit(fn, donate_argnums=(0,)).lower(*args).compile(
+        ).as_text()
+        dim = f"{L * P},2,{page},{F}"
+        return sum(1 for l in txt.splitlines()
+                   if " copy(" in l and dim in l)
+
+    assert big_copies_stacked(w_stacked, stacked_pool, tp, ts, k, v) == 0

@@ -86,6 +86,32 @@ def test_gradient_accumulation_matches_large_batch():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_accumulation_unroll_matches_scan():
+    """The unrolled accumulation program (default for small static counts)
+    must produce the same loss and parameters as the lax.scan form it
+    replaced — same per-micro-batch PRNG splits, same example weighting."""
+    x, y = _toy_classification(n=64)
+    model = nn.MLP(8, 16, 3, key=jax.random.PRNGKey(0), norm=False)
+    opt = optim.SGDW(learning_rate=0.1)
+
+    state0 = train.TrainState.init(model, opt)
+    step_unroll = jax.jit(train.make_train_step(
+        opt, _mlp_loss, accumulation_steps=4, accumulation_unroll=True))
+    step_scan = jax.jit(train.make_train_step(
+        opt, _mlp_loss, accumulation_steps=4, accumulation_unroll=False))
+
+    stacked = (x.reshape(4, 16, 8), y.reshape(4, 16))
+    key = jax.random.PRNGKey(2)
+    s1, (loss1, n1) = step_unroll(state0, stacked, key)
+    s2, (loss2, n2) = step_scan(state0, stacked, key)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    assert float(n1) == float(n2)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_chained_train_step_matches_sequential():
     """K optimizer steps fused into one lax.scan dispatch must equal K
     sequential make_train_step calls exactly."""

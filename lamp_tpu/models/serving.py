@@ -711,6 +711,15 @@ class BatchServer:
 
     def _alloc_slot(self, seq_id) -> Tuple[int, int]:
         pos = self.seq_len[seq_id]
+        if pos >= self.model.context_length:
+            # BatchServer is the low-level engine: request lifecycle
+            # (max_tokens, stop tokens, context-edge retirement) belongs to
+            # the caller (ServingEngine does this; see _budget). Fail loudly
+            # here instead of overflowing the page table.
+            raise RuntimeError(
+                f"sequence {seq_id!r} is at context_length="
+                f"{self.model.context_length}; remove() it (ServingEngine "
+                "handles max_tokens/stop/context retirement automatically)")
         pages = self.seq_pages[seq_id]
         if pos % self.page_size == 0 and pos // self.page_size == len(pages):
             if self.enable_prefix_cache:

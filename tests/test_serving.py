@@ -1625,3 +1625,21 @@ def test_kv_write_scatter_preserves_inplace_aliasing():
                    if " copy(" in l and dim in l)
 
     assert big_copies_stacked(w_stacked, stacked_pool, tp, ts, k, v) == 0
+
+
+def test_context_edge_raises_clear_error():
+    """BatchServer is the low-level engine: driving a sequence past
+    context_length must fail with an instructive RuntimeError (lifecycle —
+    max_tokens / stop / retirement — belongs to ServingEngine), not a
+    page-table shape error (the pre-guard failure mode was a numpy
+    broadcast ValueError from _views)."""
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    model = nn.ModernLM.init(
+        vocab_size=19, context_length=16, num_blocks=1, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(0))
+    s = ModernBatchServer(model, page_size=8, total_pages=16)
+    s.add("a", [1, 2, 3])
+    with pytest.raises(RuntimeError, match="context_length"):
+        for _ in range(20):
+            s.step()

@@ -94,7 +94,13 @@ def fused_adamw_update(param, grad, m, v, step, *, lr: float,
 
     p2, g2 = flat(param), flat(grad)
     m2, v2 = flat(m), flat(v)
-    block_rows = min(rows, 4096)
+    # 1024 rows x 128 lanes x (4 in + 3 out buffers, mostly f32) ~ 3 MB of
+    # VMEM per grid step (6 MB double-buffered). 4096-row blocks compiled in
+    # isolation but blew the 16 MB scoped-VMEM stack once the surrounding
+    # program (unrolled-accumulation train step) gave the scheduler more
+    # concurrently-live buffers; the kernel is HBM-bound so block size does
+    # not affect throughput.
+    block_rows = min(rows, 1024)
     grid = (pl.cdiv(rows, block_rows),)
 
     kernel = functools.partial(

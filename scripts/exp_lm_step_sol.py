@@ -98,9 +98,10 @@ def main():
     batch = (toks, jnp.roll(toks, -1, axis=2))
     rk = jax.random.PRNGKey(1)
 
-    def time_step(opt, label, mk=None):
+    def time_step(opt, label, mk=None, unroll=None):
         step = jax.jit(
-            train.make_train_step(opt, loss_fn, accumulation_steps=ACCUM),
+            train.make_train_step(opt, loss_fn, accumulation_steps=ACCUM,
+                                  accumulation_unroll=unroll),
             donate_argnums=(0,))
 
         def attempt():
@@ -122,9 +123,15 @@ def main():
               f"MFU {tok_s * flops_per_tok / PEAK:.3f})", flush=True)
         return dt
 
-    # 1+3. full step, both optimizers
+    # 1+3. full step, both optimizers; scan-vs-unroll A/B IN THE SAME
+    # SESSION (the tunnel's service throughput drifts ~15% between
+    # sessions, so cross-session comparisons of the two accumulation
+    # programs are meaningless)
     full_plain = time_step(optim.AdamW(3e-4, weight_decay=0.01),
-                           "full step (AdamW master-weights)")
+                           "full step (AdamW master-weights, unrolled)")
+    time_step(optim.AdamW(3e-4, weight_decay=0.01),
+              "full step (AdamW master-weights, lax.scan accumulation)",
+              unroll=False)
     full_fused = time_step(AdamWStochastic(3e-4, weight_decay=0.01),
                            "full step (fused AdamWStochastic)")
 

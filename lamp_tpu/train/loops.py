@@ -82,22 +82,21 @@ def make_train_step(optimizer: Optimizer, loss_fn: Callable, *,
       a leading axis of that size; gradients are example-weight averaged over
       the sub-batches (reference IOLoops.scala:638-657).
     - ``accumulation_unroll``: unroll the accumulation loop in the traced
-      program instead of ``lax.scan``-ing it. A scanned accumulator is a
-      loop CARRY of every parameter-sized f32 gradient buffer — XLA
-      double-buffers carries it cannot prove in-place, so each micro-batch
-      paid a full accumulator copy (measured on the flagship 12L/768d
-      b8x5 step: 14.0 ms of "optimizer+accumulation" overhead vs 4.3 ms
-      with the same update math unrolled — scripts/exp_lm_step_sol.py /
-      exp_opt_flat.py). Default: unroll when ``accumulation_steps <= 8``
-      (compile size grows linearly with the unroll factor; large counts
-      keep the scan).
+      program instead of ``lax.scan``-ing it. Default **False**: an
+      in-session A/B on the flagship 12L/768d b8x5 step measured the
+      scan at 66.95 ms vs 76.62 ms unrolled (scripts/exp_lm_step_sol.py)
+      — XLA schedules/fuses the single scanned body better than five
+      inlined copies, and the carry-copy hypothesis that motivated
+      unrolling came from a DCE-contaminated probe (it read back one
+      gradient leaf, so XLA pruned most backward weight-gradient
+      matmuls). The flag stays for experimentation on other shapes.
     - ``loss_calculation``: "simple" | "adversarial" | "perturbed"
       (reference SupervisedModel.scala:84,116,26).
     - ``gradient_pmean_axis``: mesh axis name for data-parallel gradient
       averaging inside shard_map/pjit (the NCCL allreduce equivalent).
     """
     if accumulation_unroll is None:
-        accumulation_unroll = accumulation_steps <= 8
+        accumulation_unroll = False
 
     def grads_of(params, rest, batch, key):
         def wrapped(p):

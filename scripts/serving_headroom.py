@@ -242,7 +242,7 @@ def main():
           f"{kv_mb * 1e6 / (HBM_GBS * 1e3):.0f} us)")
 
     other_us = full_us - mm_us - att_us
-    doc = f"""# Serving decode headroom (measured, round 3)
+    doc = f"""# Serving decode headroom (measured on the layer-stacked-pool engine, round 4)
 
 Workload: bench.py `bench_serving` — ModernLM 12L/768d, 12q/4kv heads,
 SwiGLU 2048, vocab 32k, bf16, B=32 continuous batching, paged KV

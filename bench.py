@@ -40,6 +40,15 @@ import time
 # without the real chip (.claude/skills/verify/SKILL.md).
 SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0") or "0"))
 
+# Persistent compilation cache (real-TPU runs only — the CPU backend's AOT
+# cache entries are machine-feature-pinned and warn on reload): re-runs and
+# the serving phase's repeated fresh-server measurement, which re-jits
+# per-instance bound methods, skip the ~30-60s remote compiles.
+if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -272,11 +281,6 @@ def bench_serving(rtt):
         num_heads=2 if SMOKE else 12, num_kv_heads=2 if SMOKE else 4,
         key=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
     )
-    server = ModernBatchServer(lm, total_pages=24 if SMOKE else 192)
-    rng = np.random.RandomState(0)
-    for i in range(n_req):
-        server.add(f"r{i}", rng.randint(0, vocab, 24 + (i % 8)).tolist(),
-                   SamplingParams(temperature=0.8))
 
     # Two-chain-length DIFFERENCE timing: each step_many call ends in one
     # host readback of the emitted tokens, whose latency through the axon
@@ -287,57 +291,71 @@ def bench_serving(rtt):
     # and differencing cancels the readback exactly:
     # step = (wall(64) - wall(8)) / 56.
     n1, n2 = (2, 6) if SMOKE else (8, 64)
-    server.step_many(n1)  # compile (B=32, n=8)
-    server.step_many(n2)  # compile (B=32, n=64)
-    # Service jitter only ever INFLATES a wall measurement of a fixed
-    # workload, so min-per-call-shape is the least-contaminated estimate;
-    # differencing the two mins then cancels the readback exactly.
-    # (min of the per-pair differences would be biased the other way:
-    # jitter landing in the n=8 call deflates that pair's difference.)
-    # 4 pairs: warmup (72) + 4*72 = 360 decode steps total, safely under
-    # every request's ~480-token budget (ctx 512 - prompt), so emission per
-    # pair stays the full B*(n2-n1) and `toks` is constant across pairs.
-    w1, w2 = [], []
-    toks = None
-    for _ in range(2 if SMOKE else 4):
-        t0 = time.perf_counter()
-        out1 = server.step_many(n1)
-        t1 = time.perf_counter()
-        out2 = server.step_many(n2)
-        t2 = time.perf_counter()
-        w1.append(t1 - t0)
-        w2.append(t2 - t1)
-        toks = (sum(len(v) for v in out2.values())
-                - sum(len(v) for v in out1.values()))
-    per_tok = (min(w2) - min(w1)) / toks
-    tok_s = 1.0 / per_tok
-    log(f"serving: {tok_s:.0f} decode tok/s (B=32, 12L/768d GQA vocab 32k bf16)")
 
-    # int8 weight-only mode: the measured 1.43x weight-stream lever
+    def measure(bits):
+        """ONE full measurement on a FRESH server (fill starts at the
+        prompts, grows identically every time — repeats are comparable
+        with each other and with prior rounds' single-pass protocol).
+        Service jitter only ever INFLATES a wall reading, so
+        min-per-call-shape is the least-contaminated estimate; the two
+        mins are then differenced (min of per-pair differences would be
+        biased: jitter landing in the n=8 call deflates that pair).
+        4 pairs: warmup (72) + 4*72 = 360 decode steps, safely under every
+        request's ~480-token budget (ctx 512 - prompt), so emission per
+        pair stays the full B*(n2-n1)."""
+        server = ModernBatchServer(lm, total_pages=24 if SMOKE else 192,
+                                   quantize_bits=bits)
+        rng = np.random.RandomState(0)
+        for i in range(n_req):
+            server.add(f"r{i}",
+                       rng.randint(0, vocab, 24 + (i % 8)).tolist(),
+                       SamplingParams(temperature=0.8))
+        server.step_many(n1)  # compile (B=32, n=8)
+        server.step_many(n2)  # compile (B=32, n=64)
+        w1, w2 = [], []
+        toks = None
+        for _ in range(2 if SMOKE else 4):
+            t0 = time.perf_counter()
+            out1 = server.step_many(n1)
+            t1 = time.perf_counter()
+            out2 = server.step_many(n2)
+            t2 = time.perf_counter()
+            w1.append(t1 - t0)
+            w2.append(t2 - t1)
+            toks = (sum(len(v) for v in out2.values())
+                    - sum(len(v) for v in out1.values()))
+        return toks / (min(w2) - min(w1))
+
+    # Repeat the whole measurement on fresh servers and keep the BEST
+    # (fastest) reading: the serving calls are ~tens of ms, short enough
+    # that a sustained slow-service patch contaminates all 4 pairs of one
+    # repeat (observed 33k vs 46k for identical code in one night); the
+    # max across repeats estimates code capability, exactly like the LM
+    # phase's best-of-3 windows. Per-instance jits recompile per repeat —
+    # amortized by the persistent compilation cache.
+    reps = 1 if SMOKE else 3
+
+    def best_of(bits, name):
+        vals = [with_retries(lambda: measure(bits), name)
+                for _ in range(reps)]
+        ok = [v for v in vals if isinstance(v, float)]
+        return max(ok) if ok else vals[-1]
+
+    tok_s = best_of(None, "serving bf16")
+    if not isinstance(tok_s, float):
+        return {"error": tok_s.get("error", "serving failed")}
+    log(f"serving: {tok_s:.0f} decode tok/s (B=32, 12L/768d GQA vocab 32k "
+        f"bf16, best of {reps})")
+
+    # int8 weight-only mode: the measured ~1.9x weight-stream lever
     # (docs/serving_headroom.md); quality is gated separately by
     # tests/test_serving.py::test_modern_serving_quantized_decode
-    server8 = ModernBatchServer(lm, total_pages=24 if SMOKE else 192,
-                                quantize_bits=8)
-    rng = np.random.RandomState(0)
-    for i in range(n_req):
-        server8.add(f"q{i}", rng.randint(0, vocab, 24 + (i % 8)).tolist(),
-                    SamplingParams(temperature=0.8))
-    server8.step_many(n1)
-    server8.step_many(n2)
-    w1, w2, toks8 = [], [], None
-    for _ in range(2 if SMOKE else 4):
-        t0 = time.perf_counter()
-        out1 = server8.step_many(n1)
-        t1 = time.perf_counter()
-        out2 = server8.step_many(n2)
-        t2 = time.perf_counter()
-        w1.append(t1 - t0)
-        w2.append(t2 - t1)
-        toks8 = (sum(len(v) for v in out2.values())
-                 - sum(len(v) for v in out1.values()))
-    tok_s8 = toks8 / (min(w2) - min(w1))
+    tok_s8 = best_of(8, "serving int8")
+    if not isinstance(tok_s8, float):
+        return {"decode_tokens_per_sec": round(tok_s, 1),
+                "int8_error": tok_s8.get("error", "failed")}
     log(f"serving int8: {tok_s8:.0f} decode tok/s (same workload, "
-        f"weight-only int8)")
+        f"weight-only int8, best of {reps})")
     return {"decode_tokens_per_sec": round(tok_s, 1),
             "decode_tokens_per_sec_int8": round(tok_s8, 1)}
 

@@ -146,7 +146,14 @@ def main():
               "full step (int8 training matmuls)",
               mk=lambda: quantize_training(make_model()))
 
-    # 2. fwd+bwd only (same 5-accum loss/grad, no optimizer update)
+    # 2. fwd+bwd only (same 5-accum loss/grad, no optimizer update).
+    # NOTE: this probe UNROLLS the accumulation loop in Python, so it
+    # decomposes the unrolled full-step variant, not the (faster) scan
+    # default — measured round 4: probe 73.5 ms vs unrolled full step
+    # 76.0 ms (optimizer ~2.5 ms by difference), while the scan step ran
+    # 67.6 ms. A scan-structured probe would be needed to decompose the
+    # default program; the isolated optimizer number from exp_opt_flat.py
+    # (4.3 ms) is the per-phase bound used in docs/lm_step_headroom.md.
     params0 = make_model()
 
     def grad_only(m):

@@ -171,33 +171,39 @@ def bench_lm(rtt):
         # no CPU interpreter lowering
         return {"tokens_per_sec_per_chip": round(tok_s, 1),
                 "mfu": round(mfu, 4)}
-    from lamp_tpu.ops.fused_adamw import AdamWStochastic
-    opt_f = AdamWStochastic(3e-4, weight_decay=0.01)
-    model_f = nn.LanguageModelModule.init(
-        vocab_size=VOCAB, context_length=CTX, num_blocks=LAYERS,
-        embed_dim=DIM, attention_heads=2 if SMOKE else 12,
-        key=jax.random.PRNGKey(0), dtype=jnp.bfloat16, dropout=0.0,
-    )
-    state_f = train.TrainState.init(model_f, opt_f)
-    step_f = jax.jit(
-        train.make_train_step(opt_f, loss_fn, accumulation_steps=ACCUM),
-        donate_argnums=(0,))
-    for _ in range(3):
-        state_f, (loss, _) = step_f(state_f, batch, rk)
-    float(loss)
-    dt_f = None
-    for _ in range(2 if SMOKE else 3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
+    try:
+        from lamp_tpu.ops.fused_adamw import AdamWStochastic
+        opt_f = AdamWStochastic(3e-4, weight_decay=0.01)
+        model_f = nn.LanguageModelModule.init(
+            vocab_size=VOCAB, context_length=CTX, num_blocks=LAYERS,
+            embed_dim=DIM, attention_heads=2 if SMOKE else 12,
+            key=jax.random.PRNGKey(0), dtype=jnp.bfloat16, dropout=0.0,
+        )
+        state_f = train.TrainState.init(model_f, opt_f)
+        step_f = jax.jit(
+            train.make_train_step(opt_f, loss_fn, accumulation_steps=ACCUM),
+            donate_argnums=(0,))
+        for _ in range(3):
             state_f, (loss, _) = step_f(state_f, batch, rk)
         float(loss)
-        w = time.perf_counter() - t0 - rtt
-        dt_f = w if dt_f is None else min(dt_f, w)
-    tok_s_f = ACCUM * BATCH * CTX * iters / dt_f / jax.device_count()
-    log(f"lm fused-opt: {tok_s_f:.0f} tok/s/chip "
-        f"(mfu={tok_s_f * flops_per_tok / peak_flops():.3f})")
-    return {"tokens_per_sec_per_chip": round(tok_s, 1), "mfu": round(mfu, 4),
-            "tokens_per_sec_fused_opt": round(tok_s_f, 1)}
+        dt_f = None
+        for _ in range(2 if SMOKE else 3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state_f, (loss, _) = step_f(state_f, batch, rk)
+            float(loss)
+            w = time.perf_counter() - t0 - rtt
+            dt_f = w if dt_f is None else min(dt_f, w)
+        tok_s_f = ACCUM * BATCH * CTX * iters / dt_f / jax.device_count()
+        log(f"lm fused-opt: {tok_s_f:.0f} tok/s/chip "
+            f"(mfu={tok_s_f * flops_per_tok / peak_flops():.3f})")
+        return {"tokens_per_sec_per_chip": round(tok_s, 1),
+                "mfu": round(mfu, 4),
+                "tokens_per_sec_fused_opt": round(tok_s_f, 1)}
+    except Exception as e:  # the EXTRA must never zero the headline
+        log(f"lm fused-opt extra failed (headline unaffected): {e!r}")
+        return {"tokens_per_sec_per_chip": round(tok_s, 1),
+                "mfu": round(mfu, 4)}
 
 
 def bench_lm_longctx(rtt):

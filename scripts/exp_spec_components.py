@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Re-measure the speculative-decoding component device times on the
+CURRENT (layer-stacked-pool) engine — the numbers docs/serving.md derives
+the 1.59x full-acceptance speedup from (round-1 measurement, split-pool
+engine at the time).
+
+Times, by the two-chain-length difference method (tunnel readback cancels):
+
+  1. target single-token decode step, 12L/768d GQA B=8
+  2. draft single-token decode step, 2L/768d B=8
+  3. target k=4 chunked decode (_decode_chunk pseudo-sequence path,
+     device-chained via lax.scan — host-driven advance_chunk through the
+     tunnel measures dispatch latency, not the engine), B=8
+
+Speculation accepts a tokens/step on average:
+  speedup(a) = a * t_single / ((k-1) * t_draft + t_chunk)
+Full acceptance: a = k = 4.
+
+Usage: python scripts/exp_spec_components.py   (real TPU, ~3 min)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+B, K = 8, 4
+N1, N2 = 8, 64
+
+
+def with_retries(fn, attempts=4):
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            if i == attempts - 1:
+                raise
+            print(f"retry after: {e!r}", file=sys.stderr)
+            time.sleep(3.0)
+
+
+def diff_pairs(call, pairs=5):
+    call(N1), call(N2)
+    w1, w2 = [], []
+    for _ in range(pairs):
+        t0 = time.perf_counter()
+        call(N1)
+        t1 = time.perf_counter()
+        call(N2)
+        t2 = time.perf_counter()
+        w1.append(t1 - t0)
+        w2.append(t2 - t1)
+    return (min(w2) - min(w1)) / (N2 - N1)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lamp_tpu import nn
+    from lamp_tpu.models import ModernBatchServer, SamplingParams
+
+    vocab = 32000
+    rng = np.random.RandomState(0)
+
+    def mk_server(layers):
+        lm = nn.ModernLM.init(
+            vocab_size=vocab, context_length=2048, num_blocks=layers,
+            embed_dim=768, num_heads=12, num_kv_heads=4,
+            key=jax.random.PRNGKey(layers), dtype=jnp.bfloat16)
+        server = ModernBatchServer(lm, total_pages=B * 16 + 8)
+        for i in range(B):
+            server.add(f"r{i}",
+                       rng.randint(0, vocab, 24 + (i % 8)).tolist(),
+                       SamplingParams(temperature=0.0))
+        return server
+
+    # 1+2: single-token steps via fused step_many chains
+    for name, layers in (("target 12L", 12), ("draft 2L", 2)):
+        server = mk_server(layers)
+        with_retries(lambda: server.step_many(N1))
+        dt = with_retries(lambda: diff_pairs(
+            lambda n: server.step_many(n)))
+        print(f"{name} single-token step (B={B}): {dt * 1e3:.3f} ms",
+              flush=True)
+        if layers == 12:
+            t_single = dt
+        else:
+            t_draft = dt
+
+    # 3: k=4 chunk on the target. Host-driven advance_chunk pays several
+    # small H2D uploads + page bookkeeping PER CALL through the tunnel
+    # (measured ~7 ms/call that way — tunnel dispatch, not device time),
+    # so chain the jitted chunk BODY on device with fixed slot tables:
+    # lengths stay constant and the same K slots are rewritten each
+    # iteration, which is numerically irrelevant for timing and matches
+    # the speculation steady state (rewind reuses the same slots).
+    server = mk_server(12)
+    with_retries(lambda: server.step_many(2))
+    seqs = server.active
+    lens0 = jnp.asarray([server.seq_len[s] for s in seqs], jnp.int32)
+    idx, _ = server._views(seqs)
+    tp = np.zeros((B, K), np.int32)
+    ts = np.zeros((B, K), np.int32)
+    import copy as _copy
+    slots = {s: server.seq_len[s] for s in seqs}
+    for i, s in enumerate(seqs):
+        for j in range(K):
+            # fixed slot per (seq, j): position lens0[i]+j
+            pos = slots[s] + j
+            tp[i, j] = server.seq_pages[s][pos // server.page_size]
+            ts[i, j] = pos % server.page_size
+    tp, ts = jnp.asarray(tp), jnp.asarray(ts)
+    toks0 = jnp.asarray(rng.randint(0, vocab, (B, K)), jnp.int32)
+    extras = server._extras
+    model = server.model
+
+    def body(carry, _):
+        toks, kvp = carry
+        logits, kvp = server._decode_chunk(
+            model, kvp, toks, idx, lens0, tp, ts, extras, None,
+            server._windows_arg(seqs))
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, kvp), None
+
+    fns = {}
+
+    def chunk_call(n):
+        if n not in fns:
+            fns[n] = jax.jit(lambda t, kv: jax.lax.scan(
+                body, (t, kv), length=n)[0][0])
+        out = fns[n](toks0, server.kv_pages)
+        float(np.asarray(out).reshape(-1)[0])
+
+    dt_chunk = with_retries(lambda: diff_pairs(chunk_call))
+    print(f"target k={K} chunk (B={B}): {dt_chunk * 1e3:.3f} ms", flush=True)
+
+    full = K * t_single / ((K - 1) * t_draft + dt_chunk)
+    # breakeven acceptance a*: a* * t_single = (k-1) t_draft + t_chunk
+    brk = ((K - 1) * t_draft + dt_chunk) / t_single / K
+    print(f"full-acceptance speedup: {full:.2f}x; breakeven at "
+          f"{100 * brk:.0f}% accepted tokens", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -174,9 +174,11 @@ def bench_lm(rtt):
     try:
         from lamp_tpu.ops.fused_adamw import AdamWStochastic
         opt_f = AdamWStochastic(3e-4, weight_decay=0.01)
+        # (this extra only runs off-SMOKE — the early return above — so
+        # the shapes are hard-coded to the non-smoke flagship config)
         model_f = nn.LanguageModelModule.init(
             vocab_size=VOCAB, context_length=CTX, num_blocks=LAYERS,
-            embed_dim=DIM, attention_heads=2 if SMOKE else 12,
+            embed_dim=DIM, attention_heads=12,
             key=jax.random.PRNGKey(0), dtype=jnp.bfloat16, dropout=0.0,
         )
         state_f = train.TrainState.init(model_f, opt_f)
@@ -187,7 +189,7 @@ def bench_lm(rtt):
             state_f, (loss, _) = step_f(state_f, batch, rk)
         float(loss)
         dt_f = None
-        for _ in range(2 if SMOKE else 3):
+        for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(iters):
                 state_f, (loss, _) = step_f(state_f, batch, rk)

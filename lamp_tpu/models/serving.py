@@ -890,6 +890,16 @@ class BatchServer:
 
     def _advance(self, seq_ids, tokens):
         """Write tokens' KV + return logits; bumps lengths."""
+        # pre-scan for at-capacity sequences BEFORE any slot allocation so
+        # the context-length error can never leave the batch mid-step with
+        # some sequences already holding fresh pages (ADVICE r4)
+        ctx = self.model.context_length
+        full = [s for s in seq_ids if self.seq_len[s] >= ctx]
+        if full:
+            raise RuntimeError(
+                f"sequences {full!r} are at context_length={ctx}; remove() "
+                "them (ServingEngine handles max_tokens/stop/context "
+                "retirement automatically)")
         for s in seq_ids:
             self._release_pages(s)
         slots = [self._alloc_slot(s) for s in seq_ids]

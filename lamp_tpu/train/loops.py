@@ -73,7 +73,7 @@ def make_train_step(optimizer: Optimizer, loss_fn: Callable, *,
                     loss_calculation: str = "simple",
                     adversarial_eps: float = 1e-3,
                     gradient_pmean_axis: Optional[str] = None,
-                    accumulation_unroll: Optional[bool] = None):
+                    accumulation_unroll: bool = False):
     """Build a jittable ``step(state, batch, key, lr_factor) -> (state, loss)``.
 
     ``loss_fn(model, batch, key, train) -> (loss, n_examples, new_model)``.
@@ -95,9 +95,6 @@ def make_train_step(optimizer: Optimizer, loss_fn: Callable, *,
     - ``gradient_pmean_axis``: mesh axis name for data-parallel gradient
       averaging inside shard_map/pjit (the NCCL allreduce equivalent).
     """
-    if accumulation_unroll is None:
-        accumulation_unroll = False
-
     def grads_of(params, rest, batch, key):
         def wrapped(p):
             model = combine(p, rest)

@@ -1176,8 +1176,8 @@ def test_modern_serving_fp8_kv_cache():
     ref = ModernBatchServer(model, page_size=8, total_pages=32)
     s8 = ModernBatchServer(model, page_size=8, total_pages=32,
                            kv_dtype=jnp.float8_e4m3fn)
-    assert s8.kv_pages[0].dtype == jnp.float8_e4m3fn
-    assert s8.kv_pages[0].nbytes * 4 == ref.kv_pages[0].nbytes  # f32 model
+    assert s8.kv_pages.dtype == jnp.float8_e4m3fn
+    assert s8.kv_pages.nbytes * 4 == ref.kv_pages.nbytes  # f32 model
     ref.add("a", prompt)
     s8.add("a", prompt)
     for _ in range(8):

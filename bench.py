@@ -378,31 +378,46 @@ def bench_serving(rtt):
     # max across repeats estimates code capability, exactly like the LM
     # phase's best-of-3 windows. Per-instance jits recompile per repeat —
     # amortized by the persistent compilation cache.
+    #
+    # bf16 and int8 measures INTERLEAVE (bf16, int8, bf16, int8, ...): each
+    # adjacent pair shares the same service window, so the per-pair ratio
+    # pins the int8 SPEEDUP itself even when the absolute numbers drift
+    # (VERDICT r4 weak #2 — the ratio cancels tunnel drift; the absolute
+    # numbers don't).
     reps = 1 if SMOKE else 3
+    bf16_vals, int8_vals = [], []
+    for _ in range(reps):
+        bf16_vals.append(with_retries(lambda: measure(None), "serving bf16"))
+        int8_vals.append(with_retries(lambda: measure(8), "serving int8"))
 
-    def best_of(bits, name):
-        vals = [with_retries(lambda: measure(bits), name)
-                for _ in range(reps)]
-        ok = [v for v in vals if isinstance(v, float)]
-        return max(ok) if ok else vals[-1]
-
-    tok_s = best_of(None, "serving bf16")
-    if not isinstance(tok_s, float):
-        return {"error": tok_s.get("error", "serving failed")}
+    ok16 = [v for v in bf16_vals if isinstance(v, float)]
+    if not ok16:
+        return {"error": bf16_vals[-1].get("error", "serving failed")}
+    tok_s = max(ok16)
     log(f"serving: {tok_s:.0f} decode tok/s (B=32, 12L/768d GQA vocab 32k "
         f"bf16, best of {reps})")
 
     # int8 weight-only mode: the measured ~1.9x weight-stream lever
-    # (docs/serving_headroom.md); quality is gated separately by
-    # tests/test_serving.py::test_modern_serving_quantized_decode
-    tok_s8 = best_of(8, "serving int8")
-    if not isinstance(tok_s8, float):
+    # (docs/serving_headroom.md); quality is gated by
+    # tests/test_serving.py::test_modern_serving_quantized_decode and the
+    # trained-model artifact scripts/exp_int8_quality.json
+    ok8 = [v for v in int8_vals if isinstance(v, float)]
+    if not ok8:
         return {"decode_tokens_per_sec": round(tok_s, 1),
-                "int8_error": tok_s8.get("error", "failed")}
+                "int8_error": int8_vals[-1].get("error", "failed")}
+    tok_s8 = max(ok8)
+    ratios = [i8 / b16 for b16, i8 in zip(bf16_vals, int8_vals)
+              if isinstance(b16, float) and isinstance(i8, float)]
+    ratio = sorted(ratios)[len(ratios) // 2] if ratios else None
     log(f"serving int8: {tok_s8:.0f} decode tok/s (same workload, "
-        f"weight-only int8, best of {reps})")
-    return {"decode_tokens_per_sec": round(tok_s, 1),
-            "decode_tokens_per_sec_int8": round(tok_s8, 1)}
+        f"weight-only int8, best of {reps}; paired same-window speedup "
+        f"{ratio:.2f}x)" if ratio else
+        f"serving int8: {tok_s8:.0f} decode tok/s")
+    out = {"decode_tokens_per_sec": round(tok_s, 1),
+           "decode_tokens_per_sec_int8": round(tok_s8, 1)}
+    if ratio:
+        out["int8_speedup_paired"] = round(ratio, 3)
+    return out
 
 
 def best_prior_headline():

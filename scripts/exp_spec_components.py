@@ -144,6 +144,30 @@ def main():
     print(f"full-acceptance speedup: {full:.2f}x; breakeven at "
           f"{100 * brk:.0f}% accepted tokens", flush=True)
 
+    # acceptance-vs-speedup curve: a accepted tokens per round costs
+    # (k-1) draft steps + 1 chunk regardless of a
+    curve = {
+        f"a={a}": round(a * t_single / ((K - 1) * t_draft + dt_chunk), 3)
+        for a in (1, 2, 3, 4)
+    }
+    import json
+
+    doc = {
+        "engine": "layer-stacked pool (round 4+)",
+        "batch": B, "k": K,
+        "target_single_ms": round(t_single * 1e3, 3),
+        "draft_single_ms": round(t_draft * 1e3, 3),
+        "target_chunk_k4_ms": round(dt_chunk * 1e3, 3),
+        "full_acceptance_speedup": round(full, 3),
+        "breakeven_acceptance": round(brk, 3),
+        "speedup_vs_accepted_per_round": curve,
+        "date": time.strftime("%Y-%m-%d"),
+    }
+    path = os.path.join(os.path.dirname(__file__), "exp_spec_components.json")
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc))
+
 
 if __name__ == "__main__":
     main()

@@ -474,6 +474,8 @@ def main():
                 "decode_tokens_per_sec", serving.get("error")),
             "serving_decode_tokens_per_sec_int8": serving.get(
                 "decode_tokens_per_sec_int8"),
+            "serving_int8_speedup_paired": serving.get(
+                "int8_speedup_paired"),
         },
     }))
 

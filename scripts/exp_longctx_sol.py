@@ -242,7 +242,13 @@ def main():
     sweep = {}
     for bq, bk in ((1024, 1024), (512, 1024), (1024, 512), (512, 512),
                    (2048, 1024), (1024, 2048), (256, 1024)):
-        us = time_flash_blocks(bq, bk)
+        try:
+            us = time_flash_blocks(bq, bk)
+        except Exception as e:  # e.g. 2048-row dq scratch exceeds VMEM
+            sweep[f"{bq}x{bk}"] = f"failed: {type(e).__name__}"
+            print(f"flash f+b blocks {bq}x{bk}: FAILED ({e!r})"[:160],
+                  flush=True)
+            continue
         sweep[f"{bq}x{bk}"] = round(us, 1)
         print(f"flash f+b blocks {bq}x{bk}: {us:.1f} us/call", flush=True)
     results["block_sweep_fb_us"] = sweep

@@ -31,6 +31,12 @@ import numpy as np
 
 BATCH, CTX, VOCAB, ACCUM, LAYERS, DIM, HEADS = 8, 384, 256, 5, 12, 768, 12
 N1, N2 = 3, 12
+# LAMP_KO_CTX4096=1: run the same knockout protocol at the ctx-4096
+# flash-path bench-extra config instead (B=2, no accumulation, fewer
+# rounds — each step is ~76 ms)
+if os.environ.get("LAMP_KO_CTX4096"):
+    BATCH, CTX, ACCUM = 2, 4096, 1
+    N1, N2 = 2, 8
 
 
 def with_retries(fn, attempts=4):
@@ -73,9 +79,9 @@ def main():
                 jnp.asarray(toks.shape[0], jnp.float32), nm)
 
     rng = np.random.RandomState(0)
-    toks = jnp.asarray(
-        rng.randint(0, VOCAB, (ACCUM, BATCH, CTX)).astype(np.int32))
-    batch = (toks, jnp.roll(toks, -1, axis=2))
+    shape = (ACCUM, BATCH, CTX) if ACCUM > 1 else (BATCH, CTX)
+    toks = jnp.asarray(rng.randint(0, VOCAB, shape).astype(np.int32))
+    batch = (toks, jnp.roll(toks, -1, axis=-1))
     rk = jax.random.PRNGKey(1)
 
     orig_ln = LY.LayerNorm.forward
@@ -173,8 +179,10 @@ def main():
                   "paired_delta_ms": [round(d, 2) for d in paired]}
         print(f"{n:>12}: min {min(rounds):.2f} ms; paired "
               f"{[round(d, 2) for d in paired]}")
-    with open(os.path.join(os.path.dirname(__file__),
-                           "exp_step_knockouts.json"), "w") as f:
+    name = ("exp_step_knockouts_ctx4096.json"
+            if os.environ.get("LAMP_KO_CTX4096")
+            else "exp_step_knockouts.json")
+    with open(os.path.join(os.path.dirname(__file__), name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -137,7 +137,13 @@ def main():
         return
 
     # --- perf: f+b per call, flash vs XLA, difference method ---
-    def time_fb(fn, ctx, pairs=4):
+    def time_fb(fn, ctx, pairs=4, n1=None, n2=None):
+        """n1/n2 chain lengths must scale with the per-call cost: the
+        differenced signal (n2-n1)*cost has to dwarf the ~40 ms
+        readback's run-to-run noise (the round-5 fast backward made the
+        old 4/16 lengths produce NEGATIVE ctx-4096 readings)."""
+        n1 = N1 if n1 is None else n1
+        n2 = N2 if n2 is None else n2
         q, k, v = qkv(ctx)
 
         def fb(args):
@@ -152,30 +158,34 @@ def main():
 
         fns = {n: jax.jit(lambda c, n=n: jax.lax.scan(
             lambda cc, _: (fb(cc), None), c, length=n)[0])
-            for n in (N1, N2)}
+            for n in (n1, n2)}
 
         def call(n):
             out = fns[n]((q, k, v))
             float(np.asarray(out[0]).reshape(-1)[0])
 
-        call(N1), call(N2)
+        call(n1), call(n2)
         w1, w2 = [], []
         for _ in range(pairs):
             t0 = time.perf_counter()
-            call(N1)
+            call(n1)
             t1 = time.perf_counter()
-            call(N2)
+            call(n2)
             t2 = time.perf_counter()
             w1.append(t1 - t0)
             w2.append(t2 - t1)
-        return (min(w2) - min(w1)) / (N2 - N1) * 1e6
+        return (min(w2) - min(w1)) / (n2 - n1) * 1e6
 
+    chain = {2048: (16, 128), 4096: (8, 64), 8192: (4, 16)}
     for ctx in (2048, 4096, 8192):
+        n1, n2 = chain[ctx]
         flash_us = with_retries(lambda ctx=ctx: time_fb(
             lambda q, k, v: flash_attention(q, k, v, causal=True,
-                                            interpret=False), ctx))
+                                            interpret=False), ctx,
+            n1=n1, n2=n2))
         xla_us = with_retries(lambda ctx=ctx: time_fb(
-            lambda q, k, v: mha_reference(q, k, v, causal=True), ctx))
+            lambda q, k, v: mha_reference(q, k, v, causal=True), ctx,
+            n1=N1, n2=N2))
         rec = {"ctx": ctx, "flash_fb_us": round(flash_us, 1),
                "xla_fb_us": round(xla_us, 1),
                "speedup": round(xla_us / flash_us, 3)}

@@ -105,9 +105,10 @@ def main():
         s = (i * 1009) % (len(valid_bytes) - PROMPT_LEN - 1)
         prompts.append([int(b) for b in valid_bytes[s:s + PROMPT_LEN]])
 
-    def decode(bits):
+    def decode(bits, kv_dtype=None):
+        kw = {} if kv_dtype is None else {"kv_dtype": kv_dtype}
         srv = ModernBatchServer(lm, total_pages=96,
-                                quantize_bits=bits)
+                                quantize_bits=bits, **kw)
         for i, p in enumerate(prompts):
             srv.add(f"p{i}", p)  # default SamplingParams: greedy
         toks = {f"p{i}": [] for i in range(N_PROMPTS)}
@@ -130,8 +131,12 @@ def main():
     lse_r = ref_logits - np.log(
         np.exp(ref_logits - ref_logits.max(-1, keepdims=True)).sum(
             -1, keepdims=True)) - ref_logits.max(-1, keepdims=True)
-    for bits, name in ((8, "int8"), (4, "int4")):
-        toks, logits = with_retries(lambda: decode(bits))
+    for bits, kvd, name in ((8, None, "int8"), (4, None, "int4"),
+                            (None, "fp8", "fp8kv"),
+                            (8, "fp8", "int8+fp8kv")):
+        kv_dtype = jnp.float8_e4m3fn if kvd else None
+        toks, logits = with_retries(
+            lambda: decode(bits, kv_dtype=kv_dtype))
         agree = np.mean([
             np.mean(np.asarray(toks[k]) == np.asarray(ref_toks[k]))
             for k in ref_toks])

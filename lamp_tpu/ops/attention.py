@@ -487,7 +487,16 @@ def _bwd_fused_kernel(lim_ref, sq_ref, sk_ref, m_ref, q_ref, k_ref, v_ref,
         q = q_ref[0]
         k = k_ref[0]
         v = v_ref[0]
-        do = do_ref[0].astype(jnp.float32)
+        # do stays in its storage dtype (bf16): a kernel-wide f32 upcast
+        # put the dv and dp dots on the HALF-RATE f32 MXU path — measured
+        # round 5 (scripts/exp_bwd_bisect.py): the dkv dots were ~half the
+        # kernel. bf16 inputs with f32 accumulation (preferred_element_type)
+        # is the same precision contract the forward uses.
+        do = do_ref[0]
+        # SLIM per-row side inputs: lse/di arrive as [block_q, 8] blocks
+        # (8 lanes is Mosaic's minimum tile; the former [BH, Sq, 128]
+        # broadcasts materialized 50 MB per array at the longctx shape only
+        # for lane 0 to be read in here — 16x the bytes)
         lse = lse_ref[0]
         di = di_ref[0]
 
@@ -551,16 +560,19 @@ def _bwd_fused(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
     n_kv = skv // block_k
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
-    lse_rep = jnp.broadcast_to(lse[:, :, None], (bh, sq, LANES))
-    di_rep = jnp.broadcast_to(di[:, :, None], (bh, sq, LANES))
+    # lse/di ride SLIM (8 lanes — Mosaic's minimum tile — instead of 128):
+    # the old [bh, sq, 128] broadcasts cost 2x50 MB of HBM writes+reads at
+    # the longctx shape for a single read lane in the kernel
+    lse_rep = jnp.broadcast_to(lse[:, :, None], (bh, sq, 8))
+    di_rep = jnp.broadcast_to(di[:, :, None], (bh, sq, 8))
 
     data_specs = [
         pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
         pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
         pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
         pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
-        pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b, i, 0)),
-        pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, block_q, 8), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, block_q, 8), lambda b, j, i: (b, i, 0)),
     ]
     args = (q, k, v, do, lse_rep, di_rep)
     base = functools.partial(

@@ -387,7 +387,15 @@ def bench_serving(rtt):
     reps = 1 if SMOKE else 3
     bf16_vals, int8_vals = [], []
     for _ in range(reps):
-        bf16_vals.append(with_retries(lambda: measure(None), "serving bf16"))
+        b16 = with_retries(lambda: measure(None), "serving bf16")
+        bf16_vals.append(b16)
+        if not isinstance(b16, float):
+            # this rep's bf16 failed (tunnel window): skip its int8 twin —
+            # the paired ratio needs same-window pairs, and if every rep
+            # fails the minutes of int8 measurement would be discarded by
+            # the error return below. None keeps the pairing aligned.
+            int8_vals.append(None)
+            continue
         int8_vals.append(with_retries(lambda: measure(8), "serving int8"))
 
     ok16 = [v for v in bf16_vals if isinstance(v, float)]
@@ -403,8 +411,10 @@ def bench_serving(rtt):
     # trained-model artifact scripts/exp_int8_quality.json
     ok8 = [v for v in int8_vals if isinstance(v, float)]
     if not ok8:
+        last = next((v for v in reversed(int8_vals)
+                     if isinstance(v, dict)), None)
         return {"decode_tokens_per_sec": round(tok_s, 1),
-                "int8_error": int8_vals[-1].get("error", "failed")}
+                "int8_error": (last or {}).get("error", "failed")}
     tok_s8 = max(ok8)
     ratios = [i8 / b16 for b16, i8 in zip(bf16_vals, int8_vals)
               if isinstance(b16, float) and isinstance(i8, float)]

@@ -888,18 +888,23 @@ class BatchServer:
         )
         return logits, kv_pages
 
-    def _advance(self, seq_ids, tokens):
-        """Write tokens' KV + return logits; bumps lengths."""
-        # pre-scan for at-capacity sequences BEFORE any slot allocation so
-        # the context-length error can never leave the batch mid-step with
-        # some sequences already holding fresh pages (ADVICE r4)
+    def _require_capacity(self, seq_ids, n: int) -> None:
+        """Pre-scan the batch BEFORE any page release / slot allocation /
+        length bump: the context-length error must never leave a step
+        half-mutated with some sequences already holding fresh pages or
+        phantom seq_len entries (ADVICE r4; shared by every multi-token
+        entry point, not just _advance)."""
         ctx = self.model.context_length
-        full = [s for s in seq_ids if self.seq_len[s] >= ctx]
+        full = [s for s in seq_ids if self.seq_len[s] + n > ctx]
         if full:
             raise RuntimeError(
-                f"sequences {full!r} are at context_length={ctx}; remove() "
-                "them (ServingEngine handles max_tokens/stop/context "
-                "retirement automatically)")
+                f"sequences {full!r} would exceed context_length={ctx} "
+                f"after {n} token(s); remove() them (ServingEngine handles "
+                "max_tokens/stop/context retirement automatically)")
+
+    def _advance(self, seq_ids, tokens):
+        """Write tokens' KV + return logits; bumps lengths."""
+        self._require_capacity(seq_ids, 1)
         for s in seq_ids:
             self._release_pages(s)
         slots = [self._alloc_slot(s) for s in seq_ids]
@@ -920,6 +925,7 @@ class BatchServer:
         chunk). Bumps lengths by M."""
         tokens = np.asarray(tokens, np.int32)
         b, m = tokens.shape
+        self._require_capacity(seq_ids, m)
         for s in seq_ids:
             self._release_pages(s)
         lens0 = jnp.asarray(
@@ -1183,6 +1189,7 @@ class BatchServer:
         if not seq_ids:
             return {}
         b = len(seq_ids)
+        self._require_capacity(seq_ids, n)
         for s in seq_ids:
             self._release_pages(s)
         lens0 = jnp.asarray([self.seq_len[s] for s in seq_ids], jnp.int32)

@@ -628,14 +628,13 @@ def _bwd_fused(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
 _FUSED_BWD_SLAB_BYTES = 1024 * 1024 * 1024
 
 
-def _bwd(sm_scale, causal, block_q, block_k, bwd_block_q, bwd_block_k,
-         kv_len, q_offset, heads, interpret, window, res, g):
-    # the backward runs on its OWN block sizes (measured round 5, v5e,
-    # ctx 4096 f+b: bwd at 512x2048 is 3.1x faster than at the
-    # forward-optimal 1024x1024 — small q blocks with large kv blocks
-    # shrink the partial-dq slab segments and the per-block f32
-    # score/ds live set; the forward keeps 1024x1024, measured 174 TF/s)
-    block_q, block_k = bwd_block_q, bwd_block_k
+def _bwd(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
+         interpret, window, res, g):
+    # NOTE (round 5): backward-specific block sizes were prototyped after
+    # a ctx-4096 sweep read bwd 512x2048 at 3.1x — the reading did not
+    # replicate under long-chain interleaved A/B (docs/lm_step_headroom.md
+    # "Backward-kernel investigation"), so the backward shares the
+    # forward's blocks and no extra plumbing is carried.
     q, k, v = res[:3]
     n_kv = k.shape[1] // block_k
     slab = n_kv * q.size * q.dtype.itemsize
@@ -745,10 +744,9 @@ def _bwd_split(sm_scale, causal, block_q, block_k, kv_len, q_offset, heads,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15))
 def _flash(q, k, v, lengths, seg_q, seg_kv, mask, sm_scale, causal, block_q,
-           block_k, bwd_block_q, bwd_block_k, kv_len, q_offset, heads,
-           interpret, window):
+           block_k, kv_len, q_offset, heads, interpret, window):
     o, _ = _fwd(q, k, v, lengths, seg_q, seg_kv, mask, sm_scale, causal,
                 block_q, block_k, kv_len, q_offset, heads, interpret,
                 save_residuals=False, window=window)
@@ -756,8 +754,7 @@ def _flash(q, k, v, lengths, seg_q, seg_kv, mask, sm_scale, causal, block_q,
 
 
 def _flash_fwd(q, k, v, lengths, seg_q, seg_kv, mask, sm_scale, causal,
-               block_q, block_k, bwd_block_q, bwd_block_k, kv_len, q_offset,
-               heads, interpret, window):
+               block_q, block_k, kv_len, q_offset, heads, interpret, window):
     o, lse = _fwd(q, k, v, lengths, seg_q, seg_kv, mask, sm_scale, causal,
                   block_q, block_k, kv_len, q_offset, heads, interpret,
                   window=window)
@@ -819,11 +816,9 @@ def flash_attention(q, k, v, *, causal: bool = False,
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
 
-    auto_blocks = block_q == 0 and block_k == 0
     if block_q == 0:  # auto-tune: bigger blocks amortize grid overhead
-        # (measured on v5e: 1024x1024 beats 512x1024 at ctx 2048-8192 on
-        # the FORWARD; VMEM at 1024x1024 f32 scores = 4MB, well in budget.
-        # The backward gets its own blocks below.)
+        # (measured on v5e: 1024x1024 beats 512x1024 at ctx 2048-8192,
+        # fwd and bwd; VMEM at 1024x1024 f32 scores = 4MB, well in budget)
         block_q = min(1024, _round_up(sq, 128))
     if block_k == 0:
         block_k = min(1024, _round_up(skv, 128))
@@ -889,20 +884,8 @@ def flash_attention(q, k, v, *, causal: bool = False,
     # diagonal alignment from the UNPADDED lengths: padding q and kv by
     # different amounts must not shift the causal diagonal
     q_offset = skv - sq if causal else 0
-    # The backward CAN run on its own block sizes (plumbed through the
-    # custom VJP below). Round 5 investigated bwd-specific blocks after a
-    # ctx-4096 sweep read 512x2048 at 3.1x over 1024x1024 — but the
-    # reading did NOT replicate under long-chain interleaved A/B (all
-    # configs within service noise; one deflated min-difference in a bad
-    # tunnel window). Until a clean-window win is demonstrated, the
-    # backward defaults to the forward's blocks (identical behavior to
-    # the shipped round-4 kernel). del auto_blocks keeps the flag from
-    # going stale unnoticed if the rule is reinstated.
-    bwd_bq, bwd_bk = block_q_eff, block_k_eff
-    del auto_blocks
     o = _flash(qr, kr, vr, limits, seg_q, seg_kv, m_arr, sm_scale, causal,
-               block_q_eff, block_k_eff, bwd_bq, bwd_bk, skv, q_offset, h,
-               interpret, window)
+               block_q_eff, block_k_eff, skv, q_offset, h, interpret, window)
     return o[:, :sq, :].reshape(b, h, sq, d)
 
 

@@ -17,8 +17,10 @@ The backward uses the standard analytic LayerNorm gradient
 and accumulates dgamma/dbeta across row blocks through a revisited output
 block (sequential grid), so the whole backward is one pass over x and dy.
 
-CPU/interpret falls back to the plain jnp path (same math) — the kernel
-is TPU-only at the dispatch site in nn.layers.
+A library op for wide-model use: nn.LayerNorm keeps the XLA lowering
+(the flagship-shape knockout measured <1% recoverable — see
+tests/test_fused_layernorm.py docstring); callers opt in directly.
+Untileable shapes fall back to the identical-math jnp path.
 """
 
 from __future__ import annotations
@@ -148,16 +150,39 @@ def _bwd_call(x2, dy2, g, mu, rs, interpret):
     return dx, dg.reshape(d), db.reshape(d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _jnp_layernorm(x, weight, bias, eps):
+    """Reference path (identical math) for shapes the kernel cannot tile."""
+    xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * weight.astype(xf.dtype)
+    if bias is not None:
+        y = y + bias.astype(xf.dtype)
+    return y.astype(x.dtype)
+
+
 def fused_layernorm(x, weight, bias, eps: float = 1e-5,
                     interpret: Optional[bool] = None):
     """LayerNorm over the last dim with learned scale (+ optional bias).
 
-    ``x: [..., D]`` (D % 128 == 0, leading dims' product divisible by 8),
-    ``weight: [D]``, ``bias: [D] | None``. Returns y in x.dtype. Stats in
-    f32; forward and backward are each ONE fused pass over the activation
-    (see module docstring for the measured motivation).
+    ``x: [..., D]``, ``weight: [D]``, ``bias: [D] | None``. Returns y in
+    x.dtype. Stats in f32; forward and backward are each ONE fused pass
+    over the activation (see module docstring for the measured
+    motivation). Shapes the kernel cannot tile (D not a multiple of 128,
+    or leading-dims product not divisible by 8) take the identical-math
+    jnp path instead of erroring.
     """
+    n = 1
+    for s in x.shape[:-1]:
+        n *= s
+    if x.shape[-1] % 128 or _block_rows(n) == 0:
+        return _jnp_layernorm(x, weight, bias, eps)
+    return _fused(x, weight, bias, eps, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused(x, weight, bias, eps: float = 1e-5,
+           interpret: Optional[bool] = None):
     return _primal(x, weight, bias, eps, interpret)
 
 
@@ -191,4 +216,4 @@ def _fused_ln_bwd(eps, interpret, res, dy):
     return dx.reshape(xshape), dg, dbias
 
 
-fused_layernorm.defvjp(_fused_ln_fwd, _fused_ln_bwd)
+_fused.defvjp(_fused_ln_fwd, _fused_ln_bwd)

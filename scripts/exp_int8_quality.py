@@ -106,20 +106,34 @@ def main():
         prompts.append([int(b) for b in valid_bytes[s:s + PROMPT_LEN]])
 
     def decode(bits, kv_dtype=None):
+        """Greedy token streams + FIRST-step logits per mode.
+
+        The logit probe runs on a FRESH server BEFORE any decoding so every
+        mode sees the IDENTICAL prompt context — probing after step_many
+        (as an earlier revision did) measures trajectory divergence of
+        already-diverged greedy histories, not quantization noise; and the
+        probe must keep the FULL [B, V] batch (a ``[0]`` once silently
+        reduced the "mean over prompts" to prompt 0 — round-5 self-review).
+        """
         kw = {} if kv_dtype is None else {"kv_dtype": kv_dtype}
+        ids = [f"p{i}" for i in range(N_PROMPTS)]
+
+        probe = ModernBatchServer(lm, total_pages=96,
+                                  quantize_bits=bits, **kw)
+        for i, p in enumerate(prompts):
+            probe.add(ids[i], p)
+        logits = np.asarray(
+            probe._advance(ids, jnp.asarray(
+                [probe.last_token[s] for s in ids], jnp.int32)), np.float64)
+
         srv = ModernBatchServer(lm, total_pages=96,
                                 quantize_bits=bits, **kw)
         for i, p in enumerate(prompts):
-            srv.add(f"p{i}", p)  # default SamplingParams: greedy
-        toks = {f"p{i}": [] for i in range(N_PROMPTS)}
+            srv.add(ids[i], p)  # default SamplingParams: greedy
+        toks = {s: [] for s in ids}
         for out in (srv.step_many(GEN),):
             for k, v in out.items():
                 toks[k].extend(v)
-        # first-step logits for drift metrics
-        logits = np.asarray(
-            srv._advance([f"p{i}" for i in range(N_PROMPTS)],
-                         jnp.asarray([t[-1] for t in toks.values()],
-                                     jnp.int32))[0], np.float64)
         return toks, logits
 
     ref_toks, ref_logits = with_retries(lambda: decode(None))

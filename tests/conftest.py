@@ -11,7 +11,7 @@ import os
 # analogue, nn.test.scala:18-19 / build.sbt:86-87): the axon TPU platform is
 # kept, x64 stays off (TPUs have no f64), and only ``-m tpu`` tests should
 # run. Everything else (the default) runs on the virtual 8-CPU mesh.
-TPU_MODE = bool(os.environ.get("LAMP_TPU_TESTS"))
+TPU_MODE = bool(int(os.environ.get("LAMP_TPU_TESTS", "0") or "0"))
 
 if not TPU_MODE:
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # disable the axon platform

@@ -66,6 +66,9 @@ def main():
     t.add_argument("--grad-accum", type=int, default=5)
     t.add_argument("--learning-rate", type=float, default=3e-4)
     t.add_argument("--weight-decay", type=float, default=0.01)
+    # the reference LM example trains with beta2=0.95, the GPT convention
+    # (CliConfig.scala:14, wired via AdamW.factory train.scala:53-63)
+    t.add_argument("--beta2", type=float, default=0.95)
     t.add_argument("--warmup-steps", type=int, default=100)
     t.add_argument("--mesh", default=None,
                    help="e.g. 'dp=8' or 'dp=2,tp=4' over visible devices")
@@ -89,6 +92,7 @@ def main():
     tags = nn.param_tags(model)
     optimizer = optim.AdamW(
         args.learning_rate if args.cmd == "train" else 1e-3,
+        beta2=args.beta2 if args.cmd == "train" else 0.999,
         weight_decay=(
             # no decay on norms/biases/embeddings (reference train.scala:55-62)
             lambda tag: 0.0 if (

@@ -123,7 +123,10 @@ def main():
         attention_heads=12, key=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
         dropout=0.1,
     ))
-    opt = optim.AdamW(3e-4, weight_decay=0.01)
+    # beta2=0.95: the reference LM example's training default
+    # (CliConfig.scala:14 via AdamW.factory train.scala:53-63), the GPT
+    # convention — round-5 fidelity audit
+    opt = optim.AdamW(3e-4, weight_decay=0.01, beta2=0.95)
 
     def loss_fn(m, batch, key, train_mode):
         tokens, target = batch
@@ -190,7 +193,7 @@ def main():
     doc = {
         "config": {"layers": 12, "dim": 768, "heads": 12, "ctx": CTX,
                    "vocab": 256, "batch": BATCH, "steps": STEPS,
-                   "optimizer": "AdamW(3e-4, wd=0.01)", "dropout": 0.1,
+                   "optimizer": "AdamW(3e-4, wd=0.01, beta2=0.95)", "dropout": 0.1,
                    "param_dtype": "bfloat16"},
         "corpus": {"path": corpus_desc, "bytes": int(len(raw)),
                    "held_out_bytes": int(n_valid)},

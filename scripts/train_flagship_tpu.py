@@ -121,12 +121,22 @@ def main():
     model = with_retries(lambda: nn.LanguageModelModule.init(
         vocab_size=256, context_length=CTX, num_blocks=12, embed_dim=768,
         attention_heads=12, key=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
-        dropout=0.1,
+        dropout=0.0,  # reference example default (CliConfig.scala:18)
     ))
-    # beta2=0.95: the reference LM example's training default
-    # (CliConfig.scala:14 via AdamW.factory train.scala:53-63), the GPT
-    # convention — round-5 fidelity audit
-    opt = optim.AdamW(3e-4, weight_decay=0.01, beta2=0.95)
+    # the reference LM example's EXACT training config (round-5 fidelity
+    # audit of train.scala:53-66 + CliConfig.scala): beta2=0.95 (the GPT
+    # convention, AdamW.factory default), global-norm clip 1.0, and weight
+    # decay scoped to attention/MLP weights only (the DependentHyperparameter
+    # cases = every transformer Linear weight; embeddings/norms/biases 0)
+    opt = optim.AdamW(
+        3e-4, weight_decay=(
+            lambda tag: 0.0 if (
+                "bias" in tag or "LayerNorm" in tag or "scale" in tag
+                or "Embedding" in tag
+            ) else 0.01),
+        beta2=0.95, clip=1.0,
+        tags=nn.param_tags(nn.partition_params(model)[0]),
+    )
 
     def loss_fn(m, batch, key, train_mode):
         tokens, target = batch
@@ -193,7 +203,7 @@ def main():
     doc = {
         "config": {"layers": 12, "dim": 768, "heads": 12, "ctx": CTX,
                    "vocab": 256, "batch": BATCH, "steps": STEPS,
-                   "optimizer": "AdamW(3e-4, wd=0.01, beta2=0.95)", "dropout": 0.1,
+                   "optimizer": "AdamW(3e-4, wd=0.01 on attn-mlp weights, beta2=0.95, clip=1.0)", "dropout": 0.0,
                    "param_dtype": "bfloat16"},
         "corpus": {"path": corpus_desc, "bytes": int(len(raw)),
                    "held_out_bytes": int(n_valid)},

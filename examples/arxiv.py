@@ -101,7 +101,9 @@ def main():
     labels_j = jnp.asarray(labels)
     train_mask_j = jnp.asarray(train_mask)
     params, rest = nn.partition_params(model)
-    opt = optim.AdamW(args.learning_rate, weight_decay=5e-4)
+    # reference config: AdamW.factory(lr=0.01, wd=1e-4) with the factory's
+    # beta2=0.95 default (arxiv.scala:138-141)
+    opt = optim.AdamW(args.learning_rate, beta2=0.95, weight_decay=1e-4)
     state = opt.init(params)
 
     @jax.jit

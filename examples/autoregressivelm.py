@@ -93,6 +93,9 @@ def main():
     optimizer = optim.AdamW(
         args.learning_rate if args.cmd == "train" else 1e-3,
         beta2=args.beta2 if args.cmd == "train" else 0.999,
+        # the reference example clips unconditionally (train.scala:64
+        # clip = Some(1d))
+        clip=1.0 if args.cmd == "train" else None,
         weight_decay=(
             # no decay on norms/biases/embeddings (reference train.scala:55-62)
             lambda tag: 0.0 if (

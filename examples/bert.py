@@ -80,7 +80,9 @@ def main():
         loss = nn.bert_loss(mlm, mlm_t, nsp, nsp_t)
         return loss, jnp.asarray(tokens.shape[0], jnp.float32), nm
 
-    opt = optim.AdamW(args.learning_rate, weight_decay=0.01)
+    # the reference BERT example trains with RAdam, wd=0
+    # (example-bert wiki.scala:210-213) — round-5 fidelity audit
+    opt = optim.RAdam(args.learning_rate, weight_decay=0.0)
     state = train.TrainState.init(model, opt)
     step = jax.jit(train.make_train_step(opt, loss_fn))
     rng = np.random.default_rng(args.seed)

@@ -45,7 +45,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--learning-rate", type=float, default=1e-3)
-    ap.add_argument("--weight-decay", type=float, default=1e-4)
+    ap.add_argument("--weight-decay", type=float, default=0.0)
     ap.add_argument("--dropout", type=float, default=0.0)
     ap.add_argument("--width", type=int, default=1)
     ap.add_argument("--checkpoint", default=None)
@@ -79,7 +79,10 @@ def main():
         100, key=jax.random.PRNGKey(args.seed), dropout=args.dropout,
         width_multiplier=args.width,
     )
-    optimizer = optim.AdamW(args.learning_rate, weight_decay=args.weight_decay)
+    # reference config: AdamW.factory(wd=0.0) with the factory's beta2=0.95
+    # default (cifar100.scala:187-190); --weight-decay overrides
+    optimizer = optim.AdamW(args.learning_rate, beta2=0.95,
+                            weight_decay=args.weight_decay)
 
     def loss_fn(m, batch, key, train_mode):
         xx, yy = batch

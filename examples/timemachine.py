@@ -78,7 +78,9 @@ def main():
     rng = np.random.default_rng(args.seed)
     result = train.epochs(
         model=model,
-        optimizer=optim.AdamW(args.learning_rate),
+        # reference config: AdamW.factory(wd=0, clip=1.0) with the factory's
+        # beta2=0.95 default (timemachine.scala:178-182)
+        optimizer=optim.AdamW(args.learning_rate, beta2=0.95, clip=1.0),
         loss_fn=loss_fn,
         train_batches=lambda e: data.minibatches_from_text(
             tokens, args.batch_size, args.seq_len, rng=rng

@@ -1646,3 +1646,33 @@ def test_context_edge_raises_clear_error():
     with pytest.raises(RuntimeError, match="context_length"):
         for _ in range(20):
             s.step()
+
+
+def test_context_edge_prescan_leaves_no_partial_mutation():
+    """EVERY multi-token entry point (step_many, advance_chunk) must
+    pre-scan capacity BEFORE releasing pages / allocating slots / bumping
+    lengths — the error may not leave the batch half-mutated (round-5
+    self-review: the original guard lived only in _advance, so
+    step_many(8) three tokens from the edge bumped seq_len for slots
+    whose KV was never written)."""
+    from lamp_tpu.models.serving import ModernBatchServer
+
+    model = nn.ModernLM.init(
+        vocab_size=19, context_length=16, num_blocks=1, embed_dim=32,
+        num_heads=4, num_kv_heads=2, key=jax.random.PRNGKey(0))
+
+    s = ModernBatchServer(model, page_size=8, total_pages=16)
+    s.add("a", [1, 2, 3, 4, 5, 6])  # seq_len 5 after prefill, 11 left
+    before = s.seq_len["a"]
+    with pytest.raises(RuntimeError, match="context_length"):
+        s.step_many(12)
+    assert s.seq_len["a"] == before  # nothing half-allocated
+    assert len(s.step_many(11)["a"]) == 11  # exactly-fitting run works
+
+    s2 = ModernBatchServer(model, page_size=8, total_pages=16)
+    s2.add("b", [1, 2, 3])
+    b4 = s2.seq_len["b"]
+    with pytest.raises(RuntimeError, match="context_length"):
+        s2.advance_chunk(["b"], [[1] * 15])
+    assert s2.seq_len["b"] == b4
+    s2.advance_chunk(["b"], [[1] * (16 - b4)])  # exact fit still works

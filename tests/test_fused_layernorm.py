@@ -86,3 +86,25 @@ def test_gradients_under_jit_and_row_blocking():
     for a, bb in zip(f(x, g, b), r(x, g, b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_untileable_shapes_fall_back_to_jnp_path():
+    """Shapes the kernel cannot tile (leading product not divisible by 8,
+    or D % 128 != 0) must take the identical-math jnp path — not
+    ZeroDivisionError (round-5 self-review finding)."""
+    g = jnp.ones((256,)) * 1.3
+    b = jnp.zeros((256,))
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 5, 256))  # 15 rows
+    np.testing.assert_allclose(
+        np.asarray(fused_layernorm(x, g, b)),
+        np.asarray(_ref_ln(x, g, b)), atol=1e-5)
+    dx = jax.grad(lambda x: jnp.sum(fused_layernorm(x, g, b) ** 2))(x)
+    dr = jax.grad(lambda x: jnp.sum(_ref_ln(x, g, b) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dr),
+                               atol=1e-4, rtol=1e-4)
+
+    x2 = jax.random.normal(jax.random.PRNGKey(1), (8, 100))  # D % 128 != 0
+    g2 = jnp.ones((100,))
+    np.testing.assert_allclose(
+        np.asarray(fused_layernorm(x2, g2, None)),
+        np.asarray(_ref_ln(x2, g2, None)), atol=1e-5)
